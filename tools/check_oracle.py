@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Dev-only local mirror of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (engine result), runs the
+matching oracle SQL from oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, sorts columns by name + rows by all columns, and
+compares values exactly. NOT part of the shipped engine (Scala).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows):
+    out = []
+    for row in rows:
+        r = []
+        for v in row:
+            if isinstance(v, float):
+                # match on repr; NaN normalized
+                r.append("nan" if math.isnan(v) else repr(v))
+            else:
+                r.append(str(v))
+        out.append(tuple(r))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir, f"{t}.parquet")
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_dir = Path(out_dir, name)
+        if not res_dir.exists():
+            print(f"FAIL {name}: no engine output")
+            n_fail += 1
+            continue
+        got_rel = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+        got_cols = [d[0] for d in got_rel.description]
+        got = got_rel.fetchall()
+        exp_rel = con.execute(oracle[name])
+        exp_cols = [d[0] for d in exp_rel.description]
+        exp = exp_rel.fetchall()
+        # sort columns by name (driver contract)
+        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        g = canon([[r[i] for i in gi] for r in got])
+        e = canon([[r[i] for i in ei] for r in exp])
+        if g == e:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            for a, b in diff:
+                print(f"   engine: {a}\n   oracle: {b}")
+            if len(g) != len(e):
+                only_g = set(g) - set(e)
+                only_e = set(e) - set(g)
+                for r in list(only_g)[:2]:
+                    print(f"   only-engine: {r}")
+                for r in list(only_e)[:2]:
+                    print(f"   only-oracle: {r}")
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
