@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{QueryDef, Relational}
+import graft.queries.{Documents, Pipelines, QueryDef, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,11 +12,13 @@ import graft.queries.{QueryDef, Relational}
   */
 object SparkEntry {
 
-  private def all: Seq[QueryDef] = Relational.defs
+  private def all: Seq[QueryDef] = Relational.defs ++ Documents.defs ++ Pipelines.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference's signature capability: TF-IDF + seeded LSH
+    * document recommendation (SURVEY.md §3.2). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.defs.head.fn(spark, "/root/testdata/sf0.001")
+    queries("q30_doc_recommend")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,43 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.feature.{CountVectorizer, IDF, Normalizer}
+import org.apache.spark.sql.DataFrame
+
+/** Stage 4 of the reference pipeline: TF-IDF + L2 normalization
+  * (reference transform/execute.py:239-257; SURVEY.md §2.8 M1-M3).
+  *
+  * CountVectorizer(minDF=3) → IDF(minDocFreq=3) → Normalizer(p=2).
+  * The two `fit`s are the only wide stages (vocabulary and
+  * document-frequency aggregations — map-side combined tree
+  * aggregations in MLlib); transform is map-only. L2 normalization
+  * makes Euclidean LSH distance a monotone proxy for cosine
+  * similarity (reference notebook cell 59).
+  */
+object Vectorize {
+
+  final case class Config(
+      minDF: Double = 3.0,
+      minDocFreq: Int = 3,
+      vocabSize: Int = 1 << 18)
+
+  def pipeline(cfg: Config = Config()): Pipeline = {
+    val cv = new CountVectorizer()
+      .setInputCol("tags_lemmatized").setOutputCol("raw_features")
+      .setMinDF(cfg.minDF).setVocabSize(cfg.vocabSize)
+    val idf = new IDF()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setMinDocFreq(cfg.minDocFreq)
+    val norm = new Normalizer()
+      .setInputCol("features").setOutputCol("norm_features").setP(2.0)
+    new Pipeline().setStages(Array(cv, idf, norm))
+  }
+
+  /** Fit + transform, dropping consumed intermediates like the
+    * reference (transform/execute.py:255). */
+  def apply(df: DataFrame, cfg: Config = Config()): (PipelineModel, DataFrame) = {
+    val model = pipeline(cfg).fit(df)
+    val out = model.transform(df).drop("tags", "tags_str", "tags_lemmatized", "features")
+    (model, out)
+  }
+}

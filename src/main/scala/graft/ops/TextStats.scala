@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for training-data pipelines: token
+  * statistics, quality scoring, language identification and document
+  * fingerprinting. Everything is a Catalyst column expression —
+  * map-only, whole-stage codegen, no shuffles, so each operator
+  * scales linearly with input splits.
+  */
+object TextStats {
+
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  def charCount(text: Column): Column = length(text).cast(LongType)
+
+  /** Σ len(token) as long (order-insensitive integer sum). */
+  def tokenCharSum(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+
+  def avgTokenLen(text: Column): Column =
+    tokenCharSum(text).cast(DoubleType) / tokenCount(text).cast(DoubleType)
+
+  /** Characters that are not lowercase alphanumerics or space —
+    * punctuation-ish count for quality scoring. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")).cast(LongType)
+
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast(LongType)
+
+  /** Tiny shared stop list (same literal in the DuckDB oracles — the
+    * full MLlib list lives in TextPrep for the NLP pipeline). */
+  val miniStopWords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  def stopwordCount(text: Column, stops: Seq[String] = miniStopWords): Column =
+    size(filter(tokens(text), t => array_contains(typedLit(stops), t))).cast(LongType)
+
+  /** Heuristic quality score in [0,1] from exact integer counts:
+    * penalizes very short docs, high punctuation and digit density,
+    * rewards stop-word presence (fluency proxy). Deterministic double
+    * math over exact longs. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast(DoubleType)
+    val lenScore = least(n / lit(50.0), lit(1.0))
+    val punct = punctCount(text).cast(DoubleType) / charCount(text).cast(DoubleType)
+    val digits = digitCount(text).cast(DoubleType) / charCount(text).cast(DoubleType)
+    val stops = least(stopwordCount(text).cast(DoubleType) / n * lit(5.0), lit(1.0))
+    (lenScore * lit(0.4) + stops * lit(0.3) +
+      (lit(1.0) - least(punct * lit(5.0), lit(1.0))) * lit(0.2) +
+      (lit(1.0) - least(digits * lit(5.0), lit(1.0))) * lit(0.1))
+  }
+
+  /** Language-marker word lists for the n-gram/stop-word langid
+    * heuristic. Order matters for argmax tie-breaks. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to", "a", "in", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "que", "es", "de", "un", "una"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "du", "dans"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(typedLit(markers), t))).cast(LongType)
+
+  /** Argmax over marker scores; 'und' (undetermined) when all zero.
+    * CJK presence short-circuits to 'zh'. */
+  def predictedLang(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    val chain = scores.foldLeft(when(cjk, lit("zh"))) { case (acc, (l, sc)) =>
+      acc.when(sc === maxScore && maxScore > 0, lit(l))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /** Order-insensitive bag fingerprint: exact integer hash of the
+    * token multiset — identical content ⇒ identical fingerprint,
+    * reproducible in ANSI SQL (sum of per-token codes is
+    * order-insensitive, safe under any partitioning). */
+  def bagFingerprint(text: Column): Column =
+    pmod(
+      lit(1000003L) * tokenCount(text) +
+        aggregate(
+          transform(tokens(text),
+            t => (ascii(t).cast(LongType) * lit(31L) + length(t).cast(LongType) * lit(7L))),
+          lit(0L), (acc, x) => acc + x),
+      lit(1000000007L))
+
+  /** Order-SENSITIVE rolling fingerprint (Karp-Rabin style over the
+    * token sequence) — distinguishes permutations. Shape is
+    * transform-to-code then left fold, which ANSI SQL mirrors exactly
+    * (`list_reduce(list_prepend(0, list_transform(...)), ...)`). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text),
+        t => ascii(t).cast(LongType) * lit(131L) + length(t).cast(LongType)),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L)))
+
+  /** One-pass stats projection over a documents table. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      charCount(t).as("n_chars_measured"),
+      avgTokenLen(t).as("avg_token_len"),
+      stopwordCount(t).as("n_stopwords"),
+      qualityScore(t).as("quality"),
+      predictedLang(t).as("lang_pred"),
+      bagFingerprint(t).as("fingerprint"))
+  }
+}

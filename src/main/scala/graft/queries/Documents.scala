@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.{Dedup, Similarity, TextStats}
+
+/** Training-data operators over `documents` / `embeddings`, each with
+  * a DuckDB oracle. Parity rules (beyond QueryDef's): token splitting
+  * relies on verified single-space hygiene of the corpus; all counts
+  * are exact longs; quality/jaccard doubles are computed with the
+  * same literal expression shape in both dialects so IEEE evaluation
+  * is bit-identical; cosine queries emit RANKS only, because DuckDB's
+  * `list_cosine_similarity` works in float32 and can never hash-match
+  * a double-precision value.
+  */
+object Documents {
+
+  // ---------------------------------------------------------------- q15
+  /** Per-document token statistics (map-only, codegen'd). */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.tokenCount(t).as("n_tokens"),
+      TextStats.charCount(t).as("n_chars_measured"),
+      TextStats.tokenCharSum(t).as("token_char_sum"),
+      TextStats.avgTokenLen(t).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  private val q15Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+      |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS token_char_sum,
+      |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Exact dedup groups: survivor id + multiplicity per distinct text.
+    * At 100 TB: group on a 64-bit fingerprint instead of raw text so
+    * the exchange carries 8-byte keys. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+      .orderBy("keep_id")
+
+  private val q16Sql =
+    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Quality scoring from exact integer counts. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.stopwordCount(t).as("n_stopwords"),
+      TextStats.punctCount(t).as("n_punct"),
+      TextStats.digitCount(t).as("n_digits"),
+      TextStats.qualityScore(t).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val q17Sql = {
+    val stops = TextStats.miniStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text,' '), t -> list_contains($stops, t))) AS BIGINT) AS n_stopwords,
+       |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       |  (least(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |   + least(CAST(len(list_filter(string_split(text,' '), t -> list_contains($stops, t))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) * 5.0, 1.0) * 0.3
+       |   + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
+       |   + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1) AS quality
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Language-ID heuristic: marker-word scores + CJK check, argmax. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scoreCols = TextStats.langMarkers.map { case (l, m) =>
+      TextStats.langScore(t, m).as(s"s_$l")
+    }
+    Tables.documents(s, dir)
+      .select((col("doc_id") +: scoreCols :+
+        TextStats.predictedLang(t).as("lang_pred")): _*)
+      .orderBy("doc_id")
+  }
+
+  private val q18Sql = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = TextStats.langMarkers.map { case (l, m) =>
+      s"CAST(len(list_filter(string_split(text,' '), t -> list_contains(${lst(m)}, t))) AS BIGINT) AS s_$l"
+    }
+    val names = TextStats.langMarkers.map { case (l, _) => s"s_$l" }
+    val whens = TextStats.langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = m AND m > 0 THEN '$l'"
+    }
+    s"""SELECT doc_id, ${names.mkString(", ")},
+       |  CASE WHEN cjk > 0 THEN 'zh' ${whens.mkString(" ")} ELSE 'und' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id, ${names.mkString(", ")}, cjk,
+       |    greatest(${names.mkString(", ")}) AS m
+       |  FROM (
+       |    SELECT doc_id, ${scores.mkString(", ")},
+       |      length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+       |    FROM documents) base
+       |) scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Bag + rolling fingerprints (exact long arithmetic both sides). */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.bagFingerprint(t).as("bag_fp"),
+      TextStats.rollingFingerprint(t).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val q19Sql =
+    """SELECT doc_id,
+      |  CAST((1000003 * len(string_split(text,' '))
+      |    + list_sum(list_transform(string_split(text,' '),
+      |        t -> CAST(ascii(t) AS BIGINT)*31 + CAST(length(t) AS BIGINT)*7)))
+      |   % 1000000007 AS BIGINT) AS bag_fp,
+      |  CAST(list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text,' '),
+      |        t -> CAST(ascii(t) AS BIGINT)*131 + CAST(length(t) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS rolling_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Exact bigram-Jaccard near-dup pairs inside a blocking window
+    * (the verify stage of the dedup funnel; candidate generation at
+    * scale is MinHash/SimHash — see Pipelines). */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+      n = 2, window = 25, minJaccard = 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  private val q20Sql =
+    """WITH grams AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(len(string_split(text,' '))-1),
+      |      i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS g
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)) AS jaccard
+      |FROM grams a JOIN grams b
+      |  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id <= a.doc_id + 25
+      |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Brute-force cosine top-20 vs the vec_id=0 embedding — ranks only
+    * (float32-vs-double across engines; ranks are stable because
+    * neighbor gaps dwarf the precision difference). */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select("embedding").limit(1).collect()
+      .head.getSeq[Float](0).map(_.toDouble)
+    Similarity.bruteForceKnn(emb, qvec, 20)
+      .select(col("rank").as("rk"), col("vec_id"))
+  }
+
+  private val q21Sql =
+    """SELECT rk, vec_id FROM (
+      |  SELECT vec_id, ROW_NUMBER() OVER (
+      |    ORDER BY list_cosine_similarity(embedding,
+      |      (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rk
+      |  FROM embeddings) t
+      |WHERE rk <= 20
+      |ORDER BY rk""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Embedding near-dup: nearest same-label neighbor per vector
+    * (ids only — same float32 rationale as q21). */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearestSameLabel(Tables.embeddings(s, dir))
+      .orderBy("vec_id")
+
+  private val q22Sql =
+    """SELECT vec_id, nn_id FROM (
+      |  SELECT a.vec_id, b.vec_id AS nn_id, ROW_NUMBER() OVER (
+      |    PARTITION BY a.vec_id
+      |    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
+      |WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q15_token_stats", q15, Some(q15Sql)),
+    QueryDef("q16_exact_dedup", q16, Some(q16Sql)),
+    QueryDef("q17_quality_score", q17, Some(q17Sql)),
+    QueryDef("q18_langid", q18, Some(q18Sql)),
+    QueryDef("q19_fingerprints", q19, Some(q19Sql)),
+    QueryDef("q20_ngram_jaccard", q20, Some(q20Sql)),
+    QueryDef("q21_cosine_knn", q21, Some(q21Sql)),
+    QueryDef("q22_embedding_neardup", q22, Some(q22Sql)))
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ml.{Recommender, Vectorize}
+import graft.ops.{Dedup, Similarity}
+import graft.text.TextPrep
+
+/** Non-SQL-expressible pipelines (TF-IDF + LSH, MinHash, SimHash,
+  * vector ANN). No DuckDB oracle — the driver records a rows-only
+  * check; semantics are covered by ScalaTest metamorphic/golden specs
+  * (seeded determinism, self-neighbor-at-distance-0, duplicate-pair
+  * properties).
+  */
+object Pipelines {
+
+  /** documents → tags → clean/lemmatize → TF-IDF → L2 norm → seeded
+    * LSH model + vectors: the reference's transform stage re-targeted
+    * at the harness corpus. */
+  def docVectors(s: SparkSession, dir: String): (DataFrame, org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel) = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tags", split(col("text"), "\\s+"))
+      .withColumnRenamed("doc_id", "id")
+    val prepped = TextPrep.prepare(s, docs)
+    val (_, vectorized) = Vectorize(prepped)
+    val model = Recommender.fit(vectorized)
+    (vectorized, model)
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** Flagship: TF-IDF + LSH nearest neighbors of document 0
+    * (reference `get_recommendations`, SURVEY.md §3.2). */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val (vectors, model) = docVectors(s, dir)
+    Recommender.neighbors(model, vectors, "id", 0L, 10)
+      .select(col("id").as("doc_id"), col("distance"))
+      .orderBy("distance", "doc_id")
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** MinHash-LSH near-dup candidate pairs over bigram shingles. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, dir),
+      shingleSize = 2, numHashTables = 8, maxJaccardDist = 0.6)
+      .select("doc_a", "doc_b", "jaccard_dist")
+      .orderBy("doc_a", "doc_b")
+
+  // ---------------------------------------------------------------- q32
+  /** SimHash banded candidate pairs with Hamming verify. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(s, Tables.documents(s, dir), maxHamming = 12)
+      .orderBy("doc_a", "doc_b")
+
+  // ---------------------------------------------------------------- q33
+  /** LSH-bucketed ANN over the embeddings table (scale path of q21). */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val (emb, model) = Similarity.fitLsh(Tables.embeddings(s, dir))
+    Similarity.lshKnn(emb, model, 0L, 10)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_doc_recommend", q30, None),
+    QueryDef("q31_minhash_pairs", q31, None),
+    QueryDef("q32_simhash_pairs", q32, None),
+    QueryDef("q33_ann_lsh", q33, None))
+}

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, SimHash, TextStats}
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the quick brown fox jumps over the lazy cat", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"), // dup of 0
+    (3L, "completely different words about spark engines", "en"),
+    (4L, "der hund ist nicht ein katze und das haus", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  test("cosine: identical vectors → 1, orthogonal → 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+  }
+
+  test("bruteForceKnn ranks self first with cosine 1") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceKnn(emb, Seq(1.0, 0.0, 0.0), 3).collect()
+    assert(top.head.getAs[Long]("vec_id") === 0L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(top(1).getAs[Long]("vec_id") === 1L)
+  }
+
+  test("exact dedup groups find the duplicate with min-id survivor") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2L)
+    assert(dup.isDefined && dup.get.getAs[Long]("keep_id") === 0L)
+    assert(Dedup.dropExact(docs, "text", "doc_id").count() === 4L)
+    assert(Dedup.dropExact(docs, "text", "doc_id")
+      .filter(col("doc_id") === 2L).count() === 0L)
+  }
+
+  test("minhash pairs detect the exact duplicate at distance 0") {
+    val pairs = Dedup.minhashPairs(docs, maxJaccardDist = 0.5).collect()
+    val dup = pairs.find(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 2L)
+    assert(dup.isDefined, s"expected (0,2) dup pair in ${pairs.mkString(",")}")
+    assert(dup.get.getAs[Double]("jaccard_dist") === 0.0)
+  }
+
+  test("simhash: identical docs collide, near-dups within few bits") {
+    val sigs = Dedup.simhashSignatures(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(0L) === sigs(2L))
+    val hamming01 = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    val hamming03 = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(hamming01 < hamming03, "one-word edit must be closer than disjoint text")
+    val cands = Dedup.simhashCandidates(spark, docs, maxHamming = 3).collect()
+    assert(cands.exists(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 2L))
+  }
+
+  test("simhash is deterministic and order-insensitive (bag semantics)") {
+    assert(SimHash.ofTokens(Iterator("a", "b", "c")) ===
+      SimHash.ofTokens(Iterator("c", "a", "b")))
+    assert(SimHash.fnv1a64("token") === SimHash.fnv1a64("token"))
+  }
+
+  test("ngram jaccard: dup pair → 1.0; one-token edit shares most bigrams") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 2, window = 25, minJaccard = 0.1)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((0L, 2L)) === 1.0)
+    assert(pairs.get((0L, 3L)).isEmpty, "disjoint texts must not pair")
+    assert(pairs((0L, 1L)) > 0.5)
+  }
+
+  test("wordNgrams handles docs shorter than n") {
+    val out = Seq((0L, "single")).toDF("doc_id", "text")
+      .select(Dedup.wordNgrams(TextStats.tokens(col("text")), 2).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(out.isEmpty)
+  }
+
+  test("fingerprints: bag ignores order, rolling does not") {
+    val df = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "gamma beta alpha"),
+      (2L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      TextStats.bagFingerprint(col("text")).as("bag"),
+      TextStats.rollingFingerprint(col("text")).as("roll")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0L)._1 === rows(1L)._1, "bag fingerprint must be order-insensitive")
+    assert(rows(0L)._2 !== rows(1L)._2, "rolling fingerprint must be order-sensitive")
+    assert(rows(0L) === rows(2L))
+  }
+
+  test("langid: marker heuristic separates en/de, CJK → zh") {
+    val df = Seq(
+      (0L, "the cat and the dog is in the house"),
+      (1L, "der hund und die katze ist nicht ein haus"),
+      (2L, "这 是 中文 文本"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val preds = df.select(col("doc_id"), TextStats.predictedLang(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(0L) === "en")
+    assert(preds(1L) === "de")
+    assert(preds(2L) === "zh")
+    assert(preds(3L) === "und")
+  }
+
+  test("multimodal: pack → extract preserves ids, features normalized") {
+    val assets = Multimodal.packAsAssets(docs)
+    assert(assets.columns.toSeq === Seq("asset_id", "payload", "mime_type",
+      "width", "height", "n_bytes"))
+    val feats = Multimodal.extractFeatures(spark, assets, dim = 16).collect()
+    assert(feats.map(_.asset_id).sorted === Array(0L, 1L, 2L, 3L, 4L))
+    feats.foreach { f =>
+      assert(f.features.length === 16)
+      assert(math.abs(f.features.sum - 1.0) < 1e-9, "histogram must be L1-normalized")
+    }
+    // identical payloads → identical features (deterministic stub)
+    val byId = feats.map(f => f.asset_id -> f.features.toSeq).toMap
+    assert(byId(0L) === byId(2L))
+  }
+
+  test("multimodal: frame sampling emits n rows per asset, deterministic") {
+    val assets = Multimodal.packAsAssets(docs)
+    val frames = Multimodal.sampleFrames(spark, assets, n = 4).collect()
+    assert(frames.length === 5 * 4)
+    val sig0 = frames.filter(_.asset_id == 0L).map(_.frame_signature).toSeq
+    val sig2 = frames.filter(_.asset_id == 2L).map(_.frame_signature).toSeq
+    assert(sig0 === sig2)
+  }
+
+  test("multimodal: resize stub caps payload and metadata") {
+    val resized = Multimodal.resizeStub(Multimodal.packAsAssets(docs), maxBytes = 10)
+    val r = resized.collect()
+    r.foreach { row =>
+      assert(row.getAs[Array[Byte]]("payload").length <= 10)
+      assert(row.getAs[Long]("n_bytes") <= 10L)
+    }
+  }
+
+  test("lsh ann agrees with brute force on an easy top-1") {
+    val emb = (0 until 50).map { i =>
+      val base = if (i < 25) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
+      val jit = base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i * 7 + d) % 5) }
+      (i.toLong, jit.toSeq)
+    }.toDF("vec_id", "embedding")
+    val (withVec, model) = Similarity.fitLsh(emb, numHashTables = 6, bucketLength = 1.0)
+    val knn = Similarity.lshKnn(withVec, model, 0L, 5).collect()
+    assert(knn.nonEmpty)
+    assert(knn.forall(_.getAs[Long]("vec_id") < 25L),
+      "neighbors of a cluster-0 vector must come from cluster 0")
+  }
+}
