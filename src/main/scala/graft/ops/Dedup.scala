@@ -41,11 +41,76 @@ object Dedup {
   }
 
   // ---------------------------------------------------------- minhash
-  /** MinHash-LSH near-dup candidate pairs over word shingles.
-    * Pipeline: tokens → n-gram shingles → binary CountVectorizer →
-    * MinHashLSH(seeded) → approxSimilarityJoin at `maxJaccardDist`.
+  /** Native banded-MinHash near-dup pairs: shingle → k integer
+    * minhashes (codegen'd array folds over xxhash64) → band keys →
+    * narrow equi-join on (band, key) → distinct candidate ids →
+    * re-join shingle sets → exact Jaccard verify.
+    *
+    * Scale design: the only shuffles are (1) the band join, whose rows
+    * are 3 longs each regardless of document size, and (2) two hash
+    * joins to re-attach shingle sets to the (small) candidate set.
+    * Collision probability per band is jaccard^rowsPerBand, OR'd over
+    * `bands`, so join fan-out tracks true similarity, not corpus size.
     * Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b. */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3,
+      bands: Int = 10, rowsPerBand: Int = 5,
+      maxJaccardDist: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val p = 2147483647L // 2^31 - 1, Mersenne prime
+    val rnd = new scala.util.Random(seed)
+    val coefs = Seq.fill(bands * rowsPerBand)(
+      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+
+    // Hash each shingle string ONCE into a long ("hs"); all k minhash
+    // permutations then fold over cheap longs instead of re-hashing
+    // strings k times. Cached because three plan branches (band keys,
+    // verify-side A, verify-side B) reuse it.
+    val shingled = docs
+      .select(col(idCol),
+        wordNgrams(TextStats.tokens(col(textCol)), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hs", transform(col("shingles"), s => pmod(xxhash64(s), lit(p))))
+      .cache()
+
+    // k minhash values: min over shingles of (a·h(s)+b) mod p
+    val sig = array(coefs.map { case (a, b) =>
+      array_min(transform(col("hs"),
+        h => pmod(lit(a) * h + lit(b), lit(p))))
+    }: _*)
+    // one 64-bit key per band = hash of that band's signature slice
+    val bandKeys = array((0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)).as("key"))
+    }: _*)
+
+    val banded = shingled
+      .withColumn("sig", sig)
+      .select(col(idCol), explode(bandKeys).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+
+    // exact verify on the (small) candidate set
+    val ga = shingled.select(col(idCol).as("doc_a"), col("shingles").as("ga"))
+    val gb = shingled.select(col(idCol).as("doc_b"), col("shingles").as("gb"))
+    val nInter = size(array_intersect(col("ga"), col("gb"))).cast(DoubleType)
+    val nUnion = (size(col("ga")) + size(col("gb"))).cast(DoubleType) - nInter
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (lit(1.0) - nInter / nUnion).as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+  }
+
+  /** MLlib-based MinHash variant (reference-parity path: binary
+    * CountVectorizer → MinHashLSH → approxSimilarityJoin). Slower than
+    * the native banded join — its bucket key is a boxed Vector — but
+    * kept as the API-compatible MLlib surface. */
+  def minhashPairsMLlib(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleSize: Int = 2,
       numHashTables: Int = 8, maxJaccardDist: Double = 0.5,
       seed: Long = 42L): DataFrame = {
@@ -56,8 +121,11 @@ object Dedup {
       .setInputCol("shingles").setOutputCol("features").setBinary(true)
       .fit(shingled)
     val vecs = cv.transform(shingled)
-      // MinHashLSH requires at least one non-zero entry
+      // MinHashLSH requires at least one non-zero entry; keep join
+      // rows narrow (id + vector only) — the bucket-join shuffles
+      // every hash collision, so row width is the cost multiplier.
       .filter(vecNonEmpty(col("features")))
+      .select(col(idCol), col("features"))
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = lsh.fit(vecs)
@@ -123,18 +191,35 @@ object Dedup {
     * blocking window (same lang, id distance ≤ window). The window
     * block keeps the demo linear; production-scale candidate
     * generation is [[minhashPairs]] / [[simhashCandidates]], with this
-    * as the exact verify stage. */
+    * as the exact verify stage.
+    *
+    * The id-window predicate is turned into an EQUI-join key
+    * (`doc_id div window`, probing own + next bucket) so the join
+    * never enumerates the |lang|² cross pairs — with only `lang` as
+    * the key, every same-language pair would flow through the join
+    * carrying its gram array (quadratic row traffic at any scale).
+    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 2, window: Int = 25,
       minJaccard: Double = 0.2, idCol: String = "doc_id",
       textCol: String = "text", blockCol: String = "lang"): DataFrame = {
+    // Set sizes are computed on 64-bit hashes of the distinct grams:
+    // long-array intersection beats string-array intersection by the
+    // string-compare cost, and a 64-bit collision inside one pair's
+    // sets (~1e-10 odds corpus-wide) is the only way counts differ.
     val grams = docs.select(col(idCol), col(blockCol),
-      wordNgrams(TextStats.tokens(col(textCol)), n).as("grams"))
-    val a = grams.alias("a")
-    val b = grams.alias("b")
+      transform(wordNgrams(TextStats.tokens(col(textCol)), n),
+        g => xxhash64(g)).as("grams"))
+    val bucket = (col(idCol) / window).cast("long")
+    // probe side: each doc looks into its own and the next id-bucket
+    val a = grams
+      .withColumn("jbucket", explode(array(bucket, bucket + 1)))
+      .alias("a")
+    val b = grams.withColumn("jbucket", bucket).alias("b")
     val nInter = size(array_intersect(col("a.grams"), col("b.grams"))).cast(DoubleType)
     val nUnion = (size(col("a.grams")) + size(col("b.grams"))).cast(DoubleType) - nInter
     a.join(b,
-        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col("a.jbucket") === col("b.jbucket") &&
+          col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           col(s"b.$idCol") <= col(s"a.$idCol") + window)
       .select(
@@ -150,9 +235,14 @@ object Dedup {
     * [[Similarity.fitLsh]] buckets. */
   def nearestSameLabel(embeddings: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", blockCol: String = "label"): DataFrame = {
-    val a = embeddings.alias("a")
-    val b = embeddings.alias("b")
-    val cos = Similarity.cosine(col(s"a.$vecCol"), col(s"b.$vecCol"))
+    // Precompute each row's L2 norm once: the block join then costs a
+    // single dot product per pair instead of three array folds.
+    val normed = embeddings.select(col(idCol), col(blockCol), col(vecCol),
+      Similarity.l2Norm(col(vecCol)).as("nrm"))
+    val a = normed.alias("a")
+    val b = normed.alias("b")
+    val cos = Similarity.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+      (col("a.nrm") * col("b.nrm"))
     val w = Window.partitionBy(col("vec_id_a"))
       .orderBy(col("cos").desc, col("vec_id_b"))
     a.join(b,

@@ -40,10 +40,13 @@ object Pipelines {
   }
 
   // ---------------------------------------------------------------- q31
-  /** MinHash-LSH near-dup candidate pairs over bigram shingles. */
+  /** Banded-MinHash near-dup candidate pairs over trigram shingles.
+    * Trigrams (not bigrams) because the corpus vocabulary is tiny:
+    * longer shingles keep band-collision rates — and therefore the
+    * bucket-join fan-out — proportional to true similarity. */
   private def q31(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(s, dir),
-      shingleSize = 2, numHashTables = 8, maxJaccardDist = 0.6)
+      shingleSize = 3, bands = 10, rowsPerBand = 5, maxJaccardDist = 0.4)
       .select("doc_a", "doc_b", "jaccard_dist")
       .orderBy("doc_a", "doc_b")
 

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table — the streaming twin of
+  * the batch q12 hourly aggregation. The reference has no streaming
+  * surface (SURVEY.md §2.10); this is the engine extension for
+  * continuous ingest at scale: file-source micro-batches, event-time
+  * windows bounded by a watermark so state stores stay finite no
+  * matter how long the stream runs.
+  */
+object EventsStream {
+
+  /** events.parquet carries TIMESTAMP(NANOS); the stream reads it as
+    * raw long nanos (legacy conf) and rebuilds a µs timestamp — same
+    * trick as the batch loader (graft.engine.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time aggregation with a watermark: late
+    * rows beyond 1 hour are dropped and window state is evicted —
+    * bounded memory on an unbounded stream. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user session windows (30-minute inactivity gap) — the
+    * stateful sessionization shape for clickstream-style data. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Drive a streaming frame into an in-memory table and run all
+    * available micro-batches (local smoke harness; a cluster deploy
+    * swaps the sink for kafka/delta and drops processAllAvailable). */
+  def runToMemory(df: DataFrame, queryName: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

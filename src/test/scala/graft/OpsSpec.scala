@@ -48,10 +48,19 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("doc_id") === 2L).count() === 0L)
   }
 
-  test("minhash pairs detect the exact duplicate at distance 0") {
-    val pairs = Dedup.minhashPairs(docs, maxJaccardDist = 0.5).collect()
+  test("native banded minhash detects the exact duplicate at distance 0") {
+    val pairs = Dedup.minhashPairs(docs, shingleSize = 2, maxJaccardDist = 0.5).collect()
     val dup = pairs.find(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 2L)
     assert(dup.isDefined, s"expected (0,2) dup pair in ${pairs.mkString(",")}")
+    assert(dup.get.getAs[Double]("jaccard_dist") === 0.0)
+    // near-identical docs (0 vs 1) must also surface as candidates
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 1L))
+  }
+
+  test("MLlib minhash variant agrees on the exact duplicate") {
+    val pairs = Dedup.minhashPairsMLlib(docs, maxJaccardDist = 0.5).collect()
+    val dup = pairs.find(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 2L)
+    assert(dup.isDefined)
     assert(dup.get.getAs[Double]("jaccard_dist") === 0.0)
   }
 
