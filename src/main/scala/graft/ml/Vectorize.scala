@@ -34,10 +34,14 @@ object Vectorize {
   }
 
   /** Fit + transform, dropping consumed intermediates like the
-    * reference (transform/execute.py:255). */
+    * reference (transform/execute.py:255). The input is cached first:
+    * CountVectorizer.fit, IDF.fit and the final transform each
+    * re-evaluate their input plan, so without the cache the whole
+    * upstream text-prep chain runs three times. */
   def apply(df: DataFrame, cfg: Config = Config()): (PipelineModel, DataFrame) = {
-    val model = pipeline(cfg).fit(df)
-    val out = model.transform(df).drop("tags", "tags_str", "tags_lemmatized", "features")
+    val cached = df.cache()
+    val model = pipeline(cfg).fit(cached)
+    val out = model.transform(cached).drop("tags", "tags_str", "tags_lemmatized", "features")
     (model, out)
   }
 }

@@ -24,7 +24,9 @@ object Pipelines {
       .withColumn("tags", split(col("text"), "\\s+"))
       .withColumnRenamed("doc_id", "id")
     val prepped = TextPrep.prepare(s, docs)
-    val (_, vectorized) = Vectorize(prepped)
+    val (_, vectorized0) = Vectorize(prepped)
+    // LSH fit + the point lookup + the ANN query all re-scan this
+    val vectorized = vectorized0.cache()
     val model = Recommender.fit(vectorized)
     (vectorized, model)
   }
@@ -63,9 +65,25 @@ object Pipelines {
     Similarity.lshKnn(emb, model, 0L, 10)
   }
 
+  // ---------------------------------------------------------------- q35
+  /** Sketch aggregations: HLL++ distinct counts and approximate
+    * quantiles — constant memory per group at any scale (the exact
+    * versions are q14's countDistinct and a full sort). Rows-only:
+    * DuckDB's sketch implementations produce different estimates. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+      .orderBy("l_returnflag")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_doc_recommend", q30, None),
     QueryDef("q31_minhash_pairs", q31, None),
     QueryDef("q32_simhash_pairs", q32, None),
-    QueryDef("q33_ann_lsh", q33, None))
+    QueryDef("q33_ann_lsh", q33, None),
+    QueryDef("q35_sketches", q35, None))
 }

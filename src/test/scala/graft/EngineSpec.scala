@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SkewJoin
+
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("GraftExtensions registers SQL functions at session build time") {
+    // getOrCreate would return the shared test session; clear the
+    // active/default handles so a fresh session (same SparkContext)
+    // is built WITH the extensions, then restore.
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.engine.GraftExtensions())
+        .getOrCreate()
+      val r = ext.sql(
+        "SELECT graft_lemmatize('testing') AS l, graft_simhash(array('a','b')) AS s")
+        .collect().head
+      assert(r.getString(0) === "test")
+      assert(r.getLong(1) === graft.ops.SimHash.ofTokens(Iterator("a", "b")))
+    } finally {
+      SparkSession.setActiveSession(prior)
+      SparkSession.setDefaultSession(prior)
+    }
+  }
+
+  test("salted join returns exactly the rows of the plain join under skew") {
+    // 90% of the big side lands on key 1 (pathological skew)
+    val big = (1 to 2000).map(i =>
+      (if (i % 10 == 0) i % 7 else 1, i.toLong)).toDF("k", "row_id")
+    val small = Seq((1, "hot"), (2, "warm"), (3, "cold"), (0, "zero"))
+      .toDF("sk", "label")
+    val plain = big.join(small, big("k") === small("sk"))
+      .select("row_id", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val salted = SkewJoin.saltedInnerJoin(big, small, "k", "sk",
+        numSalts = 8, saltSource = Seq("row_id"))
+      .select("row_id", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("bucketed tables co-locate the join (no shuffle exchange on either side)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-buckets")
+    val o = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join must not shuffle lineitem:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join must not shuffle orders:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
