@@ -72,11 +72,11 @@ object Dedup {
       .withColumn("hs", transform(col("shingles"), s => pmod(xxhash64(s), lit(p))))
       .cache()
 
-    // k minhash values: min over shingles of (a·h(s)+b) mod p
-    val sig = array(coefs.map { case (a, b) =>
-      array_min(transform(col("hs"),
-        h => pmod(lit(a) * h + lit(b), lit(p))))
-    }: _*)
+    // k minhash values in ONE array pass (custom expression — k
+    // transform+array_min folds would allocate k temp arrays per row)
+    val sig = graft.engine.Columns.ofExpr(MinHashSigExpr(
+      graft.engine.Columns.exprOf(col("hs")),
+      coefs.map(_._1).toArray, coefs.map(_._2).toArray, p))
     // one 64-bit key per band = hash of that band's signature slice
     val bandKeys = array((0 until bands).map { bi =>
       struct(lit(bi).as("band"),
@@ -209,6 +209,7 @@ object Dedup {
     val grams = docs.select(col(idCol), col(blockCol),
       transform(wordNgrams(TextStats.tokens(col(textCol)), n),
         g => xxhash64(g)).as("grams"))
+      .cache() // both join sides scan this; grams are 8-byte hashes
     val bucket = (col(idCol) / window).cast("long")
     // probe side: each doc looks into its own and the next id-bucket
     val a = grams
