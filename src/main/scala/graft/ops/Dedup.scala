@@ -65,9 +65,14 @@ object Dedup {
     // permutations then fold over cheap longs instead of re-hashing
     // strings k times. Cached because three plan branches (band keys,
     // verify-side A, verify-side B) reuse it.
+    // Tokens are materialized as a column attribute BEFORE shingling:
+    // the n-gram lambda references its token array per element, and a
+    // raw split() expression there would re-run the regex split per
+    // gram (no subexpression elimination inside lambda bodies —
+    // measured 10s of the 16s pipeline on 5k docs).
     val shingled = docs
-      .select(col(idCol),
-        wordNgrams(TextStats.tokens(col(textCol)), shingleSize).as("shingles"))
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), wordNgrams(col("toks"), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("hs", transform(col("shingles"), s => pmod(xxhash64(s), lit(p))))
       .cache()
@@ -206,9 +211,11 @@ object Dedup {
     // long-array intersection beats string-array intersection by the
     // string-compare cost, and a 64-bit collision inside one pair's
     // sets (~1e-10 odds corpus-wide) is the only way counts differ.
-    val grams = docs.select(col(idCol), col(blockCol),
-      transform(wordNgrams(TextStats.tokens(col(textCol)), n),
-        g => xxhash64(g)).as("grams"))
+    val grams = docs
+      .select(col(idCol), col(blockCol),
+        TextStats.tokens(col(textCol)).as("toks")) // attribute, not expr: see minhashPairs
+      .select(col(idCol), col(blockCol),
+        transform(wordNgrams(col("toks"), n), g => xxhash64(g)).as("grams"))
       .cache() // both join sides scan this; grams are 8-byte hashes
     val bucket = (col(idCol) / window).cast("long")
     // probe side: each doc looks into its own and the next id-bucket
