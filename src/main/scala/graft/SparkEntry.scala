@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Documents, Pipelines, QueryDef, Relational, Relational2}
+import graft.queries.{Documents, Pipelines, QueryDef, Relational, Relational2, Relational3}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{Documents, Pipelines, QueryDef, Relational, Relational2}
 object SparkEntry {
 
   private def all: Seq[QueryDef] =
-    Relational.defs ++ Relational2.defs ++ Documents.defs ++ Pipelines.defs
+    Relational.defs ++ Relational2.defs ++ Relational3.defs ++
+      Documents.defs ++ Pipelines.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's signature capability: TF-IDF + seeded LSH

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+
+/** Third relational batch: pivot, generators (explode/UNNEST),
+  * analytic window functions, string functions, null-handling
+  * conditionals. Same parity rules as [[Relational]].
+  */
+object Relational3 {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dsum(c: org.apache.spark.sql.Column) = sum(dec(c)).cast(DoubleType)
+
+  // ---------------------------------------------------------------- q36
+  /** Pivot (wide conditional aggregation — one pass, no extra
+    * shuffle vs the groupBy). */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy("l_returnflag")
+
+  private val q36Sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Generator surface: explode the token array (1 row → n rows), then
+    * re-aggregate — the UNNEST/flatten shape. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+      .filter(length(col("token")) > 3)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") > 50)
+      .orderBy("token")
+
+  private val q37Sql =
+    """SELECT t.token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      |WHERE length(t.token) > 3
+      |GROUP BY t.token
+      |HAVING COUNT(*) > 50
+      |ORDER BY t.token""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Array functions: sort, slice, joined rendering (deterministic
+    * per-row array manipulation). */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat_ws("|", slice(array_sort(split(col("text"), "\\s+")), 1, 5))
+          .as("first5_sorted"),
+        size(array_distinct(split(col("text"), "\\s+"))).cast(LongType)
+          .as("n_distinct_tokens"))
+      .orderBy("doc_id")
+
+  private val q38Sql =
+    """SELECT doc_id,
+      |  array_to_string(list_sort(string_split(text, ' '))[1:5], '|') AS first5_sorted,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** String function battery over part names. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 12).as("name_prefix"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("size_padded"),
+        length(replace(col("p_name"), lit(" "), lit(""))).as("name_len_nospace"),
+        levenshtein(col("p_brand"), substring(col("p_type"), 1, 8)).as("brand_type_dist"))
+      .orderBy("p_partkey")
+
+  private val q39Sql =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_upper,
+      |  substring(p_name, 1, 12) AS name_prefix,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      |  length(replace(p_name, ' ', '')) AS name_len_nospace,
+      |  levenshtein(p_brand, substring(p_type, 1, 8)) AS brand_type_dist
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Analytic window battery: lag/lead deltas, quartiles and
+    * percent_rank per customer order history. */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q40Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  o_totalprice - LAG(o_totalprice, 1) OVER w AS delta_prev,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Null-handling conditionals: nullif/coalesce/nvl2-style CASE over
+    * exact decimal values. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(dec(col("l_discount")), dec(lit(0.0))), dec(lit(-1.0)))
+          .cast(DoubleType).as("discount_or_sentinel"),
+        when(col("l_tax") > 0.05, lit("high"))
+          .when(col("l_tax") > 0.02, lit("mid"))
+          .otherwise(lit("low")).as("tax_band"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q41Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(COALESCE(NULLIF(CAST(l_discount AS DECIMAL(18,2)), CAST(0.0 AS DECIMAL(18,2))), CAST(-1.0 AS DECIMAL(18,2))) AS DOUBLE) AS discount_or_sentinel,
+      |  CASE WHEN l_tax > 0.05 THEN 'high' WHEN l_tax > 0.02 THEN 'mid' ELSE 'low' END AS tax_band
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q36_pivot", q36, Some(q36Sql)),
+    QueryDef("q37_explode_tokens", q37, Some(q37Sql)),
+    QueryDef("q38_array_funcs", q38, Some(q38Sql)),
+    QueryDef("q39_string_funcs", q39, Some(q39Sql)),
+    QueryDef("q40_window_analytics", q40, Some(q40Sql)),
+    QueryDef("q41_null_handling", q41, Some(q41Sql)))
+}

@@ -49,6 +49,25 @@ class EngineSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("partitioned writes enable partition pruning at read time") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_date") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("event_date"), s"expected partition pruning in:\n$scan")
+    assert(pruned.count() > 0)
+    // pruned scan must touch strictly fewer files than the full scan
+    // (inputFiles is relation-level; input_file_name() sees the scan)
+    val prunedFiles = pruned.select(input_file_name()).distinct().count()
+    val allFiles = spark.read.parquet(out)
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles < allFiles, s"$prunedFiles files read vs $allFiles total")
+  }
+
   test("bucketed tables co-locate the join (no shuffle exchange on either side)") {
     val wh = java.nio.file.Files.createTempDirectory("graft-buckets")
     val o = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")

@@ -44,6 +44,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits threshold alerts with running state") {
+    import spark.implicits._
+    import graft.streaming.Stateful
+    val stream = EventsStream.readEvents(spark, streamDir)
+      .select(col("user_id"), col("value")).as[Stateful.Event]
+    val q = EventsStream.runToMemory(
+      Stateful.thresholdAlerts(spark, stream, step = 500.0).toDF(),
+      "alerts_stream", outputMode = "append")
+    try {
+      val alerts = spark.table("alerts_stream")
+      assert(alerts.count() > 0, "users crossing 500-value multiples must alert")
+      // alerts are per-user monotone in total_value and thresholds are multiples of step
+      val bad = alerts.filter(col("threshold_crossed") % 500.0 =!= 0.0).count()
+      assert(bad === 0L)
+      // batch cross-check: a user's final total implies its alert count
+      val finalTotals = graft.engine.Tables.events(spark, dir)
+        .groupBy("user_id").sum("value")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val alertCounts = alerts.groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finalTotals.foreach { case (u, total) =>
+        val expected = (total / 500.0).toLong
+        assert(alertCounts.getOrElse(u, 0L) === expected,
+          s"user $u total $total expected $expected alerts")
+      }
+    } finally q.stop()
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.runToMemory(
