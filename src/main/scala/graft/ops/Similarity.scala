@@ -60,6 +60,59 @@ object Similarity {
     (withVec, model)
   }
 
+  /** IVF-style index: seeded KMeans partitions the corpus into
+    * `nLists` inverted lists; a query probes only the `nProbe` lists
+    * whose centroids are nearest. At 100 TB the cluster id becomes the
+    * storage partition key, so a probe reads nProbe/nLists of the data
+    * — the classic IVF-flat trade of recall for scan fraction, with
+    * the centroid table (nLists × dim) broadcast-small by design. */
+  def fitIvf(embeddings: DataFrame, nLists: Int = 16, seed: Long = 42L,
+      vecCol: String = "embedding"): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    val withVec = embeddings.withColumn("vec", array_to_vector(col(vecCol)))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed)
+      .setFeaturesCol("vec").setPredictionCol("ivf_list")
+      .fit(withVec)
+    (km.transform(withVec), km)
+  }
+
+  /** Cosine top-k probing only the nearest `nProbe` inverted lists. */
+  def ivfKnn(indexed: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
+      queryVec: Seq[Double], k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = org.apache.spark.ml.linalg.Vectors.dense(queryVec.toArray)
+    // centroid ranking is driver-side: nLists rows, broadcast-scale
+    val probeLists = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, q) }
+      .take(nProbe).map(_._2)
+    bruteForceKnn(
+      indexed.filter(col("ivf_list").isin(probeLists: _*)),
+      queryVec, k, idCol, vecCol)
+  }
+
+  /** LSH near-dup pairs over embeddings: Euclidean similarity join on
+    * L2-normalized vectors (distance ≤ d ⇔ cosine ≥ 1 - d²/2), bucket
+    * pruning instead of the all-pairs block join. */
+  def lshNearDupPairs(embeddings: DataFrame,
+      maxL2Dist: Double = 0.5, idCol: String = "vec_id",
+      vecCol: String = "embedding", bucketLength: Double = 1.0,
+      numHashTables: Int = 6, seed: Long = 42L): DataFrame = {
+    // norm as an attribute first — a raw l2Norm(vec) inside the lambda
+    // would re-fold the whole array once per element
+    val normed = embeddings
+      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")).as("unit"))
+    val (withVec, model) = fitLsh(normed, vecCol = "unit",
+      bucketLength = bucketLength, numHashTables = numHashTables, seed = seed)
+    model.approxSimilarityJoin(withVec, withVec, maxL2Dist, "l2_dist").toDF()
+      .select(
+        col(s"datasetA.$idCol").as("vec_a"),
+        col(s"datasetB.$idCol").as("vec_b"),
+        col("l2_dist"))
+      .filter(col("vec_a") < col("vec_b"))
+  }
+
   /** ANN via LSH bucket pruning: neighbors of the vector with the given
     * id. Falls back to wider scans only when buckets are under-full
     * (MLlib semantics). */

@@ -80,10 +80,34 @@ object Pipelines {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
       .orderBy("l_returnflag")
 
+  // ---------------------------------------------------------------- q42
+  /** IVF-flat ANN: probe the 4 nearest of 16 inverted lists for the
+    * vec_id=0 query (the partition-pruned scale path of q21). */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select("embedding").limit(1).collect()
+      .head.getSeq[Float](0).map(_.toDouble)
+    val (indexed, model) = Similarity.fitIvf(emb, nLists = 16)
+    Similarity.ivfKnn(indexed, model, qvec, k = 20, nProbe = 4)
+      .select("rank", "vec_id")
+  }
+
+  // ---------------------------------------------------------------- q43
+  /** LSH near-dup pairs over unit-normalized embeddings (bucket-join
+    * scale path of the q22 block join). The corpus has no true dups —
+    * max pairwise cosine ≈ 0.51 at sf0.01 — so the threshold sits at
+    * cosine ≥ ~0.4 (L2 ≤ 1.1 on unit vectors) to exercise the path. */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), maxL2Dist = 1.1)
+      .orderBy("vec_a", "vec_b")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_doc_recommend", q30, None),
     QueryDef("q31_minhash_pairs", q31, None),
     QueryDef("q32_simhash_pairs", q32, None),
     QueryDef("q33_ann_lsh", q33, None),
-    QueryDef("q35_sketches", q35, None))
+    QueryDef("q35_sketches", q35, None),
+    QueryDef("q42_ivf_knn", q42, None),
+    QueryDef("q43_lsh_neardup", q43, None))
 }

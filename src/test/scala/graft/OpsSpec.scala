@@ -160,6 +160,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf knn matches brute force when clusters are well separated") {
+    val emb = (0 until 60).map { i =>
+      val base = i % 3 match {
+        case 0 => Array(10f, 0f, 0f, 0f)
+        case 1 => Array(0f, 10f, 0f, 0f)
+        case _ => Array(0f, 0f, 10f, 0f)
+      }
+      val jit = base.zipWithIndex.map { case (v, d) => v + 0.05f * ((i * 13 + d * 7) % 9) }
+      (i.toLong, jit.toSeq)
+    }.toDF("vec_id", "embedding")
+    val query = Seq(10.0, 0.1, 0.0, 0.0)
+    val (indexed, model) = graft.ops.Similarity.fitIvf(emb, nLists = 6)
+    val ivf = graft.ops.Similarity.ivfKnn(indexed, model, query, k = 5, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val brute = graft.ops.Similarity.bruteForceKnn(emb, query, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ivf === brute, "probing the nearest lists must recover the exact top-k")
+  }
+
+  test("lsh near-dup pairs find duplicated embeddings at distance 0") {
+    val emb = ((0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 31 + d * 17) % 23 - 11).toFloat))
+    } :+ (100L, Seq.tabulate(8)(d => ((3 * 31 + d * 17) % 23 - 11).toFloat)))
+      .toDF("vec_id", "embedding") // vec 100 duplicates vec 3
+    val pairs = graft.ops.Similarity.lshNearDupPairs(emb, maxL2Dist = 0.1)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.contains((3L, 100L)), s"expected dup pair, got ${pairs.mkString(",")}")
+  }
+
   test("lsh ann agrees with brute force on an easy top-1") {
     val emb = (0 until 50).map { i =>
       val base = if (i < 25) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)
