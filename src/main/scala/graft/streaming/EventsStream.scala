@@ -58,6 +58,15 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup with bounded state: duplicate event_ids
+    * arriving within the watermark window are dropped; state for ids
+    * older than the watermark is evicted (unbounded-stream-safe
+    * version of dropDuplicates). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drive a streaming frame into an in-memory table and run all
     * available micro-batches (local smoke harness; a cluster deploy
     * swaps the sink for kafka/delta and drops processAllAvailable). */

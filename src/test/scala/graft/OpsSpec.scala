@@ -189,6 +189,26 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((3L, 100L)), s"expected dup pair, got ${pairs.mkString(",")}")
   }
 
+  test("LSH metamorphic properties: self at distance 0, duplicate row pairs at 0") {
+    import org.apache.spark.ml.linalg.Vectors
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Vectors.dense(Array.tabulate(6)(d => ((i * 7 + d * 3) % 11).toDouble)))
+    } :+ (99L, Vectors.dense(Array.tabulate(6)(d => ((5 * 7 + d * 3) % 11).toDouble)))
+    val df = vecs.toDF("id", "norm_features")
+    val model = graft.ml.Recommender.fit(df,
+      graft.ml.Recommender.Config(bucketLength = 2.0, numHashTables = 4))
+    // duplicate content (id 5 vs 99) must surface at distance 0
+    val nbrs = graft.ml.Recommender.neighbors(model, df, "id", 5L, 3).collect()
+    val dup = nbrs.find(_.getAs[Long]("id") == 99L)
+    assert(dup.isDefined && dup.get.getAs[Double]("distance") === 0.0)
+    // determinism: same seed → same neighbor list
+    val model2 = graft.ml.Recommender.fit(df,
+      graft.ml.Recommender.Config(bucketLength = 2.0, numHashTables = 4))
+    val again = graft.ml.Recommender.neighbors(model2, df, "id", 5L, 3)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(again === nbrs.map(_.getAs[Long]("id")).toSeq)
+  }
+
   test("lsh ann agrees with brute force on an easy top-1") {
     val emb = (0 until 50).map { i =>
       val base = if (i < 25) Array(1.0f, 0f, 0f, 0f) else Array(0f, 1.0f, 0f, 0f)

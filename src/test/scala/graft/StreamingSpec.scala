@@ -72,6 +72,18 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops duplicate event ids") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.dedupedEvents(stream), "dedup_stream", outputMode = "append")
+    try {
+      val deduped = spark.table("dedup_stream")
+      val total = graft.engine.Tables.events(spark, dir).count()
+      assert(deduped.count() === total, "source has unique ids: nothing should drop")
+      assert(deduped.select("event_id").distinct().count() === total)
+    } finally q.stop()
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.runToMemory(
