@@ -24,6 +24,24 @@ class MoviePipelineSpec extends AnyFunSuite {
     assert(multi.head.getAs[String]("overview").contains("second line"))
   }
 
+  test("explicit-schema CSV path skips inference and agrees with inferSchema") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("title", StringType),
+      StructField("revenue", LongType), StructField("budget", IntegerType),
+      StructField("overview", StringType), StructField("poster_path", StringType),
+      StructField("production_companies", StringType),
+      StructField("release_year", DoubleType), StructField("Director", StringType),
+      StructField("Star1", StringType), StructField("Star2", StringType),
+      StructField("Star3", StringType), StructField("genres_list", StringType),
+      StructField("all_combined_keywords", StringType),
+      StructField("extra_col_a", StringType), StructField("extra_col_b", StringType)))
+    val explicit = MoviePipeline.readCsv(spark, csvPath, Some(schema))
+    assert(explicit.schema === schema)
+    assert(explicit.count() === raw.count())
+    assert(MovieClean.clean(explicit).count() === MovieFixture.expectedAfterClean)
+  }
+
   test("clean: projection, cast, dedup, null-drop, []-filter, sentinel fill") {
     val cleaned = MovieClean.clean(raw)
     assert(cleaned.columns.toSeq === MovieClean.keepColumns)
