@@ -102,7 +102,41 @@ object Pipelines {
     Similarity.lshNearDupPairs(Tables.embeddings(s, dir), maxL2Dist = 1.1)
       .orderBy("vec_a", "vec_b")
 
+  // ---------------------------------------------------------------- q44
+  /** Multimodal plumbing end-to-end: pack documents as binary assets,
+    * batch-extract (stub) features per partition, emit flattened
+    * stats. Rows-only: the byte-histogram features come from the
+    * deterministic stub decoder. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val assets = Multimodal.packAsAssets(Tables.documents(s, dir))
+    Multimodal.extractFeatures(s, assets, dim = 16).toDF()
+      .select(col("asset_id"), col("width"), col("height"),
+        aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feat_l1"),
+        array_max(col("features")).as("feat_max"))
+      .orderBy("asset_id")
+  }
+
+  // ---------------------------------------------------------------- q45
+  /** Full-SQL parser surface over the registered harness views. */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Sql.query(s, dir,
+      """SELECT d.lang, COUNT(*) AS n_docs, SUM(d.n_chars) AS total_chars
+        |FROM documents d
+        |WHERE d.n_chars > 100
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin)
+
+  private val q45Sql =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      |FROM documents
+      |WHERE n_chars > 100
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q44_multimodal", q44, None),
+    QueryDef("q45_sql_interface", q45, Some(q45Sql)),
     QueryDef("q30_doc_recommend", q30, None),
     QueryDef("q31_minhash_pairs", q31, None),
     QueryDef("q32_simhash_pairs", q32, None),
