@@ -99,7 +99,12 @@ object Pipelines {
     * max pairwise cosine ≈ 0.51 at sf0.01 — so the threshold sits at
     * cosine ≥ ~0.4 (L2 ≤ 1.1 on unit vectors) to exercise the path. */
   private def q43(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), maxL2Dist = 1.1)
+    // bucketLength 0.5: unit-vector projections are N(0,1), so width-1
+    // buckets put ~38% of the corpus in one bucket and the candidate
+    // join degenerates toward all-pairs; 0.5 trades a little recall at
+    // the (artificially loose) demo threshold for 4x fewer candidates
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), maxL2Dist = 1.1,
+      bucketLength = 0.5, numHashTables = 4)
       .orderBy("vec_a", "vec_b")
 
   // ---------------------------------------------------------------- q44

@@ -58,6 +58,27 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: purchases within one hour after a
+    * signup by the same user. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so per-key join state is
+    * evicted once the watermark passes the interval — bounded state on
+    * two unbounded streams. */
+  def signupToPurchase(events: DataFrame): DataFrame = {
+    val signups = events
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    signups.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "signup_ts", "purchase_ts", "value")
+  }
+
   /** Streaming exact dedup with bounded state: duplicate event_ids
     * arriving within the watermark window are dropped; state for ids
     * older than the watermark is evicted (unbounded-stream-safe

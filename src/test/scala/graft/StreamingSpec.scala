@@ -72,6 +72,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.signupToPurchase(stream), "s2p_stream", outputMode = "append")
+    try {
+      val streamed = spark.table("s2p_stream")
+      val ev = graft.engine.Tables.events(spark, dir)
+      val s = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+      val batch = s.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+        .select("user_id", "signup_ts", "purchase_ts", "value")
+      assert(streamed.count() > 0)
+      // every emitted streaming row must exist in the batch result
+      assert(streamed.exceptAll(batch).count() === 0L)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate event ids") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.runToMemory(
