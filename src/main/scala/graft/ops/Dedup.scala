@@ -70,11 +70,22 @@ object Dedup {
     // raw split() expression there would re-run the regex split per
     // gram (no subexpression elimination inside lambda bodies —
     // measured 10s of the 16s pipeline on 5k docs).
+    //
+    // Only the HASHED shingle sets are kept/cached: columnar-cache
+    // serialization of the raw shingle strings costs more than the
+    // whole join (measured 8s vs 2s recompute on 5k docs), and both
+    // the signature and the Jaccard verify are functions of the
+    // 64-bit hashes (set sizes identical barring ~1e-10 collisions).
+    // The too-short filter tests token count, NOT size(shingles):
+    // predicate pushdown would substitute the whole gram pipeline
+    // (with split() re-inlined per element) into the filter condition
+    // — measured as 8s of a 10s job on 5k docs.
     val shingled = docs
       .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
       .select(col(idCol), wordNgrams(col("toks"), shingleSize).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("hs", transform(col("shingles"), s => pmod(xxhash64(s), lit(p))))
+      .select(col(idCol),
+        transform(col("shingles"), s => pmod(xxhash64(s), lit(p))).as("hs"))
       .cache()
 
     // k minhash values in ONE array pass (custom expression — k
@@ -100,9 +111,9 @@ object Dedup {
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
 
-    // exact verify on the (small) candidate set
-    val ga = shingled.select(col(idCol).as("doc_a"), col("shingles").as("ga"))
-    val gb = shingled.select(col(idCol).as("doc_b"), col("shingles").as("gb"))
+    // exact verify on the (small) candidate set, over hashed sets
+    val ga = shingled.select(col(idCol).as("doc_a"), col("hs").as("ga"))
+    val gb = shingled.select(col(idCol).as("doc_b"), col("hs").as("gb"))
     val nInter = size(array_intersect(col("ga"), col("gb"))).cast(DoubleType)
     val nUnion = (size(col("ga")) + size(col("gb"))).cast(DoubleType) - nInter
     candidates.join(ga, "doc_a").join(gb, "doc_b")
@@ -217,6 +228,7 @@ object Dedup {
       .select(col(idCol), col(blockCol),
         transform(wordNgrams(col("toks"), n), g => xxhash64(g)).as("grams"))
       .cache() // both join sides scan this; grams are 8-byte hashes
+    grams.count() // eager: avoid the two join branches racing the cache
     val bucket = (col(idCol) / window).cast("long")
     // probe side: each doc looks into its own and the next id-bucket
     val a = grams
