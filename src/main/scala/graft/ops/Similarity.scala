@@ -68,9 +68,12 @@ object Similarity {
     * the centroid table (nLists × dim) broadcast-small by design. */
   def fitIvf(embeddings: DataFrame, nLists: Int = 16, seed: Long = 42L,
       vecCol: String = "embedding"): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    val withVec = embeddings.withColumn("vec", array_to_vector(col(vecCol)))
+    val withVec = embeddings.withColumn("vec", array_to_vector(col(vecCol))).cache()
+    // random init + few iterations: IVF lists only need rough balance,
+    // and each k-means|| init step is a full extra pass over the data
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nLists).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("vec").setPredictionCol("ivf_list")
       .fit(withVec)
     (km.transform(withVec), km)
