@@ -146,7 +146,53 @@ object Relational3 {
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** CUBE over two dimensions (all grouping sets in one Expand pass). */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val q46Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Higher-order-function battery: filter/exists/forall/aggregate
+    * lambdas over token arrays plus regexp_extract_all — all
+    * whole-stage-codegen'd, no UDFs. */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(filter(col("toks"), t => length(t) > 5)).cast(LongType).as("n_long_tokens"),
+        exists(col("toks"), t => t === "the").as("has_the"),
+        forall(col("toks"), t => length(t) < 20).as("all_short"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast(LongType))
+          .as("sum_token_len"),
+        size(regexp_extract_all(concat_ws(" ", col("toks")), lit("[a-z]+a[a-z]*"), lit(0)))
+          .cast(LongType).as("n_with_a"))
+      .orderBy("doc_id")
+
+  private val q47Sql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS BIGINT) AS n_long_tokens,
+      |  len(list_filter(string_split(text, ' '), t -> t = 'the')) > 0 AS has_the,
+      |  len(list_filter(string_split(text, ' '), t -> length(t) >= 20)) = 0 AS all_short,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS sum_token_len,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+a[a-z]*', 0)) AS BIGINT) AS n_with_a
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q46_cube", q46, Some(q46Sql)),
+    QueryDef("q47_hof_battery", q47, Some(q47Sql)),
     QueryDef("q36_pivot", q36, Some(q36Sql)),
     QueryDef("q37_explode_tokens", q37, Some(q37Sql)),
     QueryDef("q38_array_funcs", q38, Some(q38Sql)),
