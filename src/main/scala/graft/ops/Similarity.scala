@@ -93,9 +93,42 @@ object Similarity {
       queryVec, k, idCol, vecCol)
   }
 
-  /** LSH near-dup pairs over embeddings: Euclidean similarity join on
-    * L2-normalized vectors (distance ≤ d ⇔ cosine ≥ 1 - d²/2), bucket
-    * pruning instead of the all-pairs block join. */
+  /** Native random-projection near-dup pairs: unit-normalize, compute
+    * all bucket ids in one custom-expression pass, equi-join on
+    * (table, bucket) — 3 longs per join row — then verify cosine (the
+    * plain dot of unit vectors) on the distinct candidate set. Same
+    * hash family as MLlib's BucketedRandomProjectionLSH but without
+    * boxed-Vector bucket keys or a model fit. */
+  def rpNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.4,
+      numTables: Int = 6, bucketLength: Double = 0.5, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.engine.Columns
+    val unit = embeddings
+      .select(col(idCol), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")).as("unit"))
+      .cache()
+    val dim = unit.select(size(col("unit"))).limit(1).collect().head.getInt(0)
+    val planes = RpBuckets.gaussianPlanes(numTables, dim, seed)
+    val buckets = Columns.ofExpr(RpBucketsExpr(
+      Columns.exprOf(col("unit")), planes, bucketLength))
+    val banded = unit.withColumn("bks", buckets)
+      .select(col(idCol), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val candidates = banded.alias("a").join(banded.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
+      .distinct()
+    val ua = unit.select(col(idCol).as("vec_a"), col("unit").as("ua"))
+    val ub = unit.select(col(idCol).as("vec_b"), col("unit").as("ub"))
+    candidates.join(ua, "vec_a").join(ub, "vec_b")
+      .select(col("vec_a"), col("vec_b"), dot(col("ua"), col("ub")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** MLlib-based near-dup variant (kept as the API-compatible MLlib
+    * surface): Euclidean similarity join on L2-normalized vectors
+    * (distance ≤ d ⇔ cosine ≥ 1 - d²/2). */
   def lshNearDupPairs(embeddings: DataFrame,
       maxL2Dist: Double = 0.5, idCol: String = "vec_id",
       vecCol: String = "embedding", bucketLength: Double = 1.0,

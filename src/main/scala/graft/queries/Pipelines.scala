@@ -102,9 +102,10 @@ object Pipelines {
     // bucketLength 0.5: unit-vector projections are N(0,1), so width-1
     // buckets put ~38% of the corpus in one bucket and the candidate
     // join degenerates toward all-pairs; 0.5 trades a little recall at
-    // the (artificially loose) demo threshold for 4x fewer candidates
-    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), maxL2Dist = 1.1,
-      bucketLength = 0.5, numHashTables = 4)
+    // the (artificially loose) demo threshold for 4x fewer candidates.
+    // minCosine 0.395 ≡ the old maxL2Dist=1.1 on unit vectors.
+    Similarity.rpNearDupPairs(Tables.embeddings(s, dir), minCosine = 0.395,
+      numTables = 4, bucketLength = 0.5)
       .orderBy("vec_a", "vec_b")
 
   // ---------------------------------------------------------------- q44

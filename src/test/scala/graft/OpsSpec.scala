@@ -179,14 +179,26 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf === brute, "probing the nearest lists must recover the exact top-k")
   }
 
-  test("lsh near-dup pairs find duplicated embeddings at distance 0") {
+  test("native rp near-dup pairs find duplicated embeddings at cosine 1") {
     val emb = ((0 until 20).map { i =>
       (i.toLong, Seq.tabulate(8)(d => ((i * 31 + d * 17) % 23 - 11).toFloat))
     } :+ (100L, Seq.tabulate(8)(d => ((3 * 31 + d * 17) % 23 - 11).toFloat)))
       .toDF("vec_id", "embedding") // vec 100 duplicates vec 3
+    val pairs = graft.ops.Similarity.rpNearDupPairs(emb, minCosine = 0.99)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(pairs.contains((3L, 100L)), s"expected dup pair, got ${pairs.keys.mkString(",")}")
+    assert(math.abs(pairs((3L, 100L)) - 1.0) < 1e-12)
+  }
+
+  test("MLlib lsh near-dup variant agrees on the duplicate") {
+    val emb = ((0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 31 + d * 17) % 23 - 11).toFloat))
+    } :+ (100L, Seq.tabulate(8)(d => ((3 * 31 + d * 17) % 23 - 11).toFloat)))
+      .toDF("vec_id", "embedding")
     val pairs = graft.ops.Similarity.lshNearDupPairs(emb, maxL2Dist = 0.1)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
-    assert(pairs.contains((3L, 100L)), s"expected dup pair, got ${pairs.mkString(",")}")
+    assert(pairs.contains((3L, 100L)))
   }
 
   test("LSH metamorphic properties: self at distance 0, duplicate row pairs at 0") {
