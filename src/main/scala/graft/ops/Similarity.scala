@@ -87,7 +87,7 @@ object Similarity {
     // centroid ranking is driver-side: nLists rows, broadcast-scale
     val probeLists = model.clusterCenters.zipWithIndex
       .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, q) }
-      .take(nProbe).map(_._2)
+      .take(nProbe).map(_._2).toIndexedSeq
     bruteForceKnn(
       indexed.filter(col("ivf_list").isin(probeLists: _*)),
       queryVec, k, idCol, vecCol)
