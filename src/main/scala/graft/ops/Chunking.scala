@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Document chunking for training-data pipelines: fixed-size token
+  * windows with overlap (the standard pre-tokenization split for
+  * context-window-bounded training). Map-only: one generator row per
+  * chunk via posexplode over computed window starts — no shuffle, no
+  * UDF, linear in corpus size.
+  */
+object Chunking {
+
+  /** Split each document into chunks of `chunkSize` tokens advancing
+    * by `chunkSize - overlap`; emits (id, chunk_idx, chunk_text,
+    * n_chunk_tokens). Documents shorter than one step still produce
+    * chunk 0. */
+  def chunkByTokens(docs: DataFrame, chunkSize: Int = 50, overlap: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0)
+    val step = chunkSize - overlap
+    val toks = docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .withColumn("starts",
+        sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(step)))
+    toks
+      .select(col(idCol), col("toks"), posexplode(col("starts")).as(Seq("chunk_idx", "start")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkSize))).as("chunk_text"),
+        size(slice(col("toks"), col("start") + 1, lit(chunkSize))).cast(LongType)
+          .as("n_chunk_tokens"))
+  }
+
+  /** Masking helpers: deterministic regex scrubbing (emails, URLs,
+    * digit runs) with per-doc match counts — the shape of PII
+    * redaction in a cleaning pipeline. */
+  def maskPattern(text: Column, pattern: String, replacement: String): Column =
+    regexp_replace(text, pattern, replacement)
+
+  def countPattern(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val digitRunPattern = "[0-9]+"
+}

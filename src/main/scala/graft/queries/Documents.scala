@@ -204,7 +204,44 @@ object Documents {
       |WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Sliding-window token chunking (50-token chunks, 10 overlap). */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.chunkByTokens(Tables.documents(s, dir),
+      chunkSize = 50, overlap = 10)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val q48Sql =
+    """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+      |  array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk_text,
+      |  CAST(len(toks[i*40+1 : i*40+50]) AS BIGINT) AS n_chunk_tokens
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+      |  UNNEST(range(CAST(ceil(len(toks) / 40.0) AS BIGINT))) AS u(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** Deterministic masking: scrub digit runs from the JSON props of
+    * events and count redactions (the PII-redaction shape). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Chunking
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        Chunking.maskPattern(col("props"), Chunking.digitRunPattern, "#").as("props_masked"),
+        Chunking.countPattern(col("props"), Chunking.digitRunPattern).as("n_redactions"))
+      .orderBy("event_id")
+  }
+
+  private val q49Sql =
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked,
+      |  CAST(len(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT) AS n_redactions
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q48_chunking", q48, Some(q48Sql)),
+    QueryDef("q49_masking", q49, Some(q49Sql)),
     QueryDef("q15_token_stats", q15, Some(q15Sql)),
     QueryDef("q16_exact_dedup", q16, Some(q16Sql)),
     QueryDef("q17_quality_score", q17, Some(q17Sql)),

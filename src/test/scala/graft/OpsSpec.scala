@@ -127,6 +127,31 @@ class OpsSpec extends AnyFunSuite {
     assert(preds(3L) === "und")
   }
 
+  test("chunking: windows overlap correctly and reconstruct the document") {
+    val doc = Seq((1L, (1 to 95).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.ops.Chunking.chunkByTokens(doc, chunkSize = 50, overlap = 10)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length === 3) // starts 0, 40, 80
+    val c0 = chunks(0).getAs[String]("chunk_text").split(" ")
+    val c1 = chunks(1).getAs[String]("chunk_text").split(" ")
+    val c2 = chunks(2).getAs[String]("chunk_text").split(" ")
+    assert(c0.length === 50 && c1.length === 50 && c2.length === 15)
+    assert(c0.takeRight(10).toSeq === c1.take(10).toSeq, "10-token overlap")
+    // stitching chunks (dropping overlaps) reconstructs the doc
+    val stitched = c0.toSeq ++ c1.drop(10) ++ c2.drop(10)
+    assert(stitched === (1 to 95).map(i => s"t$i"))
+  }
+
+  test("masking scrubs digit runs and counts redactions") {
+    val df = Seq((1L, "call 555 then 1234 ok")).toDF("id", "s")
+    val r = df.select(
+      graft.ops.Chunking.maskPattern(col("s"), graft.ops.Chunking.digitRunPattern, "#").as("m"),
+      graft.ops.Chunking.countPattern(col("s"), graft.ops.Chunking.digitRunPattern).as("n"))
+      .collect().head
+    assert(r.getString(0) === "call # then # ok")
+    assert(r.getLong(1) === 2L)
+  }
+
   test("multimodal: pack → extract preserves ids, features normalized") {
     val assets = Multimodal.packAsAssets(docs)
     assert(assets.columns.toSeq === Seq("asset_id", "payload", "mime_type",
