@@ -239,9 +239,51 @@ object Documents {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Deterministic train/val/test split: stable arithmetic hash bucket
+    * per doc — identical assignment on any partitioning (audited by
+    * the cross-partitioning determinism check). */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.ops.Splits.assignSplit(col("doc_id")).as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+
+  private val q50Sql =
+    """SELECT lang,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs
+      |FROM (SELECT lang, ((doc_id * 2654435761) % 4294967296) % 100 AS b FROM documents) t
+      |GROUP BY 1, 2
+      |ORDER BY lang, split""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Cross-modal join: text rows to their embedding rows (shared id
+    * space), aggregated by language × cluster label — the join shape
+    * of multimodal training-data assembly. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val e = Tables.embeddings(s, dir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "label")
+  }
+
+  private val q51Sql =
+    """SELECT lang, label, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |GROUP BY lang, label
+      |ORDER BY lang, label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q48_chunking", q48, Some(q48Sql)),
     QueryDef("q49_masking", q49, Some(q49Sql)),
+    QueryDef("q50_dataset_split", q50, Some(q50Sql)),
+    QueryDef("q51_crossmodal_join", q51, Some(q51Sql)),
     QueryDef("q15_token_stats", q15, Some(q15Sql)),
     QueryDef("q16_exact_dedup", q16, Some(q16Sql)),
     QueryDef("q17_quality_score", q17, Some(q17Sql)),

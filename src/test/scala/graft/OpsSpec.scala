@@ -152,6 +152,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(1) === 2L)
   }
 
+  test("dataset split: stable assignment with roughly correct proportions") {
+    val ids = spark.range(10000).toDF("id")
+    val splits = ids.select(col("id"), graft.ops.Splits.assignSplit(col("id")).as("s"))
+    val counts = splits.groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 8000L) < 400, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 200)
+    assert(math.abs(counts("test") - 1000L) < 200)
+    // stability: same ids → same assignment under different partitioning
+    val again = ids.repartition(7)
+      .select(col("id"), graft.ops.Splits.assignSplit(col("id")).as("s"))
+    assert(splits.exceptAll(again).count() === 0L)
+    // stratified sample keeps only requested strata, seeded
+    val docs2 = docs.select(col("doc_id"), col("lang"))
+    val sampled = graft.ops.Splits.stratifiedSample(docs2, "lang",
+      Map("en" -> 1.0, "de" -> 0.0))
+    assert(sampled.filter(col("lang") === "de").count() === 0L)
+  }
+
   test("multimodal: pack → extract preserves ids, features normalized") {
     val assets = Multimodal.packAsAssets(docs)
     assert(assets.columns.toSeq === Seq("asset_id", "payload", "mime_type",
