@@ -190,7 +190,57 @@ object Relational3 {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** RANGE-frame window: rolling 30-day order totals per customer —
+    * the frame is value-bounded (event time), not row-bounded, so ties
+    * and gaps behave identically in both engines. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("rolling_30d_total"),
+        count(lit(1)).over(w).as("rolling_30d_orders"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  private val q52Sql =
+    """SELECT o_orderkey, o_custkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_30d_total,
+      |  COUNT(*) OVER w AS rolling_30d_orders
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** Exact percentiles (linear interpolation): quantities are whole
+    * numbers so interpolated medians are exact halves — safely
+    * comparable across engines. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  private val q53Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q52_range_frame", q52, Some(q52Sql)),
+    QueryDef("q53_percentiles", q53, Some(q53Sql)),
     QueryDef("q46_cube", q46, Some(q46Sql)),
     QueryDef("q47_hof_battery", q47, Some(q47Sql)),
     QueryDef("q36_pivot", q36, Some(q36Sql)),

@@ -75,6 +75,26 @@ class OpsSpec extends AnyFunSuite {
     assert(cands.exists(r => r.getAs[Long]("doc_a") == 0L && r.getAs[Long]("doc_b") == 2L))
   }
 
+  test("banded minhash recall: catches planted near-duplicates") {
+    // 40 base docs of 60 distinct tokens each; each base gets a copy
+    // with 6 tokens changed (~90% token overlap → high bigram jaccard)
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val dups = base.map { case (i, text) =>
+      val toks = text.split(" ")
+      (i + 1000L, (toks.take(54) ++ (0 until 6).map(j => s"x${i}_$j")).mkString(" "))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, shingleSize = 2, maxJaccardDist = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val found = (0 until 40).count(i => pairs.contains((i.toLong, i + 1000L)))
+    assert(found >= 36, s"recall too low: $found/40 planted near-dup pairs found")
+    // precision: no pair between unrelated docs (disjoint vocabularies)
+    val falsePairs = pairs.filter { case (a, b) => (b - a) != 1000L }
+    assert(falsePairs.isEmpty, s"false positives: $falsePairs")
+  }
+
   test("simhash is deterministic and order-insensitive (bag semantics)") {
     assert(SimHash.ofTokens(Iterator("a", "b", "c")) ===
       SimHash.ofTokens(Iterator("c", "a", "b")))
