@@ -122,6 +122,27 @@ object Dedup {
       .filter(col("jaccard_dist") <= maxJaccardDist)
   }
 
+  /** Per-document minhash signatures (k longs) — the input to
+    * group-level sketching via [[MinHashMerge]]. Same hash family and
+    * defaults as [[minhashPairs]]. */
+  def minhashSignaturesOf(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3,
+      numHashes: Int = 50, seed: Long = 42L): DataFrame = {
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val coefs = Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+      .select(col(idCol), wordNgrams(col("toks"), shingleSize).as("shingles"))
+      .select(col(idCol),
+        transform(col("shingles"), s => pmod(xxhash64(s), lit(p))).as("hs"))
+      .select(col(idCol), graft.engine.Columns.ofExpr(MinHashSigExpr(
+        graft.engine.Columns.exprOf(col("hs")),
+        coefs.map(_._1).toArray, coefs.map(_._2).toArray, p)).as("sig"))
+  }
+
   /** MLlib-based MinHash variant (reference-parity path: binary
     * CountVectorizer → MinHashLSH → approxSimilarityJoin). Slower than
     * the native banded join — its bucket key is a boxed Vector — but

@@ -140,7 +140,28 @@ object Pipelines {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** Corpus sketching with the custom MinHashMerge aggregate:
+    * per-language merged signatures, then pairwise estimated Jaccard
+    * between language sub-corpora. Map-side partial aggregation keeps
+    * the exchange at one k-long buffer per partition per group. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, MinHashMerge}
+    val docs = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignaturesOf(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val byLang = sigs.groupBy("lang")
+      .agg(MinHashMerge.minhashMerge(col("sig"), 50).as("lang_sig"))
+    val a = byLang.select(col("lang").as("lang_a"), col("lang_sig").as("sig_a"))
+    val b = byLang.select(col("lang").as("lang_b"), col("lang_sig").as("sig_b"))
+    a.join(b, col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        MinHashMerge.estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q54_corpus_sketch", q54, None),
     QueryDef("q44_multimodal", q44, None),
     QueryDef("q45_sql_interface", q45, Some(q45Sql)),
     QueryDef("q30_doc_recommend", q30, None),

@@ -95,6 +95,25 @@ class OpsSpec extends AnyFunSuite {
     assert(falsePairs.isEmpty, s"false positives: $falsePairs")
   }
 
+  test("MinHashMerge aggregate: monoid min-merge with map-side partials") {
+    import graft.ops.{Dedup, MinHashMerge}
+    val sigs = Dedup.minhashSignaturesOf(docs, numHashes = 20)
+    // manual elementwise min across all docs
+    val all = sigs.collect().map(_.getSeq[Long](1))
+    val expected = all.reduce((x, y) => x.zip(y).map { case (a, b) => math.min(a, b) })
+    val merged = sigs.repartition(5)
+      .agg(MinHashMerge.minhashMerge(col("sig"), 20).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(merged === expected, "merged signature must equal elementwise min")
+    // identical docs (0 and 2): estimated jaccard of their sigs is 1.0
+    val a = sigs.filter(col("doc_id") === 0L).select(col("sig").as("sa"))
+    val b = sigs.filter(col("doc_id") === 2L).select(col("sig").as("sb"))
+    val est = a.crossJoin(b)
+      .select(MinHashMerge.estimatedJaccard(col("sa"), col("sb")))
+      .collect().head.getDouble(0)
+    assert(est === 1.0)
+  }
+
   test("simhash is deterministic and order-insensitive (bag semantics)") {
     assert(SimHash.ofTokens(Iterator("a", "b", "c")) ===
       SimHash.ofTokens(Iterator("c", "a", "b")))
