@@ -270,6 +270,61 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  // ------------------------------------------- clusters and survivors
+  /** Connected components over near-dup pair edges by iterative
+    * min-label propagation: each round every vertex takes the min
+    * label in its neighborhood (one join + one groupBy-min per round);
+    * converges in O(component diameter) rounds. This is the
+    * DataFrame-native version of the map-reduce label-propagation CC —
+    * at 100 TB each round is one shuffle of (vertex, label) longs,
+    * and near-dup components are short-diameter in practice.
+    * Returns (id, cluster) where cluster = min id in the component. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    val vertices = edges.select(col("src").as("id")).distinct()
+    var labels = vertices.withColumn("cluster", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("cluster")).as("nbr_min"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .cache()
+      val changes = updated.alias("u")
+        .join(labels.alias("l"), col("u.id") === col("l.id"))
+        .filter(col("u.cluster") =!= col("l.cluster")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full corpus dedup: exact groups collapse first (cheap hash agg on
+    * a fingerprint), then banded-MinHash near-dup pairs cluster via
+    * connected components; one survivor (min id) per cluster.
+    * Returns the deduplicated corpus. */
+  def deduplicate(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3,
+      maxJaccardDist: Double = 0.3): DataFrame = {
+    val exact = dropExact(docs, textCol, idCol)
+    val pairs = minhashPairs(exact, idCol, textCol,
+      shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
+    val clusters = connectedComponents(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    exact.join(losers, exact(idCol) === losers("__loser"), "left_anti")
+  }
+
   // ------------------------------------------------- embedding cosine
   /** Nearest same-label neighbor per vector by cosine (block join +
     * windowed argmax). At scale, replace the block join with

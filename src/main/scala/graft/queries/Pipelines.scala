@@ -160,8 +160,22 @@ object Pipelines {
       .orderBy("lang_a", "lang_b")
   }
 
+  // ---------------------------------------------------------------- q55
+  /** Full dedup funnel: exact collapse → banded-MinHash pairs →
+    * connected components → one survivor per cluster; reports per-lang
+    * retention. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = graft.ops.Dedup.deduplicate(docs, maxJaccardDist = 0.4)
+    docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+      .join(kept.groupBy("lang").agg(count(lit(1)).as("n_after")), "lang")
+      .withColumn("n_removed", col("n_before") - col("n_after"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q54_corpus_sketch", q54, None),
+    QueryDef("q55_dedup_corpus", q55, None),
     QueryDef("q44_multimodal", q44, None),
     QueryDef("q45_sql_interface", q45, Some(q45Sql)),
     QueryDef("q30_doc_recommend", q30, None),

@@ -95,6 +95,33 @@ class OpsSpec extends AnyFunSuite {
     assert(falsePairs.isEmpty, s"false positives: $falsePairs")
   }
 
+  test("connected components: chains and triangles collapse to min-id clusters") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain → cluster 1
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle → cluster 10
+      (20L, 21L)                       // pair → cluster 20
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), s"chain: $cc")
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+  }
+
+  test("deduplicate: planted duplicate family keeps exactly one survivor") {
+    // family: one base doc + exact dup + near dup; plus unrelated docs
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (0L, base), (1L, base), // exact dup of 0
+      (2L, base.replace("kappa", "lambda")), // near dup of 0
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "red orange yellow green blue indigo violet pink brown black")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.deduplicate(corpus, shingleSize = 2, maxJaccardDist = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(0L, 3L, 4L), s"expected survivors 0,3,4 got ${kept.mkString(",")}")
+  }
+
   test("MinHashMerge aggregate: monoid min-merge with map-side partials") {
     import graft.ops.{Dedup, MinHashMerge}
     val sigs = Dedup.minhashSignaturesOf(docs, numHashes = 20)
