@@ -292,16 +292,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("cluster")).as("nbr_min"))
+      // carry the old label through the update so convergence detection
+      // is a filter on the same cached frame, not a second self-join
       val updated = labels
         .join(neighborMin, labels("id") === neighborMin("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .cache()
-      val changes = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .filter(col("u.cluster") =!= col("l.cluster")).count()
+      val changes = updated.filter(col("cluster") =!= col("prev")).count()
       labels.unpersist()
-      labels = updated
+      labels = updated.drop("prev")
       converged = changes == 0
       iter += 1
     }
