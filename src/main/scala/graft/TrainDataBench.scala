@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.{Chunking, Dedup, Splits, TextStats}
+import graft.util.Timing
+
+/** End-to-end training-data pipeline over the documents corpus — the
+  * LLM-data-prep shape this engine adds beyond the reference:
+  *
+  *   load → dedup funnel (exact → MinHash → connected components) →
+  *   quality + language annotation → quality gate → sliding-window
+  *   chunking → stable train/val/test split → parquet partitioned by
+  *   split.
+  *
+  * Prints one JSON line of per-stage wall-clock + row counts. Every
+  * stage is deterministic and partitioning-independent, so the same
+  * corpus always yields byte-identical splits.
+  */
+object TrainDataBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.headOption.getOrElse("/tmp/graft_traindata")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val nRaw = docs.count()
+
+    val (kept, dedupS) = Timing.timed {
+      val k = Dedup.deduplicate(docs, maxJaccardDist = 0.4).cache()
+      k.count()
+      k
+    }
+    val nKept = kept.count()
+
+    val (gated, qualS) = Timing.timed {
+      val g = kept.select(
+          col("doc_id"), col("text"), col("lang"),
+          TextStats.qualityScore(col("text")).as("quality"),
+          TextStats.predictedLang(col("text")).as("lang_pred"),
+          TextStats.bagFingerprint(col("text")).as("fingerprint"))
+        .filter(col("quality") >= 0.5) // gates ~p10 of this corpus
+        .cache()
+      g.count()
+      g
+    }
+    val nGated = gated.count()
+
+    val (chunks, chunkS) = Timing.timed {
+      val c = Chunking.chunkByTokens(gated, chunkSize = 50, overlap = 10,
+          carryCols = Seq("lang", "quality"))
+        .withColumn("split", Splits.assignSplit(col("doc_id")))
+        .cache()
+      c.count()
+      c
+    }
+    val nChunks = chunks.count()
+
+    val (_, writeS) = Timing.timed {
+      chunks.write.mode(SaveMode.Overwrite).partitionBy("split").parquet(out)
+    }
+
+    val splitCounts = spark.read.parquet(out).groupBy("split").count()
+      .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
+      .mkString("{", ",", "}")
+    val total = dedupS + qualS + chunkS + writeS
+    println(
+      s"""{"metric":"traindata_pipeline","raw_docs":$nRaw,"after_dedup":$nKept,""" +
+        s""""after_quality":$nGated,"chunks":$nChunks,"splits":$splitCounts,""" +
+        s""""dedup_s":${f"$dedupS%.1f"},"quality_s":${f"$qualS%.1f"},""" +
+        s""""chunk_s":${f"$chunkS%.1f"},"write_s":${f"$writeS%.1f"},""" +
+        s""""total_s":${f"$total%.1f"}}""")
+    spark.stop()
+  }
+}

@@ -15,23 +15,28 @@ object Chunking {
   /** Split each document into chunks of `chunkSize` tokens advancing
     * by `chunkSize - overlap`; emits (id, chunk_idx, chunk_text,
     * n_chunk_tokens). Documents shorter than one step still produce
-    * chunk 0. */
+    * chunk 0. `carryCols` ride through the generator so per-document
+    * metadata needs no join-back (a join would re-scan — and possibly
+    * recompute — the document frame). */
   def chunkByTokens(docs: DataFrame, chunkSize: Int = 50, overlap: Int = 10,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(chunkSize > overlap && overlap >= 0)
     val step = chunkSize - overlap
+    val carry = carryCols.map(col)
     val toks = docs
-      .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .select(Seq(col(idCol), TextStats.tokens(col(textCol)).as("toks")) ++ carry: _*)
       .withColumn("starts",
         sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(step)))
     toks
-      .select(col(idCol), col("toks"), posexplode(col("starts")).as(Seq("chunk_idx", "start")))
-      .select(
+      .select(Seq(col(idCol), col("toks")) ++ carry :+
+        posexplode(col("starts")).as(Seq("chunk_idx", "start")): _*)
+      .select(Seq(
         col(idCol),
         col("chunk_idx"),
         concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkSize))).as("chunk_text"),
         size(slice(col("toks"), col("start") + 1, lit(chunkSize))).cast(LongType)
-          .as("n_chunk_tokens"))
+          .as("n_chunk_tokens")) ++ carry: _*)
   }
 
   /** Masking helpers: deterministic regex scrubbing (emails, URLs,
