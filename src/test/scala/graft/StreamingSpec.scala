@@ -106,6 +106,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed file-sink query recovers state across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val in = work.resolve("in"); val out = work.resolve("out")
+    val ckpt = work.resolve("ckpt")
+    java.nio.file.Files.createDirectories(in)
+    // stage 1: first half of events lands
+    val all = graft.engine.Tables.events(spark, dir)
+    val half1 = all.filter(col("event_id") < 500)
+    val half2 = all.filter(col("event_id") >= 500)
+    half1.write.mode("overwrite").parquet(s"$in/batch1")
+
+    def schemaOf = org.apache.spark.sql.types.StructType(
+      all.schema.fields.map(f => f.copy()))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schemaOf).parquet(s"$in/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out.toString).count()
+    assert(n1 === 500L)
+    // stage 2: more data arrives (including replayed duplicates of batch1)
+    half2.union(half1.limit(50)).write.mode("overwrite").parquet(s"$in/batch2")
+    runOnce()
+    val res = spark.read.parquet(out.toString)
+    assert(res.count() === 1000L, "restart must process only new rows, dedup replays")
+    assert(res.select("event_id").distinct().count() === 1000L)
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.runToMemory(
