@@ -238,7 +238,43 @@ object Relational3 {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** Per-group z-score outlier detection — numeric cleaning for
+    * training data. Mean/variance come from exact decimal sums
+    * (x and x² at 2/4 dp are exact), so the derived doubles — and the
+    * |z| > 3 boundary decisions — are identical in both engines. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val stats = li.groupBy("l_returnflag").agg(
+      dsum(col("l_extendedprice")).as("s1"),
+      sum(col("l_extendedprice").cast(DecimalType(28, 4)) *
+        col("l_extendedprice").cast(DecimalType(28, 4)))
+        .cast(DoubleType).as("s2"),
+      count(lit(1)).cast(DoubleType).as("n"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+    li.join(broadcast(stats), "l_returnflag")
+      .withColumn("z", (col("l_extendedprice") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > lit(1.7))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q56Sql =
+    """WITH stats AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+      |    CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice
+      |FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+      |WHERE abs((l_extendedprice - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 1.7
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q56_outliers", q56, Some(q56Sql)),
     QueryDef("q52_range_frame", q52, Some(q52Sql)),
     QueryDef("q53_percentiles", q53, Some(q53Sql)),
     QueryDef("q46_cube", q46, Some(q46Sql)),
