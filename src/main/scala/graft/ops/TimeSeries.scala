@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Time-series resampling: align an event stream onto a fixed-period
+  * grid per key, with gap rows at zero activity and forward-filled
+  * carried values.
+  *
+  * Shape at scale: one aggregation shuffle (hourly rollup), a
+  * broadcast of the (tiny) time bounds, a grid explode that is
+  * map-only, and one window scan per key for the forward fill — the
+  * same single-sort pattern as the as-of join.
+  */
+object TimeSeries {
+
+  /** Per-key hourly grid over the corpus time span:
+    * (key, hour, n_events, value_sum, last_value_sum) where
+    * `last_value_sum` forward-fills the most recent active hour's sum
+    * (null until the key's first activity). */
+  def resampleHourly(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DoubleType).as("v"))
+    val bounds = events.agg(
+      date_trunc("hour", min(col(tsCol))).as("mn"),
+      date_trunc("hour", max(col(tsCol))).as("mx"))
+    val keys = events.select(col(keyCol)).distinct()
+    val grid = keys.crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(keyCol, "hour"), "left")
+      .select(col(keyCol), col("hour"),
+        coalesce(col("n_active"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("last_value_sum"))
+  }
+}

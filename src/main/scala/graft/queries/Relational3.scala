@@ -273,7 +273,35 @@ object Relational3 {
       |WHERE abs((l_extendedprice - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 1.7
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Time-series resample + gap fill: per-user hourly grid with
+    * zero-activity rows and forward-filled value sums. */
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.resampleHourly(Tables.events(s, dir))
+      .orderBy("user_id", "hour")
+
+  private val q57Sql =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n_active,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS mn, date_trunc('hour', max(ts)) AS mx
+      |  FROM events),
+      |grid AS (
+      |  SELECT u.user_id, g.h
+      |  FROM (SELECT DISTINCT user_id FROM events) u, bounds b,
+      |    UNNEST(generate_series(b.mn, b.mx, INTERVAL 1 HOUR)) AS g(h))
+      |SELECT g.user_id, g.h AS hour,
+      |  COALESCE(n_active, 0) AS n_events,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value_sum
+      |FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+      |ORDER BY g.user_id, hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q57_gap_fill", q57, Some(q57Sql)),
     QueryDef("q56_outliers", q56, Some(q56Sql)),
     QueryDef("q52_range_frame", q52, Some(q52Sql)),
     QueryDef("q53_percentiles", q53, Some(q53Sql)),
