@@ -300,7 +300,28 @@ object Relational3 {
       |FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
       |ORDER BY g.user_id, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Histogram bucketing with width_bucket: order-value distribution
+    * in 20 equal bins (integer bucket ids — exact both engines). */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(20))
+        .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("bucket")
+
+  // DuckDB 1.0 has no width_bucket; same semantics spelled out
+  // (bin width 30000, values ≥ max land in bucket 21)
+  private val q58Sql =
+    """SELECT CAST(floor(o_totalprice / 30000.0) + 1 AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_histogram", q58, Some(q58Sql)),
     QueryDef("q57_gap_fill", q57, Some(q57Sql)),
     QueryDef("q56_outliers", q56, Some(q56Sql)),
     QueryDef("q52_range_frame", q52, Some(q52Sql)),
