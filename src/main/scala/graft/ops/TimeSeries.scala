@@ -16,6 +16,31 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object TimeSeries {
 
+  /** Batch sessionization: session boundaries where the gap to the
+    * previous event exceeds `gapMinutes` (lag + running sum of
+    * boundary flags — one window scan per key; the batch twin of
+    * Structured Streaming's session_window). Emits per-session
+    * (key, session_start, n_events, value_sum). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val flagged = events
+      .withColumn("__new_session",
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          col(tsCol).cast("long") - lag(col(tsCol), 1).over(w).cast("long") >
+            gapMinutes * 60L, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__session", sum(col("__new_session")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col(keyCol), col("__session"))
+      .agg(
+        date_trunc("second", min(col(tsCol))).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DoubleType).as("value_sum"))
+      .drop("__session")
+  }
+
   /** Per-key hourly grid over the corpus time span:
     * (key, hour, n_events, value_sum, last_value_sum) where
     * `last_value_sum` forward-fills the most recent active hour's sum

@@ -320,7 +320,37 @@ object Relational3 {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Batch sessionization (30-minute inactivity gap): per-session
+    * event counts and exact value sums, keyed by second-truncated
+    * session start (whole-second gap math so nanosecond-vs-microsecond
+    * precision cannot flip a boundary). */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.sessionize(Tables.events(s, dir), gapMinutes = 30)
+      .orderBy("user_id", "session_start")
+
+  private val q59Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+      |      THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q59_sessionize", q59, Some(q59Sql)),
     QueryDef("q58_histogram", q58, Some(q58Sql)),
     QueryDef("q57_gap_fill", q57, Some(q57Sql)),
     QueryDef("q56_outliers", q56, Some(q56Sql)),
