@@ -34,9 +34,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** Keep one row per content key (deterministic survivor: min id). */
+  /** Keep one row per content key (deterministic survivor: min id).
+    *
+    * The window partition key leads with `xxhash64(key)` so the sort
+    * inside each exchange partition compares 8-byte fingerprints and
+    * only falls through to the raw key on fingerprint ties — for a
+    * text key that turns every sort comparison from a full document
+    * compare into a long compare. The raw key stays as a secondary
+    * partition column, so two texts colliding on the fingerprint still
+    * land in separate window groups: exactness does not depend on
+    * hash uniqueness. */
   def dropExact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    val w = Window.partitionBy(xxhash64(col(keyCol)), col(keyCol)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -294,11 +303,17 @@ object Dedup {
         .groupBy(col("src").as("id2")).agg(min(col("cluster")).as("nbr_min"))
       // carry the old label through the update so convergence detection
       // is a filter on the same cached frame, not a second self-join
-      val updated = labels
+      val joined = labels
         .join(neighborMin, labels("id") === neighborMin("id2"), "left")
         .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .cache()
+      // Cut lineage every few rounds: without it the plan chains on
+      // every previous round's frame, the DAG deepens linearly, and a
+      // lost executor recomputes the whole history. localCheckpoint
+      // materializes (id, prev, cluster) longs — cheap — and restarts
+      // the lineage there.
+      val updated =
+        if (iter % 3 == 2) joined.localCheckpoint() else joined.cache()
       val changes = updated.filter(col("cluster") =!= col("prev")).count()
       labels.unpersist()
       labels = updated.drop("prev")
@@ -316,7 +331,10 @@ object Dedup {
   def deduplicate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleSize: Int = 3,
       maxJaccardDist: Double = 0.3): DataFrame = {
-    val exact = dropExact(docs, textCol, idCol)
+    // cache: the exact-collapsed corpus feeds BOTH the MinHash funnel
+    // and the final left_anti survivor join — uncached, the windowed
+    // exact-dedup shuffle would run twice end to end.
+    val exact = dropExact(docs, textCol, idCol).cache()
     val pairs = minhashPairs(exact, idCol, textCol,
       shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
     val clusters = connectedComponents(pairs)

@@ -126,6 +126,103 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** EXACT nearest same-`blockCol` neighbor per vector, without the
+    * all-pairs block join: IVF lists + triangle-inequality pruning.
+    *
+    * Cosine argmax on unit-normalized vectors is Euclidean argmin on
+    * the unit sphere (d² = 2 − 2·cos), so the classic exact-IVF bound
+    * applies: after a first pass that finds the best neighbor inside
+    * the vector's own (block, list) cell, a different list `c` can
+    * hold a closer point only if ‖q − centroid_c‖ − radius_c < d₁
+    * (triangle inequality, with radius_c = max member distance to the
+    * centroid within the same block). Only qualifying lists are
+    * probed in pass 2, so the plan is: bounded within-cell join +
+    * broadcast centroid pruning + a data-adaptive probe join — never
+    * a structural |block|² join. Pruning effectiveness tracks how
+    * clusterable the corpus is; in the worst case (uniform random
+    * vectors) it degrades toward the block join but stays EXACT, so
+    * the result is identical to the brute-force argmax for any input.
+    *
+    * At 100 TB: lists are the storage partition key, centroids are
+    * broadcast (nLists × dim), pass-1 cells are ~n/(blocks·nLists)
+    * rows, and probe fan-out is bounded by nLists per vector.
+    * Returns (idCol, nn_id), one row per vector whose block has ≥2
+    * members — same contract as [[Dedup.nearestSameLabel]]. */
+  def nearestSameLabelIvf(embeddings: DataFrame, nLists: Int = 16,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", blockCol: String = "label"): DataFrame = {
+    val unit = embeddings
+      .select(col(idCol), col(blockCol), col(vecCol),
+        l2Norm(col(vecCol)).as("nrm"))
+      .select(col(idCol), col(blockCol),
+        transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")).as("unit"))
+    val withVec = unit.withColumn("v", array_to_vector(col("unit")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed)
+      .setInitMode("random").setMaxIter(8)
+      .setFeaturesCol("v").setPredictionCol("list")
+      .fit(withVec)
+    val assigned = km.transform(withVec)
+      .select(col(idCol), col(blockCol), col("unit"), col("list")).cache()
+
+    val spark = embeddings.sparkSession
+    val centroids = spark.createDataFrame(
+      km.clusterCenters.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("c_list", "centroid")
+    def eucl(a: Column, c: Column): Column =
+      sqrt(aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+
+    // per-(block, list) radius over members of THAT block only
+    val listStats = assigned
+      .join(broadcast(centroids), col("list") === col("c_list"))
+      .groupBy(col(blockCol).as("s_block"), col("list").as("s_list"))
+      .agg(max(eucl(col("unit"), col("centroid"))).as("radius"))
+
+    // pass 1: exact argmax inside the vector's own (block, list) cell
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    val pairs1 = a.join(b,
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.list") === col("b.list") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("qid"), col(s"b.$idCol").as("cand"),
+        dot(col("a.unit"), col("b.unit")).as("cos"))
+    val best1 = pairs1.groupBy("qid").agg(max(col("cos")).as("best_cos"))
+
+    // probe decision: broadcast-join each vector against every OTHER
+    // list's centroid+radius in its block, keep lists the bound says
+    // could still beat d₁ (ε absorbs float rounding — extra probes
+    // never hurt exactness, missed ones would)
+    val eps = 1e-9
+    val probes = assigned
+      .join(best1, col(idCol) === col("qid"), "left")
+      .withColumn("d1",
+        when(col("best_cos").isNull, lit(Double.MaxValue)).otherwise(
+          sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("best_cos")))))
+      .join(broadcast(centroids), col("c_list") =!= col("list"))
+      .join(listStats,
+        col(blockCol) === col("s_block") && col("c_list") === col("s_list"))
+      .filter(eucl(col("unit"), col("centroid")) - col("radius") <
+        col("d1") + lit(eps))
+      .select(col(idCol).as("pid"), col(blockCol).as("p_block"),
+        col("unit").as("p_unit"), col("c_list").as("p_list"))
+
+    // pass 2: exact cosine against members of the qualifying lists
+    val m = assigned.alias("m")
+    val pairs2 = probes.join(m,
+        col("p_block") === col(s"m.$blockCol") && col("p_list") === col("m.list"))
+      .select(col("pid").as("qid"), col(s"m.$idCol").as("cand"),
+        dot(col("p_unit"), col("m.unit")).as("cos"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand"))
+    pairs1.union(pairs2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid").as(idCol), col("cand").as("nn_id"))
+  }
+
   /** MLlib-based near-dup variant (kept as the API-compatible MLlib
     * surface): Euclidean similarity join on L2-normalized vectors
     * (distance ≤ d ⇔ cosine ≥ 1 - d²/2). */

@@ -189,9 +189,12 @@ object Documents {
 
   // ---------------------------------------------------------------- q22
   /** Embedding near-dup: nearest same-label neighbor per vector
-    * (ids only — same float32 rationale as q21). */
+    * (ids only — same float32 rationale as q21). Runs the exact-IVF
+    * plan (triangle-pruned probes, no structural all-pairs join);
+    * [[graft.ops.Dedup.nearestSameLabel]] remains the brute-force
+    * twin the spec suite cross-checks against. */
   private def q22(s: SparkSession, dir: String): DataFrame =
-    Dedup.nearestSameLabel(Tables.embeddings(s, dir))
+    graft.ops.Similarity.nearestSameLabelIvf(Tables.embeddings(s, dir))
       .orderBy("vec_id")
 
   private val q22Sql =
@@ -274,7 +277,7 @@ object Documents {
   }
 
   private val q51Sql =
-    """SELECT lang, label, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT lang, label, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |GROUP BY lang, label
       |ORDER BY lang, label""".stripMargin

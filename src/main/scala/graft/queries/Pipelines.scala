@@ -134,7 +134,7 @@ object Pipelines {
         |ORDER BY d.lang""".stripMargin)
 
   private val q45Sql =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |WHERE n_chars > 100
       |GROUP BY lang

@@ -343,4 +343,14 @@ class OpsSpec extends AnyFunSuite {
     assert(knn.forall(_.getAs[Long]("vec_id") < 25L),
       "neighbors of a cluster-0 vector must come from cluster 0")
   }
+  test("exact-IVF nearest-same-label equals the brute-force block join") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Dedup.nearestSameLabel(emb)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nn_id"))).toMap
+    val ivf = Similarity.nearestSameLabelIvf(emb, nLists = 8)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nn_id"))).toMap
+    assert(ivf.size === brute.size)
+    assert(ivf === brute)
+  }
+
 }
