@@ -149,26 +149,59 @@ object Similarity {
     * Returns (idCol, nn_id), one row per vector whose block has ≥2
     * members — same contract as [[Dedup.nearestSameLabel]]. */
   def nearestSameLabelIvf(embeddings: DataFrame, nLists: Int = 16,
-      seed: Long = 42L, idCol: String = "vec_id",
+      seed: Long = 42L, lloydIters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", blockCol: String = "label"): DataFrame = {
     val unit = embeddings
       .select(col(idCol), col(blockCol), col(vecCol),
         l2Norm(col(vecCol)).as("nrm"))
       .select(col(idCol), col(blockCol),
         transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")).as("unit"))
-    val withVec = unit.withColumn("v", array_to_vector(col("unit")))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(seed)
-      .setInitMode("random").setMaxIter(8)
-      .setFeaturesCol("v").setPredictionCol("list")
-      .fit(withVec)
-    val assigned = km.transform(withVec)
-      .select(col(idCol), col(blockCol), col("unit"), col("list")).cache()
+      .cache()
 
+    // Native list fit instead of an MLlib KMeans: centroid QUALITY only
+    // affects how much the triangle bound prunes, never correctness, so
+    // a hash-sampled seed set (lands in dense regions with probability
+    // proportional to density) plus a couple of Lloyd refinement passes
+    // is enough — and skips several fixed-cost MLlib jobs. Each Lloyd
+    // pass is one posexplode + (list, dim) avg with map-side combine:
+    // shuffle rows = partitions × nLists × dim, independent of corpus
+    // size. Driver state is nLists × dim doubles. The assignment argmin
+    // embeds the centroid matrix as codegen literals — fine at IVF-ish
+    // nLists·dim; a 4096-list × 1024-dim config should switch to a
+    // broadcast-join assignment instead.
+    def sqDist(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // argmin list id: distances materialized as an attribute first so
+    // the argmin reads the array instead of re-evaluating nLists folds;
+    // array_position takes the FIRST minimum — deterministic tie-break
+    def withList(df: DataFrame, cents: IndexedSeq[Seq[Double]]): DataFrame =
+      df.withColumn("__d", array(cents.map(c => sqDist(col("unit"), c)): _*))
+        .withColumn("list",
+          (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+        .drop("__d")
+
+    var cents: IndexedSeq[Seq[Double]] = unit
+      .select(col("unit"), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(nLists).collect()
+      .map(_.getSeq[Double](0)).toIndexedSeq
+    for (_ <- 0 until lloydIters) {
+      val means = withList(unit.select(col("unit")), cents)
+        .select(col("list"), posexplode(col("unit")).as(Seq("pos", "x")))
+        .groupBy("list", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("list"))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+
+    val assigned = withList(unit, cents)
+      .select(col(idCol), col(blockCol), col("unit"), col("list"))
+      .cache()
     val spark = embeddings.sparkSession
     val centroids = spark.createDataFrame(
-      km.clusterCenters.toIndexedSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toArray.toSeq) })
+      cents.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("c_list", "centroid")
     def eucl(a: Column, c: Column): Column =
       sqrt(aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)),
