@@ -28,14 +28,17 @@ object LoadPipeline {
   final case class Result(table: String, mode: SaveMode, error: Option[String])
 
   def run(spark: SparkSession, stagesDir: String,
-      tables: Seq[TableLoad] = defaultTables)(
+      tables: Seq[TableLoad] = defaultTables,
+      typeFor: org.apache.spark.sql.types.DataType => String = JdbcSink.pgType,
+      ifNotExists: Boolean = true)(
       ensureTable: String => Unit,
       write: (DataFrame, String, SaveMode) => Unit): Seq[Result] =
     tables.map { t =>
       val mode = JdbcSink.modeFor(t.stagePath)
       try {
         val df = spark.read.parquet(s"$stagesDir/${t.stagePath}")
-        ensureTable(JdbcSink.createTableDdl(t.table, df.schema, t.primaryKey))
+        ensureTable(JdbcSink.createTableDdl(t.table, df.schema, t.primaryKey,
+          typeFor, ifNotExists))
         write(df, t.table, mode)
         Result(t.table, mode, None)
       } catch {

@@ -29,15 +29,37 @@ object JdbcSink {
     case _                        => "TEXT"
   }
 
-  /** `CREATE TABLE IF NOT EXISTS` mirroring the reference's
-    * psycopg2 DDL, so a JDBC overwrite inherits correct types + PK. */
+  /** Spark → Derby type mapping (the live round-trip test target:
+    * Derby ships on Spark's own classpath, so S7/S8 are verifiable
+    * end-to-end without a Postgres). Derby has no TEXT or arrays;
+    * strings become bounded VARCHARs. */
+  def derbyType(dt: DataType): String = dt match {
+    case IntegerType    => "INTEGER"
+    case LongType       => "BIGINT"
+    case DoubleType     => "DOUBLE"
+    case FloatType      => "REAL"
+    case BooleanType    => "BOOLEAN"
+    case TimestampType  => "TIMESTAMP"
+    case DateType       => "DATE"
+    case _: DecimalType => "DECIMAL(31,6)"
+    case _              => "VARCHAR(4000)"
+  }
+
+  /** `CREATE TABLE` mirroring the reference's psycopg2 DDL, so a JDBC
+    * overwrite inherits correct types + PK. `typeFor` selects the
+    * target dialect (default Postgres); `ifNotExists` is off for
+    * engines without the clause (Derby) — pair with [[ensureTable]],
+    * which treats already-exists as success. */
   def createTableDdl(table: String, schema: StructType,
-      primaryKey: Option[String] = None): String = {
+      primaryKey: Option[String] = None,
+      typeFor: DataType => String = pgType,
+      ifNotExists: Boolean = true): String = {
     val cols = schema.fields.map { f =>
       val pk = if (primaryKey.contains(f.name)) " PRIMARY KEY" else ""
-      s"${f.name} ${pgType(f.dataType)}$pk"
+      s"${f.name} ${typeFor(f.dataType)}$pk"
     }
-    s"CREATE TABLE IF NOT EXISTS $table (${cols.mkString(", ")})"
+    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    s"CREATE TABLE $ine$table (${cols.mkString(", ")})"
   }
 
   /** Reference mode rule (load/execute.py:74-97): master tables are
@@ -45,11 +67,12 @@ object JdbcSink {
   def modeFor(tableOrPath: String): SaveMode =
     if (tableOrPath.contains("master")) SaveMode.Append else SaveMode.Overwrite
 
-  def connectionProps(user: String, password: String): Properties = {
+  def connectionProps(user: String, password: String,
+      driver: String = "org.postgresql.Driver"): Properties = {
     val p = new Properties()
     p.setProperty("user", user)
     p.setProperty("password", password)
-    p.setProperty("driver", "org.postgresql.Driver")
+    p.setProperty("driver", driver)
     p
   }
 
@@ -61,10 +84,14 @@ object JdbcSink {
     capped.write.mode(mode).jdbc(url, table, props)
   }
 
-  /** Driver-side DDL execution (boundary: driver → DB, no Spark). */
+  /** Driver-side DDL execution (boundary: driver → DB, no Spark).
+    * "Table already exists" counts as success, giving IF NOT EXISTS
+    * semantics on engines without the clause (Derby SQLState X0Y32). */
   def ensureTable(url: String, props: Properties, ddl: String): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try conn.createStatement().execute(ddl)
-    finally conn.close()
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+    } finally conn.close()
   }
 }
