@@ -45,12 +45,38 @@ object Pipelines {
   /** Banded-MinHash near-dup candidate pairs over trigram shingles.
     * Trigrams (not bigrams) because the corpus vocabulary is tiny:
     * longer shingles keep band-collision rates — and therefore the
-    * bucket-join fan-out — proportional to true similarity. */
+    * bucket-join fan-out — proportional to true similarity.
+    *
+    * Oracle: DuckDB recomputes ALL-pairs exact trigram Jaccard — an
+    * independent ground truth. Matching it checks both the verify
+    * stage's arithmetic AND that the banding missed nothing: at this
+    * corpus's similarity profile the 10×5 banding has recall 1 for
+    * dist ≤ 0.4 (near-dup pairs here are ≥ 0.6 similar, where
+    * P(candidate) ≈ 1), so candidate-set ⊂ truth degenerations would
+    * fail the row-count compare. */
   private def q31(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(s, dir),
       shingleSize = 3, bands = 10, rowsPerBand = 5, maxJaccardDist = 0.4)
       .select("doc_a", "doc_b", "jaccard_dist")
       .orderBy("doc_a", "doc_b")
+
+  private val q31Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) AS jaccard_dist
+      |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q32
   /** SimHash banded candidate pairs with Hamming verify. */
@@ -111,8 +137,11 @@ object Pipelines {
   // ---------------------------------------------------------------- q44
   /** Multimodal plumbing end-to-end: pack documents as binary assets,
     * batch-extract (stub) features per partition, emit flattened
-    * stats. Rows-only: the byte-histogram features come from the
-    * deterministic stub decoder. */
+    * stats. Oracle: the stub features are a deterministic 16-bin byte
+    * histogram, and bin = byte % 16 is exactly the low nibble — i.e.
+    * the second hex digit of each byte of `to_hex(encode(text))`, so
+    * DuckDB can recompute the features from the same bytes (l1 fold
+    * mirrored in bin order via list_reduce). */
   private def q44(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Multimodal
     val assets = Multimodal.packAsAssets(Tables.documents(s, dir))
@@ -122,6 +151,35 @@ object Pipelines {
         array_max(col("features")).as("feat_max"))
       .orderBy("asset_id")
   }
+
+  private val q44Sql =
+    """WITH h AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST(length(text) % 640 + 32 AS INTEGER) AS width,
+      |         CAST(length(text) % 480 + 32 AS INTEGER) AS height,
+      |         lower(to_hex(encode(text))) AS hx,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |counts AS (
+      |  SELECT asset_id,
+      |         strpos('0123456789abcdef', substr(hx, CAST(2*i AS INTEGER), 1)) - 1 AS bin,
+      |         COUNT(*) AS c
+      |  FROM (SELECT asset_id, hx, unnest(range(1, n + 1)) AS i FROM h) u
+      |  GROUP BY 1, 2
+      |),
+      |feat AS (
+      |  SELECT c.asset_id,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list(CAST(c.c AS DOUBLE) / GREATEST(1.0, CAST(h.n AS DOUBLE)) ORDER BY c.bin)),
+      |           (a, x) -> a + x) AS feat_l1,
+      |         CAST(MAX(c.c) AS DOUBLE) / GREATEST(1.0, CAST(ANY_VALUE(h.n) AS DOUBLE)) AS feat_max
+      |  FROM counts c JOIN h ON c.asset_id = h.asset_id
+      |  GROUP BY c.asset_id
+      |)
+      |SELECT h.asset_id, h.width, h.height, f.feat_l1, f.feat_max
+      |FROM h JOIN feat f ON h.asset_id = f.asset_id
+      |ORDER BY h.asset_id""".stripMargin
 
   // ---------------------------------------------------------------- q45
   /** Full-SQL parser surface over the registered harness views. */
@@ -163,7 +221,12 @@ object Pipelines {
   // ---------------------------------------------------------------- q55
   /** Full dedup funnel: exact collapse → banded-MinHash pairs →
     * connected components → one survivor per cluster; reports per-lang
-    * retention. */
+    * retention. Oracle: DuckDB rebuilds the whole funnel independently
+    * — min-id-per-text exact collapse, ALL-pairs trigram Jaccard
+    * (ground truth; banding recall is 1 here, see q31), connected
+    * components via a recursive reachability CTE, min-id survivors —
+    * so the end-to-end funnel semantics are checked, not just the
+    * parts. */
   private def q55(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val kept = graft.ops.Dedup.deduplicate(docs, maxJaccardDist = 0.4)
@@ -173,13 +236,57 @@ object Pipelines {
       .orderBy("lang")
   }
 
+  private val q55Sql =
+    """WITH RECURSIVE exact AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+      |),
+      |kept_exact AS (
+      |  SELECT d.doc_id, d.lang FROM documents d JOIN exact e ON d.doc_id = e.doc_id
+      |),
+      |toks AS (
+      |  SELECT k.doc_id, string_split(d.text, ' ') AS t
+      |  FROM kept_exact k JOIN documents d ON k.doc_id = d.doc_id
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+      |),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach AS (
+      |  SELECT DISTINCT s AS id, s AS lab FROM edges
+      |  UNION
+      |  SELECT e.d AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+      |),
+      |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+      |kept AS (
+      |  SELECT k.doc_id, k.lang FROM kept_exact k
+      |  WHERE k.doc_id NOT IN (SELECT id FROM comp WHERE cluster < id)
+      |)
+      |SELECT d.lang, COUNT(*) AS n_before, ANY_VALUE(a.n_after) AS n_after,
+      |  COUNT(*) - ANY_VALUE(a.n_after) AS n_removed
+      |FROM documents d
+      |JOIN (SELECT lang, COUNT(*) AS n_after FROM kept GROUP BY lang) a ON d.lang = a.lang
+      |GROUP BY d.lang
+      |ORDER BY d.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q54_corpus_sketch", q54, None),
-    QueryDef("q55_dedup_corpus", q55, None),
-    QueryDef("q44_multimodal", q44, None),
+    QueryDef("q55_dedup_corpus", q55, Some(q55Sql)),
+    QueryDef("q44_multimodal", q44, Some(q44Sql)),
     QueryDef("q45_sql_interface", q45, Some(q45Sql)),
     QueryDef("q30_doc_recommend", q30, None),
-    QueryDef("q31_minhash_pairs", q31, None),
+    QueryDef("q31_minhash_pairs", q31, Some(q31Sql)),
     QueryDef("q32_simhash_pairs", q32, None),
     QueryDef("q33_ann_lsh", q33, None),
     QueryDef("q35_sketches", q35, None),
