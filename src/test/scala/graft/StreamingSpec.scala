@@ -155,4 +155,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(sessions.filter(col("n_events") <= 0).count() === 0L)
     } finally q.stop()
   }
+  test("streaming session windows match batch sessionize on emitted sessions") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.userSessions(stream), "sessions_eq_stream", outputMode = "append")
+    try {
+      // session_window.start is the raw min ts; the batch twin truncates
+      // to whole seconds (ns-safety), so align before joining
+      val streamed = spark.table("sessions_eq_stream")
+        .select(col("user_id"),
+          date_trunc("second", col("session_start")).as("session_start"),
+          col("n_events"), col("session_value"))
+      val batch = graft.ops.TimeSeries.sessionize(Tables.events(spark, dir))
+        .select(col("user_id"), col("session_start"),
+          col("n_events").as("b_n_events"), col("value_sum").as("b_value_sum"))
+      // watermark: append mode withholds the final open windows; every
+      // emitted session must match its batch twin exactly
+      val joined = streamed.join(batch, Seq("user_id", "session_start"), "left")
+      val mismatched = joined.filter(
+        col("b_n_events").isNull ||
+          col("n_events") =!= col("b_n_events") ||
+          col("session_value") =!= col("b_value_sum")).count()
+      assert(mismatched === 0L)
+      assert(streamed.count() > 0L)
+    } finally q.stop()
+  }
 }
