@@ -35,6 +35,11 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "asof join needs at least one right value column")
+    val collisions = valueCols.intersect(left.columns.toSeq)
+    require(collisions.isEmpty,
+      s"right value column(s) ${collisions.mkString(", ")} already exist on the " +
+        "left side — rename them before joining (the left copy would be " +
+        "silently nulled otherwise)")
     val leftCols = left.columns.toSeq
 
     val l = left

@@ -13,9 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Knuth multiplicative hash → bucket in [0, 100). */
-  def hashBucket(id: Column): Column =
-    pmod((id.cast("long") * lit(2654435761L)) % lit(4294967296L), lit(100L))
+  /** Knuth multiplicative hash → bucket in [0, 100).
+    *
+    * The multiply is computed on 16-bit halves of the id's low 32 bits
+    * so it can never overflow a long: a naive `id * 2654435761` throws
+    * ARITHMETIC_OVERFLOW under ANSI mode once ids pass ~3.5e9, which
+    * breaks the "stable on any cluster, any day" contract exactly when
+    * the corpus gets big. Identical values to the naive formula for
+    * every id < 2^32 (and defined, stable output beyond), because
+    * (a·K) mod 2^32 depends only on a mod 2^32:
+    * lo·K + ((hi·K mod 2^16) << 16) ≡ (lo + hi·2^16)·K  (mod 2^32). */
+  def hashBucket(id: Column): Column = {
+    val base = id.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val lo = base.bitwiseAND(lit(0xFFFFL))
+    val hi = shiftrightunsigned(base, 16)
+    val k = lit(2654435761L)
+    val prod = pmod(lo * k + shiftleft(pmod(hi * k, lit(65536L)), 16),
+      lit(4294967296L))
+    pmod(prod, lit(100L))
+  }
 
   /** Stable named split from cumulative percentage cuts, e.g.
     * train/val/test at 80/10/10 → cuts (80, 90). */

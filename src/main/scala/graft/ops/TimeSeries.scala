@@ -42,9 +42,10 @@ object TimeSeries {
   }
 
   /** Per-key hourly grid over the corpus time span:
-    * (key, hour, n_events, value_sum, last_value_sum) where
-    * `last_value_sum` forward-fills the most recent active hour's sum
-    * (null until the key's first activity). */
+    * (key, hour, n_events, last_value_sum) where `last_value_sum`
+    * forward-fills the most recent active hour's value sum (null until
+    * the key's first activity) — inactive hours report n_events = 0
+    * plus the carried sum, which is the gap-fill contract. */
   def resampleHourly(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
     val hourly = events

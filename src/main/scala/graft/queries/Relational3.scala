@@ -311,10 +311,12 @@ object Relational3 {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("bucket")
 
-  // DuckDB 1.0 has no width_bucket; same semantics spelled out
-  // (bin width 30000, values ≥ max land in bucket 21)
+  // DuckDB 1.0 has no width_bucket; same semantics spelled out with the
+  // clamps width_bucket applies (values ≥ max → bucket 21, < min → 0)
+  // mirrored explicitly, so the equivalence is structural rather than
+  // an accident of the current data staying inside [0, 630000)
   private val q58Sql =
-    """SELECT CAST(floor(o_totalprice / 30000.0) + 1 AS BIGINT) AS bucket,
+    """SELECT CAST(LEAST(GREATEST(floor(o_totalprice / 30000.0) + 1, 0), 21) AS BIGINT) AS bucket,
       |  COUNT(*) AS n_orders
       |FROM orders
       |GROUP BY 1

@@ -51,4 +51,13 @@ class AsOfJoinSpec extends AnyFunSuite {
   test("all left rows survive (left-join semantics)") {
     assert(joined.size === 5)
   }
+  test("value column colliding with a left column fails fast") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "ts", "px")
+    val r = Seq((1L, 5L, "y")).toDF("k", "ts", "px")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, "k", "k", "ts", "ts", Seq("px"))
+    }
+    assert(e.getMessage.contains("px"))
+  }
 }

@@ -38,4 +38,21 @@ class ImplicitSpec extends AnyFunSuite {
     assert(wrong === 0L, "recommendations must stay within the planted block")
     assert(recs.groupBy("user_id").count().filter(col("count") =!= 3).count() === 0L)
   }
+  test("ALS approaches the exact rank-2 solution on a 2x2 identity system") {
+    // preference matrix = I is exactly representable at rank 2, so with
+    // near-zero regularization the implicit-ALS global optimum is an
+    // exact fit: predictions ~1 on the observed diagonal, ~0 off it.
+    // This checks the solver against the known optimum, not just
+    // structure recovery.
+    val inter = Seq((0, 0, 5.0), (1, 1, 5.0)).toDF("user_id", "item_id", "strength")
+    val model = Implicit.fit(inter, rank = 2, maxIter = 15,
+      regParam = 1e-3, alpha = 40.0)
+    val all = Seq((0, 0), (0, 1), (1, 0), (1, 1)).toDF("user_id", "item_id")
+    val preds = model.transform(all)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(2).toDouble).toMap
+    assert(math.abs(preds((0, 0)) - 1.0) < 0.05, s"diag: $preds")
+    assert(math.abs(preds((1, 1)) - 1.0) < 0.05, s"diag: $preds")
+    assert(math.abs(preds((0, 1))) < 0.05, s"offdiag: $preds")
+    assert(math.abs(preds((1, 0))) < 0.05, s"offdiag: $preds")
+  }
 }

@@ -353,4 +353,16 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf === brute)
   }
 
+  test("hashBucket never overflows and matches exact modular arithmetic") {
+    val k = BigInt(2654435761L)
+    val ids = Seq(0L, 1L, 7L, 999983L, 2654435761L, 3500000000L,
+      4294967295L, 4294967296L, 87178291199L, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.ops.Splits.hashBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val expected = (((BigInt(id) & 0xFFFFFFFFL) * k) % BigInt(4294967296L)) % 100
+      assert(got(id) === expected.toLong, s"id=$id")
+    }
+  }
 }
