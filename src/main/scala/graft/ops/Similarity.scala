@@ -60,34 +60,81 @@ object Similarity {
     (withVec, model)
   }
 
-  /** IVF-style index: seeded KMeans partitions the corpus into
+  /** IVF index handle: just the centroid matrix (nLists × dim) —
+    * driver/broadcast-scale by construction. */
+  final case class IvfModel(centroids: IndexedSeq[Seq[Double]])
+
+  /** Squared Euclidean distance of a vector column to a literal
+    * centroid — one codegen'd fold, no UDF. */
+  private def sqDistTo(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Native seeded centroid fit (hash-sampled seeds + a few Lloyd
+    * passes), shared by [[fitIvf]] and [[nearestSameLabelIvf]] — an
+    * MLlib KMeans costs several fixed-overhead jobs per fit while list
+    * assignment only needs rough balance. Each Lloyd pass is one
+    * posexplode + (list, dim) average with map-side combine: shuffle
+    * rows = partitions × nLists × dim, independent of corpus size.
+    * The assignment argmin embeds the centroid matrix as codegen
+    * literals — fine at IVF-ish nLists·dim; a 4096-list × 1024-dim
+    * config should switch to a broadcast-join assignment instead. */
+  def fitCentroids(df: DataFrame, vecCol: String, idCol: String,
+      nLists: Int, seed: Long = 42L, lloydIters: Int = 2): IndexedSeq[Seq[Double]] = {
+    var cents: IndexedSeq[Seq[Double]] = df
+      .select(col(vecCol), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(nLists).collect()
+      .map(_.getSeq[Double](0)).toIndexedSeq
+    for (_ <- 0 until lloydIters) {
+      val means = assignLists(df.select(col(vecCol)), vecCol, cents)
+        .select(col("list"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("list", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("list"))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** Adds the argmin-centroid `list` column. Distances materialize as
+    * an attribute first so the argmin reads the array instead of
+    * re-evaluating nLists folds; array_position takes the FIRST
+    * minimum — a deterministic tie-break. */
+  def assignLists(df: DataFrame, vecCol: String,
+      cents: IndexedSeq[Seq[Double]]): DataFrame =
+    df.withColumn("__d", array(cents.map(c => sqDistTo(col(vecCol), c)): _*))
+      .withColumn("list",
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .drop("__d")
+
+  /** IVF-style index: seeded centroids partition the corpus into
     * `nLists` inverted lists; a query probes only the `nProbe` lists
     * whose centroids are nearest. At 100 TB the cluster id becomes the
     * storage partition key, so a probe reads nProbe/nLists of the data
     * — the classic IVF-flat trade of recall for scan fraction, with
     * the centroid table (nLists × dim) broadcast-small by design. */
   def fitIvf(embeddings: DataFrame, nLists: Int = 16, seed: Long = 42L,
-      vecCol: String = "embedding"): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    val withVec = embeddings.withColumn("vec", array_to_vector(col(vecCol))).cache()
-    // random init + few iterations: IVF lists only need rough balance,
-    // and each k-means|| init step is a full extra pass over the data
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nLists).setSeed(seed)
-      .setInitMode("random").setMaxIter(8)
-      .setFeaturesCol("vec").setPredictionCol("ivf_list")
-      .fit(withVec)
-    (km.transform(withVec), km)
+      vecCol: String = "embedding", idCol: String = "vec_id"): (DataFrame, IvfModel) = {
+    val asDouble = embeddings
+      .withColumn("__v", transform(col(vecCol), x => x.cast(DoubleType)))
+      .cache()
+    val cents = fitCentroids(asDouble, "__v", idCol, nLists, seed)
+    val indexed = assignLists(asDouble, "__v", cents)
+      .withColumnRenamed("list", "ivf_list").drop("__v")
+    (indexed, IvfModel(cents))
   }
 
   /** Cosine top-k probing only the nearest `nProbe` inverted lists. */
-  def ivfKnn(indexed: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
+  def ivfKnn(indexed: DataFrame, model: IvfModel,
       queryVec: Seq[Double], k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = org.apache.spark.ml.linalg.Vectors.dense(queryVec.toArray)
     // centroid ranking is driver-side: nLists rows, broadcast-scale
-    val probeLists = model.clusterCenters.zipWithIndex
-      .sortBy { case (c, _) => org.apache.spark.ml.linalg.Vectors.sqdist(c, q) }
-      .take(nProbe).map(_._2).toIndexedSeq
+    val probeLists = model.centroids.zipWithIndex
+      .sortBy { case (c, _) =>
+        c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum }
+      .take(nProbe).map(_._2)
     bruteForceKnn(
       indexed.filter(col("ivf_list").isin(probeLists: _*)),
       queryVec, k, idCol, vecCol)
@@ -158,45 +205,12 @@ object Similarity {
         transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")).as("unit"))
       .cache()
 
-    // Native list fit instead of an MLlib KMeans: centroid QUALITY only
-    // affects how much the triangle bound prunes, never correctness, so
-    // a hash-sampled seed set (lands in dense regions with probability
-    // proportional to density) plus a couple of Lloyd refinement passes
-    // is enough — and skips several fixed-cost MLlib jobs. Each Lloyd
-    // pass is one posexplode + (list, dim) avg with map-side combine:
-    // shuffle rows = partitions × nLists × dim, independent of corpus
-    // size. Driver state is nLists × dim doubles. The assignment argmin
-    // embeds the centroid matrix as codegen literals — fine at IVF-ish
-    // nLists·dim; a 4096-list × 1024-dim config should switch to a
-    // broadcast-join assignment instead.
-    def sqDist(v: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // argmin list id: distances materialized as an attribute first so
-    // the argmin reads the array instead of re-evaluating nLists folds;
-    // array_position takes the FIRST minimum — deterministic tie-break
-    def withList(df: DataFrame, cents: IndexedSeq[Seq[Double]]): DataFrame =
-      df.withColumn("__d", array(cents.map(c => sqDist(col("unit"), c)): _*))
-        .withColumn("list",
-          (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
-        .drop("__d")
-
-    var cents: IndexedSeq[Seq[Double]] = unit
-      .select(col("unit"), xxhash64(col(idCol), lit(seed)).as("__h"))
-      .orderBy(col("__h")).limit(nLists).collect()
-      .map(_.getSeq[Double](0)).toIndexedSeq
-    for (_ <- 0 until lloydIters) {
-      val means = withList(unit.select(col("unit")), cents)
-        .select(col("list"), posexplode(col("unit")).as(Seq("pos", "x")))
-        .groupBy("list", "pos").agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getAs[Int]("list"))
-        .map { case (l, rows) =>
-          l -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq }
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
-    }
-
-    val assigned = withList(unit, cents)
+    // Native list fit (see fitCentroids): centroid QUALITY only affects
+    // how much the triangle bound prunes, never correctness, so the
+    // hash-sampled-seed + Lloyd fit is enough — and skips several
+    // fixed-cost MLlib jobs per invocation.
+    val cents = fitCentroids(unit, "unit", idCol, nLists, seed, lloydIters)
+    val assigned = assignLists(unit, "unit", cents)
       .select(col(idCol), col(blockCol), col("unit"), col("list"))
       .cache()
     val spark = embeddings.sparkSession
