@@ -79,10 +79,64 @@ object Pipelines {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q32
-  /** SimHash banded candidate pairs with Hamming verify. */
+  /** SimHash banded candidate pairs with Hamming verify.
+    *
+    * Oracle: DuckDB re-derives the ENTIRE signature independently —
+    * FNV-1a 64-bit per token occurrence in HUGEINT modular arithmetic
+    * (the xor only touches the low 16 bits because Scala hashes UTF-16
+    * code units, all ≤ 0xFFFF on the BMP), per-bit ±1 votes, the
+    * signature as a 64-char bit string, the same 4×16-bit pigeonhole
+    * bands, and a character-wise Hamming count. An exact cross-check of
+    * the custom codegen expression against a second implementation. */
   private def q32(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashCandidates(s, Tables.documents(s, dir), maxHamming = 12)
       .orderBy("doc_a", "doc_b")
+
+  private val q32Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |),
+      |th AS (
+      |  SELECT doc_id,
+      |    bin(list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |        list_transform(range(length(tok)), i ->
+      |          CAST(unicode(substr(tok, CAST(i+1 AS INTEGER), 1)) AS HUGEINT))),
+      |      (h, c) -> ((h - (h % 65536) + xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)))
+      |                 * 1099511628211) % 18446744073709551616)) AS bn
+      |  FROM toks
+      |),
+      |bits AS (
+      |  SELECT doc_id, bb.b,
+      |    SUM(CASE WHEN length(bn) > bb.b
+      |         AND substr(bn, CAST(length(bn) - bb.b AS INTEGER), 1) = '1'
+      |        THEN 1 ELSE -1 END) AS vote
+      |  FROM th, (SELECT unnest(range(64)) AS b) bb
+      |  GROUP BY doc_id, bb.b
+      |),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS s
+      |  FROM bits GROUP BY doc_id
+      |),
+      |banded AS (
+      |  SELECT doc_id, s, bb.band,
+      |    substr(s, CAST(49 - 16*bb.band AS INTEGER), 16) AS key
+      |  FROM sigs, (SELECT unnest(range(4)) AS band) bb
+      |),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  CAST(len(list_filter(range(64), i ->
+      |    substr(sa, CAST(i+1 AS INTEGER), 1) <> substr(sb, CAST(i+1 AS INTEGER), 1)))
+      |    AS INTEGER) AS hamming
+      |FROM cands
+      |WHERE len(list_filter(range(64), i ->
+      |    substr(sa, CAST(i+1 AS INTEGER), 1) <> substr(sb, CAST(i+1 AS INTEGER), 1))) <= 12
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q33
   /** LSH-bucketed ANN over the embeddings table (scale path of q21). */
@@ -287,7 +341,7 @@ object Pipelines {
     QueryDef("q45_sql_interface", q45, Some(q45Sql)),
     QueryDef("q30_doc_recommend", q30, None),
     QueryDef("q31_minhash_pairs", q31, Some(q31Sql)),
-    QueryDef("q32_simhash_pairs", q32, None),
+    QueryDef("q32_simhash_pairs", q32, Some(q32Sql)),
     QueryDef("q33_ann_lsh", q33, None),
     QueryDef("q35_sketches", q35, None),
     QueryDef("q42_ivf_knn", q42, None),
