@@ -5,7 +5,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -88,7 +88,11 @@ object Similarity {
     for (_ <- 0 until lloydIters) {
       val means = assignLists(df.select(col(vecCol)), vecCol, cents)
         .select(col("list"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("list", "pos").agg(avg(col("x")).as("m"))
+        // exact decimal mean: a double avg's partial sums round
+        // differently per partitioning, which would make the centroids
+        // — and therefore q42's probe selection — partition-dependent
+        .groupBy("list", "pos")
+        .agg(avg(col("x").cast(DecimalType(38, 28))).cast(DoubleType).as("m"))
         .collect()
         .groupBy(_.getAs[Int]("list"))
         .map { case (l, rows) =>
