@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.feature.{CountVectorizer, IDF, Normalizer}
+import org.apache.spark.ml.feature.{CountVectorizer, HashingTF, IDF, Normalizer}
 import org.apache.spark.sql.DataFrame
 
 /** Stage 4 of the reference pipeline: TF-IDF + L2 normalization
@@ -43,5 +43,29 @@ object Vectorize {
     val model = pipeline(cfg).fit(cached)
     val out = model.transform(cached).drop("tags", "tags_str", "tags_lemmatized", "features")
     (model, out)
+  }
+
+  /** Scale-path twin of [[apply]]: HashingTF keeps the term→index map
+    * implicit (a hash), so there is NO driver-materialized vocabulary.
+    * CountVectorizer.fit collects the vocab array to the driver — the
+    * one non-distributed artifact of the reference pipeline, and the
+    * first thing to break at 100 TB corpus vocabulary sizes. This path
+    * has one wide stage (IDF's doc-frequency tree aggregation) instead
+    * of two. Trade: hash collisions fold terms together (rare at the
+    * 2^18 default) and there's no minDF vocabulary pruning — IDF's
+    * minDocFreq still zeroes ultra-rare terms' weights. */
+  def hashingTfIdf(df: DataFrame, inputCol: String = "tags_lemmatized",
+      numFeatures: Int = 1 << 18, minDocFreq: Int = 3): (PipelineModel, DataFrame) = {
+    val tf = new HashingTF()
+      .setInputCol(inputCol).setOutputCol("raw_features")
+      .setNumFeatures(numFeatures)
+    val idf = new IDF()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setMinDocFreq(minDocFreq)
+    val norm = new Normalizer()
+      .setInputCol("features").setOutputCol("norm_features").setP(2.0)
+    val cached = df.cache()
+    val model = new Pipeline().setStages(Array(tf, idf, norm)).fit(cached)
+    (model, model.transform(cached).drop("raw_features", "features"))
   }
 }

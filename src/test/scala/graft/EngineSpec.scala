@@ -89,4 +89,21 @@ class EngineSpec extends AnyFunSuite {
       s"bucketed join must not shuffle orders:\n$plan")
     assert(joined.count() > 0)
   }
+  test("Sql.registerTables caches per (session, sfDir) and re-registers on change") {
+    val d001 = "/root/testdata/sf0.001"
+    val d01 = "/root/testdata/sf0.01"
+    graft.engine.Sql.registerTables(spark, d001)
+    val n1 = spark.table("documents").count()
+    // same dir: cached registration must keep serving the same views
+    graft.engine.Sql.registerTables(spark, d001)
+    assert(spark.table("documents").count() === n1)
+    // different dir: must re-register, not serve stale views
+    graft.engine.Sql.registerTables(spark, d01)
+    val n2 = spark.table("documents").count()
+    assert(n1 === 500L && n2 === 500L)
+    assert(spark.table("lineitem").count() !==
+      graft.engine.Sql.query(spark, d001, "SELECT COUNT(*) c FROM lineitem")
+        .collect().head.getLong(0))
+  }
+
 }
