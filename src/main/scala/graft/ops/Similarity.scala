@@ -21,11 +21,14 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as double — sequential left fold, deterministic. */
+  /** Σ aᵢ·bᵢ as double — sequential left fold, deterministic. One
+    * imperative codegen pass ([[DotExpr]]), bit-identical to the
+    * zip_with+aggregate HOF form but with zero per-evaluation
+    * allocation — this is the innermost operation of every pair
+    * verification and scan in the similarity stack. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.engine.Columns.ofExpr(DotExpr(
+      graft.engine.Columns.exprOf(a), graft.engine.Columns.exprOf(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

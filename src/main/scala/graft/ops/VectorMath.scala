@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Σ aᵢ·bᵢ over two numeric arrays (float or double elements) in one
+  * imperative pass, as double.
+  *
+  * Replaces `aggregate(zip_with(a, b, (x, y) => x.cast(D) * y.cast(D)),
+  * 0.0, _ + _)`, which materializes the zipped product array per
+  * evaluation — in the pair-verification joins (q22's probe pass,
+  * q43's candidate verify) that is one allocation per candidate PAIR.
+  * This walks both arrays with zero intermediate allocation.
+  *
+  * Bit-compatible with the HOF form: each element is widened to double
+  * exactly as `cast` does, then multiplied and accumulated left to
+  * right from 0.0 — the identical IEEE operation sequence, so swapping
+  * it in changes no query output.
+  */
+case class DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def floatElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_dot needs array<float|double> input, got $other")
+  }
+  @transient private lazy val leftFloat = floatElems(left)
+  @transient private lazy val rightFloat = floatElems(right)
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = leftFloat
+    val rf = rightFloat
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftDot", this)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+}
