@@ -68,10 +68,10 @@ object Similarity {
   final case class IvfModel(centroids: IndexedSeq[Seq[Double]])
 
   /** Squared Euclidean distance of a vector column to a literal
-    * centroid — one codegen'd fold, no UDF. */
+    * centroid — one imperative codegen pass ([[SqDistExpr]]). */
   private def sqDistTo(v: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(v, typedlit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.engine.Columns.ofExpr(SqDistExpr(
+      graft.engine.Columns.exprOf(v), graft.engine.Columns.exprOf(typedlit(c))))
 
   /** Native seeded centroid fit (hash-sampled seeds + a few Lloyd
     * passes), shared by [[fitIvf]] and [[nearestSameLabelIvf]] — an
@@ -225,8 +225,8 @@ object Similarity {
       cents.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("c_list", "centroid")
     def eucl(a: Column, c: Column): Column =
-      sqrt(aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x))
+      sqrt(graft.engine.Columns.ofExpr(SqDistExpr(
+        graft.engine.Columns.exprOf(a), graft.engine.Columns.exprOf(c))))
 
     // per-(block, list) radius over members of THAT block only
     val listStats = assigned

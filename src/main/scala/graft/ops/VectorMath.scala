@@ -62,3 +62,52 @@ case class DotExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Σ (aᵢ−bᵢ)² over two numeric arrays, as double — the companion of
+  * [[DotExpr]] for Euclidean geometry (centroid assignment evaluates
+  * this nLists times per row). Same bit-compatibility argument: widen,
+  * subtract, square, accumulate left to right from 0.0. */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+
+  private def floatElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_sqdist needs array<float|double> input, got $other")
+  }
+  @transient private lazy val leftFloat = floatElems(left)
+  @transient private lazy val rightFloat = floatElems(right)
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    val lf = leftFloat
+    val rf = rightFloat
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSqDist", this)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
