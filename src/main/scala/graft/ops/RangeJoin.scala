@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed range join (point-in-interval): every point row joins
+  * the interval rows whose [start, end) contains it.
+  *
+  * Spark has no range-join optimization — a naive
+  * `p >= start AND p < end` join plans as BroadcastNestedLoopJoin (or
+  * a cartesian), which is quadratic row traffic at scale. Here the
+  * range predicate becomes an EQUI key: time is cut into fixed-width
+  * buckets, each interval explodes into the buckets it covers, each
+  * point lands in exactly one bucket, and the bucket equi-join (hash
+  * shuffle, AQE-eligible) is followed by the exact range filter.
+  *
+  * A point matches an interval in exactly one bucket — its own — so
+  * no post-join dedup is needed. Shuffle volume is |points| +
+  * |intervals| × (interval width / bucketWidth + 1) narrow rows;
+  * choose `bucketWidth` ≈ the typical interval width so intervals
+  * cover ≤ 2 buckets. Degenerate very-long intervals fan out
+  * proportionally — cap them upstream or route them through a
+  * broadcast side-join.
+  *
+  * Precondition: the join domain is non-negative (epoch
+  * seconds/days/ids) — `div` truncates toward zero, which only equals
+  * floor-bucketing for non-negative values.
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"point/interval column names collide: ${shared.mkString(", ")}")
+    val p = points.withColumn("__rjb",
+      expr(s"CAST($pointCol AS LONG) div $bucketWidth"))
+    val i = intervals
+      .filter(col(startCol) < col(endCol)) // empty intervals match nothing
+      .withColumn("__rjb", explode(sequence(
+        expr(s"CAST($startCol AS LONG) div $bucketWidth"),
+        expr(s"(CAST($endCol AS LONG) - 1) div $bucketWidth"))))
+    p.join(i, Seq("__rjb"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__rjb")
+  }
+}

@@ -351,7 +351,40 @@ object Relational3 {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Range join (point-in-interval): per order, how many lineitems —
+    * ANY order's — shipped inside the week after its order date. The
+    * range predicate runs as a bucketized equi-join
+    * ([[graft.ops.RangeJoin]]); a naive inequality join would plan as
+    * BroadcastNestedLoopJoin. Oracle: DuckDB evaluates the inequality
+    * join directly. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L
+    // NTZ → LTZ → epoch seconds: a session-timezone shift moves both
+    // sides of the comparison equally, so the join is TZ-invariant
+    val orderS = col("o_orderdate").cast("timestamp").cast("long")
+    val intervals = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      orderS.as("w_start"),
+      (orderS + week).as("w_end"))
+    val points = Tables.lineitem(s, dir)
+      .select(col("l_shipdate").cast("timestamp").cast("long").as("ship_s"))
+    graft.ops.RangeJoin.pointInInterval(points, intervals,
+      "ship_s", "w_start", "w_end", bucketWidth = week)
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q60Sql =
+    """SELECT o.o_orderkey, COUNT(*) AS n_shipped
+      |FROM orders o JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+      |GROUP BY 1
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q60_range_join", q60, Some(q60Sql)),
     QueryDef("q59_sessionize", q59, Some(q59Sql)),
     QueryDef("q58_histogram", q58, Some(q58Sql)),
     QueryDef("q57_gap_fill", q57, Some(q57Sql)),
