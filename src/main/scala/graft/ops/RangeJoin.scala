@@ -46,4 +46,42 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__rjb")
   }
+
+  /** Interval-overlap join: pairs where [s1, e1) ∩ [s2, e2) ≠ ∅
+    * (i.e. s1 < e2 AND s2 < e1), as a bucket equi-join.
+    *
+    * Both sides explode into covered buckets. A pair can now collide
+    * in MANY buckets, but its overlap region begins at max(s1, s2) —
+    * so keeping only the collision in the bucket containing that point
+    * emits each pair exactly once WITHOUT a distinct shuffle (the
+    * usual dedup pass other bucketized overlap joins pay). */
+  /** `extraKeys` (leftCol, rightCol) pairs join INSIDE the bucket
+    * equi-join — e.g. a user/customer key — so co-keyed blocking
+    * happens in the exchange, not as a post-join filter over
+    * every-pair-per-bucket. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketWidth: Long,
+      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left/right column names collide: ${shared.mkString(", ")}")
+    def banded(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(s) < col(e))
+      .withColumn("__rjb", explode(sequence(
+        expr(s"CAST($s AS LONG) div $bucketWidth"),
+        expr(s"(CAST($e AS LONG) - 1) div $bucketWidth"))))
+    val l = banded(left, leftStart, leftEnd).alias("l")
+    val r = banded(right, rightStart, rightEnd).alias("r")
+    val cond = extraKeys.foldLeft(col("l.__rjb") === col("r.__rjb")) {
+      case (c, (lk, rk)) => c && col(s"l.$lk") === col(s"r.$rk")
+    }
+    l.join(r, cond)
+      .filter(col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd))
+      .filter(col("l.__rjb") ===
+        expr(s"CAST(greatest($leftStart, $rightStart) AS LONG) div $bucketWidth"))
+      .drop("__rjb")
+  }
 }

@@ -390,7 +390,35 @@ object Relational3 {
       |GROUP BY 1
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Interval-overlap join: same-customer order pairs whose first-week
+    * windows overlap — bucketized with the customer key inside the
+    * equi-join and the max(start)-bucket trick instead of a distinct
+    * pass ([[graft.ops.RangeJoin.intervalOverlap]]). */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L
+    val oS = col("o_orderdate").cast("timestamp").cast("long")
+    def side(suffix: String): DataFrame = Tables.orders(s, dir).select(
+      col("o_custkey").as(s"cust_$suffix"), col("o_orderkey").as(s"key_$suffix"),
+      oS.as(s"s_$suffix"), (oS + week).as(s"e_$suffix"))
+    graft.ops.RangeJoin.intervalOverlap(side("a"), side("b"),
+        "s_a", "e_a", "s_b", "e_b", bucketWidth = week,
+        extraKeys = Seq(("cust_a", "cust_b")))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("cust_a").as("o_custkey"), col("key_a"), col("key_b"))
+      .orderBy("o_custkey", "key_a", "key_b")
+  }
+
+  private val q61Sql =
+    """SELECT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      | AND a.o_orderdate < b.o_orderdate + INTERVAL 7 DAY
+      | AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+      |ORDER BY a.o_custkey, key_a, key_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q61_interval_overlap", q61, Some(q61Sql)),
     QueryDef("q60_range_join", q60, Some(q60Sql)),
     QueryDef("q59_sessionize", q59, Some(q59Sql)),
     QueryDef("q58_histogram", q58, Some(q58Sql)),

@@ -43,4 +43,33 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+  test("interval-overlap join equals the naive cross-join filter, pairs exactly once") {
+    val l = Seq((1L, 0L, 10L), (2L, 5L, 25L), (3L, 30L, 31L), (4L, 40L, 40L))
+      .toDF("lid", "ls", "le")
+    val r = Seq((10L, 8L, 12L), (20L, 24L, 40L), (30L, 0L, 100L))
+      .toDF("rid", "rs", "re")
+    for (w <- Seq(1L, 7L, 16L, 1000L)) {
+      val rows = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      // s1<e2 ∧ s2<e1 alone would count the empty [40,40) as
+      // overlapping — true ∩≠∅ semantics excludes empty intervals
+      val naive = l.crossJoin(r)
+        .filter(col("ls") < col("le") && col("rs") < col("re") &&
+          col("ls") < col("re") && col("rs") < col("le"))
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(rows.toSet === naive, s"bucketWidth=$w")
+      assert(rows.size === rows.toSet.size, s"duplicate pairs at bucketWidth=$w")
+      assert(naive.nonEmpty)
+    }
+  }
+
+  test("interval-overlap extra equi keys restrict pairs inside the join") {
+    val l = Seq((1L, 7L, 0L, 10L), (2L, 8L, 0L, 10L)).toDF("lid", "lk", "ls", "le")
+    val r = Seq((10L, 7L, 5L, 15L), (20L, 8L, 5L, 15L)).toDF("rid", "rk", "rs", "re")
+    val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", 4L,
+        extraKeys = Seq(("lk", "rk")))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 20L)))
+  }
+
 }
