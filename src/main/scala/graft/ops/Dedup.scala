@@ -343,6 +343,45 @@ object Dedup {
     exact.join(losers, exact(idCol) === losers("__loser"), "left_anti")
   }
 
+  // ----------------------------------------------- decontamination
+  /** Benchmark decontamination scores: for every corpus document, the
+    * number of distinct word n-grams it shares with ANY document of a
+    * reference (eval/benchmark) set.
+    *
+    * Scale shape: the reference set is small by nature (benchmarks),
+    * so its distinct n-gram hashes BROADCAST; the corpus streams
+    * through one broadcast hash join of 8-byte gram hashes plus one
+    * per-doc count — the corpus text itself never shuffles. Grams are
+    * compared via xxhash64 (set sizes are hash-invariant modulo
+    * ~1e-10 collisions, same argument as [[minhashPairs]]). */
+  def contaminationScores(corpus: DataFrame, ref: DataFrame,
+      shingleSize: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def gramHashes(df: DataFrame) = df
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= shingleSize)
+      .select(col(idCol),
+        explode(transform(wordNgrams(col("__toks"), shingleSize),
+          g => xxhash64(g))).as("__g"))
+    val refGrams = gramHashes(ref).select("__g").distinct()
+    gramHashes(corpus)
+      .join(broadcast(refGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Drop corpus documents sharing at least `minOverlap` distinct
+    * n-grams with the reference set (the C4/Pile-style "remove
+    * training docs that leak the benchmark" step). */
+  def decontaminate(corpus: DataFrame, ref: DataFrame,
+      shingleSize: Int = 3, minOverlap: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bad = contaminationScores(corpus, ref, shingleSize, idCol, textCol)
+      .filter(col("n_shared_grams") >= minOverlap)
+      .select(col(idCol).as("__bad_id"))
+    corpus.join(bad, corpus(idCol) === col("__bad_id"), "left_anti")
+  }
+
   // ------------------------------------------------- embedding cosine
   /** Nearest same-label neighbor per vector by cosine (block join +
     * windowed argmax). At scale, replace the block join with

@@ -117,4 +117,32 @@ object TextStats {
       predictedLang(t).as("lang_pred"),
       bagFingerprint(t).as("fingerprint"))
   }
+  /** Gopher-style repetition signals over word n-grams (default
+    * bigrams): total/top-gram/duplicate-gram fractions per document.
+    * Deliberately DOC-LOCAL: the per-gram counting runs as
+    * higher-order functions inside the row (O(distinct·total) per
+    * document) instead of an explode + two shuffles of every gram in
+    * the corpus — repetition is a per-document property, so at 100 TB
+    * this stays map-only while the shuffle formulation moves the
+    * entire token stream through an exchange twice. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 2): DataFrame = {
+    val grams = transform(
+      sequence(lit(0), size(col("__toks")) - n),
+      i => concat_ws(" ", (0 until n).map(j =>
+        element_at(col("__toks"), i + j + 1)): _*))
+    val total = size(col("__grams")).cast(LongType)
+    val distinctN = size(array_distinct(col("__grams"))).cast(LongType)
+    val maxCount = array_max(transform(array_distinct(col("__grams")),
+      g => size(filter(col("__grams"), x => x === g))))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), grams.as("__grams"))
+      .select(col(idCol),
+        total.as("n_grams"),
+        (maxCount.cast(DoubleType) / total.cast(DoubleType)).as("top_gram_frac"),
+        ((total - distinctN).cast(DoubleType) / total.cast(DoubleType)).as("dup_gram_frac"))
+  }
+
 }

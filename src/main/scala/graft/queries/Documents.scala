@@ -282,7 +282,77 @@ object Documents {
       |GROUP BY lang, label
       |ORDER BY lang, label""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Benchmark decontamination: corpus docs (doc_id % 50 ≠ 0) sharing
+    * ≥ 5 distinct trigrams with the held-out "benchmark" slice
+    * (doc_id % 50 = 0). Oracle recomputes the overlap with string
+    * grams — hash-invariant set sizes, q31's argument. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Dedup.contaminationScores(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+      .filter(col("n_shared_grams") >= 5)
+      .orderBy("doc_id")
+  }
+
+  private val q62Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |ref AS (
+      |  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 50 = 0
+      |),
+      |hits AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_shared_grams
+      |  FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 50 <> 0) c
+      |  JOIN ref USING (gram)
+      |  GROUP BY c.doc_id
+      |)
+      |SELECT doc_id, n_shared_grams FROM hits
+      |WHERE n_shared_grams >= 5
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Gopher-style repetition signals (bigram totals, top-bigram and
+    * duplicate-bigram fractions) — doc-local HOFs, map-only. */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.repetitionStats(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val q63Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2]) AS gr
+      |  FROM t WHERE len(tk) >= 2
+      |),
+      |s AS (
+      |  SELECT doc_id,
+      |    len(gr) AS n_total,
+      |    len(list_distinct(gr)) AS n_distinct,
+      |    list_max(list_transform(list_distinct(gr),
+      |      d -> len(list_filter(gr, x -> x = d)))) AS max_count
+      |  FROM g
+      |)
+      |SELECT doc_id,
+      |  CAST(n_total AS BIGINT) AS n_grams,
+      |  CAST(max_count AS DOUBLE) / CAST(n_total AS DOUBLE) AS top_gram_frac,
+      |  CAST(n_total - n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE) AS dup_gram_frac
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q62_decontaminate", q62, Some(q62Sql)),
+    QueryDef("q63_repetition", q63, Some(q63Sql)),
     QueryDef("q48_chunking", q48, Some(q48Sql)),
     QueryDef("q49_masking", q49, Some(q49Sql)),
     QueryDef("q50_dataset_split", q50, Some(q50Sql)),

@@ -365,4 +365,33 @@ class OpsSpec extends AnyFunSuite {
       assert(got(id) === expected.toLong, s"id=$id")
     }
   }
+  test("decontaminate removes docs overlapping the reference set") {
+    val ref = docs.filter(col("doc_id") === 0L)
+    val corpus = docs.filter(col("doc_id") =!= 0L)
+    val scores = Dedup.contaminationScores(corpus, ref, shingleSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_grams")).toMap
+    // doc 2 is an exact copy of ref doc 0: every bigram shared
+    assert(scores(2L) >= 7L)
+    // doc 1 differs only in the last word: all but the final bigrams shared
+    assert(scores(1L) >= 6L)
+    assert(!scores.contains(4L), "German doc shares no bigrams")
+    val kept = Dedup.decontaminate(corpus, ref, shingleSize = 2, minOverlap = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(3L, 4L))
+  }
+
+  test("repetitionStats computes exact bigram repetition fractions") {
+    val df = Seq(
+      (0L, "a b a b a b"),     // bigrams: ab ba ab ba ab -> total 5, distinct 2, max 3
+      (1L, "w x y z"),          // total 3, all distinct
+      (2L, "solo")              // < 2 tokens: filtered out
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextStats.repetitionStats(df)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("top_gram_frac"), r.getAs[Double]("dup_gram_frac")))).toMap
+    assert(got(0L) === ((5L, 3.0 / 5.0, 3.0 / 5.0)))
+    assert(got(1L) === ((3L, 1.0 / 3.0, 0.0)))
+    assert(!got.contains(2L))
+  }
+
 }
