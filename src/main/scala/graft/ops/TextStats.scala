@@ -117,6 +117,20 @@ object TextStats {
       predictedLang(t).as("lang_pred"),
       bagFingerprint(t).as("fingerprint"))
   }
+  /** GPT-2-pre-tokenizer-style classes: contraction suffixes, letter
+    * runs, digit runs, punctuation runs. No lookbehind and leftmost
+    * alternation only, so Java regex (Spark codegen) and RE2 (the
+    * DuckDB oracle) agree. */
+  val bpeishPattern: String =
+    """'(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"""
+
+  /** BPE-ish token-count estimate — the subword-aware twin of
+    * [[tokenCount]] for budget estimation (real BPE merges need a
+    * vocab; the pre-tokenizer split is the stable upper-bound proxy).
+    * Map-only, codegen'd. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeishPattern)).cast(LongType)
+
   /** Gopher-style repetition signals over word n-grams (default
     * bigrams): total/top-gram/duplicate-gram fractions per document.
     * Deliberately DOC-LOCAL: the per-gram counting runs as

@@ -350,7 +350,32 @@ object Documents {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Token budgeting: whitespace vs BPE-ish (pre-tokenizer regex)
+    * counts per document — the cost model for training-token
+    * estimation. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextStats.tokenCount(t).as("n_ws_tokens"),
+      TextStats.bpeishTokenCount(t).as("n_bpeish_tokens"),
+      (TextStats.bpeishTokenCount(t).cast("double") /
+        TextStats.tokenCount(t).cast("double")).as("subword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val q64Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpeish_tokens,
+      |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS subword_ratio
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_token_budget", q64, Some(q64Sql)),
     QueryDef("q62_decontaminate", q62, Some(q62Sql)),
     QueryDef("q63_repetition", q63, Some(q63Sql)),
     QueryDef("q48_chunking", q48, Some(q48Sql)),

@@ -394,4 +394,13 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(2L))
   }
 
+  test("bpeish token count splits contractions, digits and punctuation runs") {
+    val df = Seq((0L, "don't stop 123 x-y!"), (1L, "plain words here")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextStats.bpeishTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // don | 't | stop | 123 | x | - | y | !  -> 8
+    assert(got(0L) === 8L)
+    assert(got(1L) === 3L)
+  }
+
 }
