@@ -235,6 +235,46 @@ object Pipelines {
       |FROM h JOIN feat f ON h.asset_id = f.asset_id
       |ORDER BY h.asset_id""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Multimodal frame sampling end-to-end: binary payloads split into
+    * equal "frames", one FNV signature per frame (the 1-row-in,
+    * n-rows-out generator shape of real frame extraction). Oracle:
+    * DuckDB replays the FNV chunk hashes byte-for-byte in HUGEINT
+    * arithmetic — including the Scala implementation's sign-extending
+    * byte xor — via to_hex byte extraction. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val assets = Multimodal.packAsAssets(Tables.documents(s, dir))
+    Multimodal.sampleFrames(s, assets, n = 4).toDF()
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  private val q65Sql =
+    """WITH f AS (
+      |  SELECT doc_id, lower(to_hex(encode(text))) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |    GREATEST(1, CAST(octet_length(encode(text)) AS BIGINT) // 4) AS chunk,
+      |    unnest(range(4)) AS frame_idx
+      |  FROM documents
+      |),
+      |sigs AS (
+      |  SELECT doc_id, frame_idx,
+      |    list_reduce(
+      |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+      |        list_transform(range(frame_idx*chunk, LEAST(n, frame_idx*chunk + chunk)),
+      |          i -> CAST(16 * (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1)
+      |                 + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS HUGEINT))),
+      |      (h, b) -> ((CAST(xor(
+      |           CAST(h - 18446744073709551616 * (CASE WHEN h >= 9223372036854775808 THEN 1 ELSE 0 END) AS BIGINT),
+      |           CAST(b - 256 * (CASE WHEN b >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+      |         ) AS HUGEINT) + 18446744073709551616) % 18446744073709551616
+      |         * 1099511628211 % 18446744073709551616)) AS usig
+      |  FROM f
+      |)
+      |SELECT doc_id AS asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  CAST(usig - 18446744073709551616 * (CASE WHEN usig >= 9223372036854775808 THEN 1 ELSE 0 END) AS BIGINT) AS frame_signature
+      |FROM sigs ORDER BY asset_id, frame_idx""".stripMargin
+
   // ---------------------------------------------------------------- q45
   /** Full-SQL parser surface over the registered harness views. */
   private def q45(s: SparkSession, dir: String): DataFrame =
@@ -338,6 +378,7 @@ object Pipelines {
     QueryDef("q54_corpus_sketch", q54, None),
     QueryDef("q55_dedup_corpus", q55, Some(q55Sql)),
     QueryDef("q44_multimodal", q44, Some(q44Sql)),
+    QueryDef("q65_frame_samples", q65, Some(q65Sql)),
     QueryDef("q45_sql_interface", q45, Some(q45Sql)),
     QueryDef("q30_doc_recommend", q30, None),
     QueryDef("q31_minhash_pairs", q31, Some(q31Sql)),
