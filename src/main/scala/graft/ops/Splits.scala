@@ -48,4 +48,35 @@ object Splits {
   def stratifiedSample(df: DataFrame, strataCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** [[hashBucket]] generalized to `buckets` cells (same overflow-safe
+    * split multiply). */
+  def hashBucketN(id: Column, buckets: Long): Column = {
+    val base = id.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    val lo = base.bitwiseAND(lit(0xFFFFL))
+    val hi = shiftrightunsigned(base, 16)
+    val k = lit(2654435761L)
+    val prod = pmod(lo * k + shiftleft(pmod(hi * k, lit(65536L)), 16),
+      lit(4294967296L))
+    pmod(prod, lit(buckets))
+  }
+
+  /** Deterministic mixture sampling: keep a row iff its id's hash cell
+    * (out of 10,000) falls under the source's weight — the
+    * reproducible way to blend sources into a training mixture.
+    * Unlike `sample()`/`sampleBy()`, membership is a pure function of
+    * the id: stable across clusters, partitionings and reruns, and an
+    * appended source re-samples consistently. Weights are taken in
+    * 1/10000ths (basis points) of each source's rows; unknown sources
+    * are dropped (weight 0). */
+  def mixtureSample(df: DataFrame, weights: Map[String, Double],
+      sourceCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      "weights must be fractions in [0, 1]")
+    val cell = hashBucketN(col(idCol), 10000L)
+    val keep = weights.foldLeft(lit(false)) { case (acc, (src, w)) =>
+      acc || (col(sourceCol) === src && cell < math.round(w * 10000).toInt)
+    }
+    df.filter(keep)
+  }
 }

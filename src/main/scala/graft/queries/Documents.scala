@@ -374,7 +374,35 @@ object Documents {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Deterministic training-mixture sampling: per-lang hash-cell keep
+    * fractions (en 100%, zh 75%, de 50%, fr 25%, es 10%) — membership
+    * is a pure function of doc_id, so the blend reproduces on any
+    * cluster, partitioning or rerun. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val weights = Map("en" -> 1.0, "zh" -> 0.75, "de" -> 0.5,
+      "fr" -> 0.25, "es" -> 0.1)
+    graft.ops.Splits.mixtureSample(Tables.documents(s, dir), weights)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  private val q66Sql =
+    """SELECT lang, COUNT(*) AS n_kept
+      |FROM (
+      |  SELECT lang,
+      |    ((doc_id * 2654435761) % 4294967296) % 10000 AS cell
+      |  FROM documents) t
+      |WHERE (lang = 'en' AND cell < 10000)
+      |   OR (lang = 'zh' AND cell < 7500)
+      |   OR (lang = 'de' AND cell < 5000)
+      |   OR (lang = 'fr' AND cell < 2500)
+      |   OR (lang = 'es' AND cell < 1000)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q66_mixture_sample", q66, Some(q66Sql)),
     QueryDef("q64_token_budget", q64, Some(q64Sql)),
     QueryDef("q62_decontaminate", q62, Some(q62Sql)),
     QueryDef("q63_repetition", q63, Some(q63Sql)),

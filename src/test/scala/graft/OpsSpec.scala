@@ -403,4 +403,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) === 3L)
   }
 
+  test("mixtureSample keeps deterministic per-source fractions") {
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = graft.ops.Splits.mixtureSample(df,
+        Map("a" -> 1.0, "b" -> 0.25))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val (as, bs) = kept.partition(_._2 == "a")
+    assert(as.size === 1000, "weight 1.0 keeps every row")
+    // ~25% of 1000, hash-cell variance bounded
+    assert(bs.size > 180 && bs.size < 320, s"got ${bs.size}")
+    // determinism: same rows on re-evaluation over a different layout
+    val kept2 = graft.ops.Splits.mixtureSample(df.repartition(7), Map("a" -> 1.0, "b" -> 0.25))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    assert(kept.toSet === kept2.toSet)
+    // unknown source dropped entirely
+    assert(graft.ops.Splits.mixtureSample(df, Map("a" -> 1.0))
+      .filter(col("lang") === "b").count() === 0L)
+  }
+
 }
