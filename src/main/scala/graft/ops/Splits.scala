@@ -23,15 +23,7 @@ object Splits {
     * every id < 2^32 (and defined, stable output beyond), because
     * (a·K) mod 2^32 depends only on a mod 2^32:
     * lo·K + ((hi·K mod 2^16) << 16) ≡ (lo + hi·2^16)·K  (mod 2^32). */
-  def hashBucket(id: Column): Column = {
-    val base = id.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
-    val lo = base.bitwiseAND(lit(0xFFFFL))
-    val hi = shiftrightunsigned(base, 16)
-    val k = lit(2654435761L)
-    val prod = pmod(lo * k + shiftleft(pmod(hi * k, lit(65536L)), 16),
-      lit(4294967296L))
-    pmod(prod, lit(100L))
-  }
+  def hashBucket(id: Column): Column = hashBucketN(id, 100L)
 
   /** Stable named split from cumulative percentage cuts, e.g.
     * train/val/test at 80/10/10 → cuts (80, 90). */

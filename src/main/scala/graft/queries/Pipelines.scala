@@ -41,6 +41,36 @@ object Pipelines {
       .orderBy("distance", "doc_id")
   }
 
+  // ---------------------------------------------------------------- q67
+  /** The flagship recommendation query on the HashingTF scale path:
+    * identical prep + LSH, but the term→index map is a hash instead of
+    * a driver-collected CountVectorizer vocabulary — one wide fit
+    * (IDF) instead of two, and nothing driver-materialized grows with
+    * corpus vocabulary. Rows-only like q30 (MLlib fits); the
+    * hashing-vs-vocab geometry agreement is spec-checked in
+    * VectorizeSpec. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tags", split(col("text"), "\\s+"))
+      .withColumnRenamed("doc_id", "id")
+    val prepped = TextPrep.prepare(s, docs)
+    // Hash space sized by load factor, not a magic default: IDF's fit
+    // aggregate and the LSH hyperplanes are DENSE in numFeatures, so
+    // size ~100× the expected vocabulary (this corpus: 31 distinct
+    // tokens → 2^12; a 100 TB web corpus → 2^20+). Expect this twin to
+    // trail q30 at toy scale — the corpus vocabulary is so small that
+    // the CountVectorizer path is nearly free here; the hashing path's
+    // payoff is the absent driver vocabulary when terms number in the
+    // billions (measured: the gap does NOT come from numFeatures — 2^6
+    // and 2^16 bench within noise of each other).
+    val (_, vectorized0) = Vectorize.hashingTfIdf(prepped, numFeatures = 1 << 12)
+    val vectorized = vectorized0.cache()
+    val model = Recommender.fit(vectorized)
+    Recommender.neighbors(model, vectorized, "id", 0L, 10)
+      .select(col("id").as("doc_id"), col("distance"))
+      .orderBy("distance", "doc_id")
+  }
+
   // ---------------------------------------------------------------- q31
   /** Banded-MinHash near-dup candidate pairs over trigram shingles.
     * Trigrams (not bigrams) because the corpus vocabulary is tiny:
@@ -381,6 +411,7 @@ object Pipelines {
     QueryDef("q65_frame_samples", q65, Some(q65Sql)),
     QueryDef("q45_sql_interface", q45, Some(q45Sql)),
     QueryDef("q30_doc_recommend", q30, None),
+    QueryDef("q67_recommend_hashed", q67, None),
     QueryDef("q31_minhash_pairs", q31, Some(q31Sql)),
     QueryDef("q32_simhash_pairs", q32, Some(q32Sql)),
     QueryDef("q33_ann_lsh", q33, None),
