@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHashExpr(exprs.head)))
+    // Rewrites naive point-in-interval inequality joins (which Spark
+    // plans as BroadcastNestedLoopJoin) into bucketized equi-joins;
+    // no-op until spark.graft.rangeJoin.bucketWidth is set.
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule())
   }
 }
