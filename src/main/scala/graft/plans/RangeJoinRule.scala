@@ -80,8 +80,12 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString(confKey, "").trim
     if (width.isEmpty) return plan
-    val w = width.toLong
-    require(w > 0, s"$confKey must be a positive long, got $w")
+    // a malformed width must not take down every query on the session —
+    // degrade to a no-op with a log line instead of throwing mid-optimize
+    val w = scala.util.Try(width.toLong).toOption.filter(_ > 0).getOrElse {
+      logWarning(s"$confKey='$width' is not a positive long; range-join rewrite disabled")
+      return plan
+    }
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         decompose(cond) match {
