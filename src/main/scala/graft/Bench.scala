@@ -33,11 +33,15 @@ object Bench {
       spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // failed queries' times are time-to-exception, not measurements —
+    // keep them out of both the map and the total so a fast failure
+    // can never read as a speedup
+    val ok = results.filterNot { case (k, _) => failures.contains(k) }
     // slowest first: regressions visible at a glance
-    val qs = results.toSeq.sortBy(-_._2)
+    val qs = ok.toSeq.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()

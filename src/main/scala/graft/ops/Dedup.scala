@@ -294,9 +294,15 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
     val vertices = edges.select(col("src").as("id")).distinct()
-    var labels = vertices.withColumn("cluster", col("id")).cache()
+    // `held` tracks the ACTUAL cached/checkpointed frame: unpersisting
+    // a derived projection (labels = held.drop(...)) would be a no-op
+    // because the cache entry is keyed on the materialized plan, and
+    // up to maxIter label frames would pile up in executor storage.
+    var held = vertices.withColumn("cluster", col("id")).cache()
+    var labels = held
     var converged = false
     var iter = 0
+    val sc = pairs.sparkSession.sparkContext
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
@@ -308,14 +314,19 @@ object Dedup {
         .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
       // Cut lineage every few rounds: without it the plan chains on
-      // every previous round's frame, the DAG deepens linearly, and a
-      // lost executor recomputes the whole history. localCheckpoint
-      // materializes (id, prev, cluster) longs — cheap — and restarts
-      // the lineage there.
+      // every previous round's frame and the DAG deepens linearly.
+      // Prefer a RELIABLE checkpoint when a checkpoint dir is set (a
+      // lost executor can reload it); localCheckpoint blocks die with
+      // their executor, so it is the local-mode/driver-resilient
+      // fallback, not a fault-tolerance feature.
       val updated =
-        if (iter % 3 == 2) joined.localCheckpoint() else joined.cache()
+        if (iter % 3 == 2) {
+          if (sc.getCheckpointDir.isDefined) joined.checkpoint()
+          else joined.localCheckpoint()
+        } else joined.cache()
       val changes = updated.filter(col("cluster") =!= col("prev")).count()
-      labels.unpersist()
+      held.unpersist()
+      held = updated
       labels = updated.drop("prev")
       converged = changes == 0
       iter += 1

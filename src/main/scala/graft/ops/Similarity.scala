@@ -93,9 +93,12 @@ object Similarity {
         .select(col("list"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         // exact decimal mean: a double avg's partial sums round
         // differently per partitioning, which would make the centroids
-        // — and therefore q42's probe selection — partition-dependent
+        // — and therefore q42's probe selection — partition-dependent.
+        // 18 fractional digits keep the mean deterministic while the 20
+        // integer digits absorb ~1e19 summed magnitude — no overflow-
+        // to-null even at full-corpus list sizes
         .groupBy("list", "pos")
-        .agg(avg(col("x").cast(DecimalType(38, 28))).cast(DoubleType).as("m"))
+        .agg(avg(col("x").cast(DecimalType(38, 18))).cast(DoubleType).as("m"))
         .collect()
         .groupBy(_.getAs[Int]("list"))
         .map { case (l, rows) =>
@@ -205,11 +208,17 @@ object Similarity {
   def nearestSameLabelIvf(embeddings: DataFrame, nLists: Int = 16,
       seed: Long = 42L, lloydIters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", blockCol: String = "label"): DataFrame = {
+    // Unit vectors drive ASSIGNMENT and the triangle bounds (where the
+    // Euclidean↔cosine correspondence needs the unit sphere); the
+    // ranking cosine itself is computed as dot(a,b)/(‖a‖·‖b‖) over the
+    // RAW vectors — the literally-same expression shape as the
+    // brute-force twin [[Dedup.nearestSameLabel]], so FP rounding can
+    // never order a near-tie differently between the two operators.
     val unit = embeddings
       .select(col(idCol), col(blockCol), col(vecCol),
         l2Norm(col(vecCol)).as("nrm"))
-      .select(col(idCol), col(blockCol),
-        transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")).as("unit"))
+      .withColumn("unit",
+        transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")))
       .cache()
 
     // Native list fit (see fitCentroids): centroid QUALITY only affects
@@ -218,7 +227,8 @@ object Similarity {
     // fixed-cost MLlib jobs per invocation.
     val cents = fitCentroids(unit, "unit", idCol, nLists, seed, lloydIters)
     val assigned = assignLists(unit, "unit", cents)
-      .select(col(idCol), col(blockCol), col("unit"), col("list"))
+      .select(col(idCol), col(blockCol), col(vecCol), col("nrm"),
+        col("unit"), col("list"))
       .cache()
     val spark = embeddings.sparkSession
     val centroids = spark.createDataFrame(
@@ -242,7 +252,8 @@ object Similarity {
           col("a.list") === col("b.list") &&
           col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("qid"), col(s"b.$idCol").as("cand"),
-        dot(col("a.unit"), col("b.unit")).as("cos"))
+        (dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
     val best1 = pairs1.groupBy("qid").agg(max(col("cos")).as("best_cos"))
 
     // probe decision: broadcast-join each vector against every OTHER
@@ -261,14 +272,15 @@ object Similarity {
       .filter(eucl(col("unit"), col("centroid")) - col("radius") <
         col("d1") + lit(eps))
       .select(col(idCol).as("pid"), col(blockCol).as("p_block"),
-        col("unit").as("p_unit"), col("c_list").as("p_list"))
+        col(vecCol).as("p_vec"), col("nrm").as("p_nrm"), col("c_list").as("p_list"))
 
     // pass 2: exact cosine against members of the qualifying lists
     val m = assigned.alias("m")
     val pairs2 = probes.join(m,
         col("p_block") === col(s"m.$blockCol") && col("p_list") === col("m.list"))
       .select(col("pid").as("qid"), col(s"m.$idCol").as("cand"),
-        dot(col("p_unit"), col("m.unit")).as("cos"))
+        (dot(col("p_vec"), col(s"m.$vecCol")) /
+          (col("p_nrm") * col("m.nrm"))).as("cos"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand"))
     pairs1.union(pairs2)

@@ -19,10 +19,12 @@ object Splits {
     * so it can never overflow a long: a naive `id * 2654435761` throws
     * ARITHMETIC_OVERFLOW under ANSI mode once ids pass ~3.5e9, which
     * breaks the "stable on any cluster, any day" contract exactly when
-    * the corpus gets big. Identical values to the naive formula for
-    * every id < 2^32 (and defined, stable output beyond), because
-    * (a·K) mod 2^32 depends only on a mod 2^32:
-    * lo·K + ((hi·K mod 2^16) << 16) ≡ (lo + hi·2^16)·K  (mod 2^32). */
+    * the corpus gets big. Matches the exact mathematical formula
+    * ((id mod 2^32)·K mod 2^32) mod buckets — the one the SQL oracles
+    * compute — for EVERY id, because
+    * lo·K + ((hi·K mod 2^16) << 16) ≡ (lo + hi·2^16)·K  (mod 2^32).
+    * (The previous naive-multiply code could never have produced
+    * persisted splits for ids ≥ ~3.5e9: ANSI mode made it throw.) */
   def hashBucket(id: Column): Column = hashBucketN(id, 100L)
 
   /** Stable named split from cumulative percentage cuts, e.g.

@@ -16,14 +16,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Bit-compatible with the HOF form: each element is widened to double
   * exactly as `cast` does, then multiplied and accumulated left to
-  * right from 0.0 — the identical IEEE operation sequence, so swapping
-  * it in changes no query output.
+  * right from 0.0 — the identical IEEE operation sequence — and a
+  * length mismatch returns NULL, matching zip_with's null-padding
+  * semantics (a corrupt/truncated vector must surface as null, not
+  * silently rank with a partial sum).
   */
 case class DotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
 
   private def floatElems(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _)  => true
@@ -35,8 +38,9 @@ case class DotExpr(left: Expression, right: Expression)
   @transient private lazy val leftFloat = floatElems(left)
   @transient private lazy val rightFloat = floatElems(right)
 
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val lf = leftFloat
     val rf = rightFloat
     var acc = 0.0
@@ -55,7 +59,11 @@ case class DotExpr(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftDot", this)
-    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = $ref.compute($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
   }
 
   override protected def withNewChildrenInternal(
@@ -66,12 +74,14 @@ case class DotExpr(left: Expression, right: Expression)
 /** Σ (aᵢ−bᵢ)² over two numeric arrays, as double — the companion of
   * [[DotExpr]] for Euclidean geometry (centroid assignment evaluates
   * this nLists times per row). Same bit-compatibility argument: widen,
-  * subtract, square, accumulate left to right from 0.0. */
+  * subtract, square, accumulate left to right from 0.0; length
+  * mismatch → NULL, like zip_with would produce. */
 case class SqDistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sqdist"
+  override def nullable: Boolean = true
 
   private def floatElems(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _)  => true
@@ -83,8 +93,9 @@ case class SqDistExpr(left: Expression, right: Expression)
   @transient private lazy val leftFloat = floatElems(left)
   @transient private lazy val rightFloat = floatElems(right)
 
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     val lf = leftFloat
     val rf = rightFloat
     var acc = 0.0
@@ -104,7 +115,11 @@ case class SqDistExpr(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftSqDist", this)
-    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = $ref.compute($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+    """)
   }
 
   override protected def withNewChildrenInternal(

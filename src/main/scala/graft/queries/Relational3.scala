@@ -359,14 +359,16 @@ object Relational3 {
     * BroadcastNestedLoopJoin. Oracle: DuckDB evaluates the inequality
     * join directly. */
   private def q60(s: SparkSession, dir: String): DataFrame = {
-    val week = 7L * 86400L
-    // NTZ → LTZ → epoch seconds: a session-timezone shift moves both
-    // sides of the comparison equally, so the join is TZ-invariant
-    val orderS = col("o_orderdate").cast("timestamp").cast("long")
+    val week = 7L
+    // Pure DATE arithmetic (days since epoch): epoch-second math via a
+    // timestamp cast would shift under a DST session timezone and
+    // diverge from the oracle's date interval; all values here are
+    // midnight-aligned, so day granularity is exact
+    val orderS = unix_date(col("o_orderdate").cast("date"))
     val intervals = Tables.orders(s, dir).select(
       col("o_orderkey"),
-      orderS.as("w_start"),
-      (orderS + week).as("w_end"))
+      orderS.cast("long").as("w_start"),
+      (orderS + week).cast("long").as("w_end"))
     // THE range-join scale move: collapse points to (value, weight)
     // BEFORE the join. Ship dates repeat ~250:1 at sf0.1, so the join
     // emits |distinct values in window| rows per interval instead of
@@ -374,7 +376,7 @@ object Relational3 {
     // ratio only improves as the fact table grows against a bounded
     // time domain.
     val points = Tables.lineitem(s, dir)
-      .select(col("l_shipdate").cast("timestamp").cast("long").as("ship_s"))
+      .select(unix_date(col("l_shipdate").cast("date")).cast("long").as("ship_s"))
       .groupBy("ship_s").agg(count(lit(1)).as("n_ship"))
     graft.ops.RangeJoin.pointInInterval(points, intervals,
       "ship_s", "w_start", "w_end", bucketWidth = week)
@@ -396,11 +398,12 @@ object Relational3 {
     * equi-join and the max(start)-bucket trick instead of a distinct
     * pass ([[graft.ops.RangeJoin.intervalOverlap]]). */
   private def q61(s: SparkSession, dir: String): DataFrame = {
-    val week = 7L * 86400L
-    val oS = col("o_orderdate").cast("timestamp").cast("long")
+    val week = 7L
+    // day-granularity arithmetic for the same TZ-invariance as q60
+    val oS = unix_date(col("o_orderdate").cast("date"))
     def side(suffix: String): DataFrame = Tables.orders(s, dir).select(
       col("o_custkey").as(s"cust_$suffix"), col("o_orderkey").as(s"key_$suffix"),
-      oS.as(s"s_$suffix"), (oS + week).as(s"e_$suffix"))
+      oS.cast("long").as(s"s_$suffix"), (oS + week).cast("long").as(s"e_$suffix"))
     graft.ops.RangeJoin.intervalOverlap(side("a"), side("b"),
         "s_a", "e_a", "s_b", "e_b", bucketWidth = week,
         extraKeys = Seq(("cust_a", "cust_b")))

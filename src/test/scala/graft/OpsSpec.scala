@@ -422,4 +422,12 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("lang") === "b").count() === 0L)
   }
 
+  test("dot and sqdist return null on length-mismatched vectors") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val rows = df.select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).isNullAt(0), "mismatched lengths must surface as null")
+    assert(rows(1).getDouble(0) === 11.0)
+  }
+
 }
