@@ -72,4 +72,40 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L), (2L, 20L)))
   }
 
+  test("randomized property: both joins equal the naive filter on 20 seeded instances") {
+    val rnd = new scala.util.Random(1234L)
+    for (trial <- 0 until 20) {
+      val nP = 1 + rnd.nextInt(40)
+      val nI = 1 + rnd.nextInt(25)
+      val pts = (0 until nP).map(i => (i.toLong, rnd.nextInt(400).toLong)).toDF("pid", "p")
+      val ivs = (0 until nI).map { i =>
+        val a = rnd.nextInt(400).toLong
+        // mix of forward, empty, and inverted intervals
+        val b = a + rnd.nextInt(90) - 15
+        (i.toLong, a, b.toLong)
+      }.toDF("iid", "s", "e")
+      val w = 1L + rnd.nextInt(120)
+
+      val gotPoint = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val naivePoint = pts.crossJoin(ivs)
+        .filter(col("p") >= col("s") && col("p") < col("e"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPoint.toSet === naivePoint, s"point trial=$trial w=$w")
+      assert(gotPoint.size === gotPoint.toSet.size, s"point dup trial=$trial w=$w")
+
+      val l = ivs.select(col("iid").as("lid"), col("s").as("ls"), col("e").as("le"))
+      val r2 = pts.select(col("pid").as("rid"), col("p").as("rs"),
+        (col("p") + 1 + (col("pid") % 30)).as("re"))
+      val gotOv = RangeJoin.intervalOverlap(l, r2, "ls", "le", "rs", "re", w)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val naiveOv = l.crossJoin(r2)
+        .filter(col("ls") < col("le") && col("rs") < col("re") &&
+          col("ls") < col("re") && col("rs") < col("le"))
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotOv.toSet === naiveOv, s"overlap trial=$trial w=$w")
+      assert(gotOv.size === gotOv.toSet.size, s"overlap dup trial=$trial w=$w")
+    }
+  }
+
 }
