@@ -30,6 +30,12 @@ object Similarity {
     graft.engine.Columns.ofExpr(DotExpr(
       graft.engine.Columns.exprOf(a), graft.engine.Columns.exprOf(b)))
 
+  /** Σ (aᵢ−bᵢ)² as double — the [[SqDistExpr]] companion of [[dot]],
+    * same null semantics (length mismatch or null element → null). */
+  def sqDist(a: Column, b: Column): Column =
+    graft.engine.Columns.ofExpr(SqDistExpr(
+      graft.engine.Columns.exprOf(a), graft.engine.Columns.exprOf(b)))
+
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))

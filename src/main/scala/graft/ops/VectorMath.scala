@@ -17,9 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Bit-compatible with the HOF form: each element is widened to double
   * exactly as `cast` does, then multiplied and accumulated left to
   * right from 0.0 — the identical IEEE operation sequence — and a
-  * length mismatch returns NULL, matching zip_with's null-padding
-  * semantics (a corrupt/truncated vector must surface as null, not
-  * silently rank with a partial sum).
+  * length mismatch or a null element returns NULL, matching zip_with's
+  * null-padding/null-propagation semantics (a corrupt/truncated vector
+  * must surface as null, not silently rank with a partial sum).
   */
 case class DotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,6 +46,10 @@ case class DotExpr(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element (containsNull arrays are legal parquet input)
+      // must poison the whole sum, exactly as the zip_with+aggregate
+      // form would — never silently contribute 0.0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -75,7 +79,7 @@ case class DotExpr(left: Expression, right: Expression)
   * [[DotExpr]] for Euclidean geometry (centroid assignment evaluates
   * this nLists times per row). Same bit-compatibility argument: widen,
   * subtract, square, accumulate left to right from 0.0; length
-  * mismatch → NULL, like zip_with would produce. */
+  * mismatch or null element → NULL, like zip_with would produce. */
 case class SqDistExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -101,6 +105,8 @@ case class SqDistExpr(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result, matching zip_with (see DotExpr)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
       val d = x - y

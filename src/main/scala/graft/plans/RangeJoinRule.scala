@@ -21,14 +21,26 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * rewrite correct for any operand values without reasoning about the
   * exclusive bound's cell.
   *
+  * The condition may carry EXTRA conjuncts beyond the range pair — the
+  * q61 SQL shape `ON a.cust = b.cust AND p >= s AND p < e` rewrites
+  * too. The whole original condition is kept as the post-filter, so
+  * any extra conjunct stays exactly as written; extra EQUALITY
+  * conjuncts are additionally folded into the physical hash-join keys
+  * for free, because ExtractEquiJoinKeys collects every equality in
+  * the rewritten condition alongside the injected bucket equality
+  * (mirroring `RangeJoin.intervalOverlap`'s `extraKeys`). The range
+  * operands may be arbitrary deterministic integral expressions, not
+  * just bare columns — `CAST(ts AS BIGINT) >= s` buckets on the cast
+  * value.
+  *
   * Gated by `spark.graft.rangeJoin.bucketWidth` (positive long,
   * unset = rule is a no-op): bucket width is a data-dependent choice —
   * pick ≈ the typical interval width — so the engine never guesses.
-  * Scope is deliberately narrow and safe: INNER joins whose condition
-  * is EXACTLY the two range conjuncts over integral attributes, point
-  * attribute from one side and both bounds from the other. Anything
-  * else is left untouched. Null buckets never equi-match, which is
-  * exactly the original semantics (a null comparison filters the row).
+  * Scope: INNER joins whose condition contains a `p >= s AND p < e`
+  * conjunct pair with the point expression computed from one side and
+  * both bounds from the other. Anything else is left untouched. Null
+  * buckets never equi-match, which is exactly the original semantics
+  * (a null comparison filters the row).
   */
 case class RangeJoinRule() extends Rule[LogicalPlan] {
 
@@ -42,29 +54,32 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
     IntegralDivide(Subtract(cast, Pmod(cast, wl)), wl)
   }
 
-  /** (point, start, end) when the condition is exactly
-    * `p >= s AND p < e` (in any written orientation). */
-  private def decompose(cond: Expression): Option[(Attribute, Attribute, Attribute)] = {
+  /** Candidate (point, start, end) triples: one `>=` and one `<`
+    * conjunct over a semantically equal point expression, any other
+    * conjuncts permitted (they stay in the post-filter). Operands may
+    * be any deterministic integral expression (covers Cast-wrapped
+    * columns). */
+  private def decompose(cond: Expression): Seq[(Expression, Expression, Expression)] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    if (conjuncts.size != 2) return None
-    def asGe(e: Expression): Option[(Attribute, Attribute)] = e match {
-      case GreaterThanOrEqual(p: Attribute, s: Attribute) => Some((p, s))
-      case LessThanOrEqual(s: Attribute, p: Attribute)    => Some((p, s))
-      case _                                              => None
+    def usable(e: Expression): Boolean = e.deterministic && isIntegral(e.dataType)
+    def asGe(c: Expression): Option[(Expression, Expression)] = c match {
+      case GreaterThanOrEqual(p, s) => Some((p, s))
+      case LessThanOrEqual(s, p)    => Some((p, s))
+      case _                        => None
     }
-    def asLt(e: Expression): Option[(Attribute, Attribute)] = e match {
-      case LessThan(p: Attribute, en: Attribute)    => Some((p, en))
-      case GreaterThan(en: Attribute, p: Attribute) => Some((p, en))
-      case _                                        => None
+    def asLt(c: Expression): Option[(Expression, Expression)] = c match {
+      case LessThan(p, en)    => Some((p, en))
+      case GreaterThan(en, p) => Some((p, en))
+      case _                  => None
     }
-    val pairs = Seq(
-      (asGe(conjuncts.head), asLt(conjuncts(1))),
-      (asGe(conjuncts(1)), asLt(conjuncts.head)))
-    pairs.collectFirst {
-      case (Some((p1, s)), Some((p2, e))) if p1.semanticEquals(p2) &&
-        isIntegral(p1.dataType) && isIntegral(s.dataType) &&
-        isIntegral(e.dataType) => (p1, s, e)
-    }
+    val ges = conjuncts.zipWithIndex.flatMap { case (c, i) => asGe(c).map((_, i)) }
+    val lts = conjuncts.zipWithIndex.flatMap { case (c, i) => asLt(c).map((_, i)) }
+    for {
+      ((p1, s), i) <- ges
+      ((p2, e), j) <- lts
+      if i != j && p1.semanticEquals(p2) &&
+        usable(p1) && usable(s) && usable(e) && p1.references.nonEmpty
+    } yield (p1, s, e)
   }
 
   private def isIntegral(dt: DataType): Boolean = dt match {
@@ -87,23 +102,35 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
       return plan
     }
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), hint) =>
-        decompose(cond) match {
-          // point from the left, interval bounds from the right
-          case Some((p, s, e)) if left.outputSet.contains(p) &&
-              right.outputSet.contains(s) && right.outputSet.contains(e) =>
-            rewrite(left, right, p, s, e, cond, hint, w, pointIsLeft = true)
-          // mirrored orientation
-          case Some((p, s, e)) if right.outputSet.contains(p) &&
-              left.outputSet.contains(s) && left.outputSet.contains(e) =>
-            rewrite(right, left, p, s, e, cond, hint, w, pointIsLeft = false)
-          case _ => j
+      // the sentinel __rjb_ attributes mark a join this rule already
+      // rewrote: the original range conjuncts are intentionally still
+      // present as the post-filter, so without this guard the rule
+      // would re-match its own output every fixed-point iteration and
+      // explode the plan until the optimizer's max-iteration limit
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !cond.references.exists(_.name.startsWith("__rjb_")) =>
+        val candidates = decompose(cond)
+        // the point expression must be computable from one side alone
+        // and both bounds from the other; first candidate that
+        // orients wins
+        val oriented = candidates.collectFirst {
+          case (p, s, e) if p.references.subsetOf(left.outputSet) &&
+              (s.references ++ e.references).subsetOf(right.outputSet) =>
+            (left, right, p, s, e, true)
+          case (p, s, e) if p.references.subsetOf(right.outputSet) &&
+              (s.references ++ e.references).subsetOf(left.outputSet) =>
+            (right, left, p, s, e, false)
+        }
+        oriented match {
+          case Some((points, intervals, p, s, e, pointIsLeft)) =>
+            rewrite(points, intervals, p, s, e, cond, hint, w, pointIsLeft)
+          case None => j
         }
     }
   }
 
   private def rewrite(points: LogicalPlan, intervals: LogicalPlan,
-      p: Attribute, s: Attribute, e: Attribute, cond: Expression,
+      p: Expression, s: Expression, e: Expression, cond: Expression,
       hint: JoinHint, w: Long, pointIsLeft: Boolean): LogicalPlan = {
     val pBucket = Alias(floorDiv(p, w), "__rjb_p")()
     val pointsP = Project(points.output :+ pBucket, points)
@@ -121,6 +148,10 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
     val intervalsG = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(genOut), intervals)
 
+    // keep the FULL original condition as the exact post-filter: extra
+    // conjuncts (equalities, further inequalities) apply unchanged, and
+    // equality conjuncts among them join the bucket key in
+    // ExtractEquiJoinKeys' key set
     val newCond = And(EqualTo(pBucket.toAttribute, genOut), cond)
     val joined =
       if (pointIsLeft) Join(pointsP, intervalsG, Inner, Some(newCond), hint)

@@ -430,4 +430,23 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(1).getDouble(0) === 11.0)
   }
 
+  test("dot and sqdist null-propagate a null ELEMENT, matching zip_with") {
+    // parquet-read arrays default to containsNull=true: a corrupt vector
+    // with a null element must poison the sum, not contribute 0.0
+    val df = spark.sql(
+      """SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS a,
+        |       array(4.0D, 5.0D, 6.0D) AS b,
+        |       array(1.0D, 2.0D) AS c, array(3.0D, 4.0D) AS d""".stripMargin)
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("nd"),
+      Similarity.sqDist(col("a"), col("b")).as("ns"),
+      Similarity.dot(col("c"), col("d")).as("ok"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)").as("hof"))
+      .collect()(0)
+    assert(got.isNullAt(0), "null element must null the dot product")
+    assert(got.isNullAt(1), "null element must null the squared distance")
+    assert(got.getDouble(2) === 11.0)
+    assert(got.isNullAt(3), "the HOF form we claim bit-compat with also nulls")
+  }
+
 }

@@ -79,18 +79,72 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
   }
 
-  test("joins that are not pure range conditions are left untouched") {
+  test("extra equality conjunct (q61 SQL shape) rewrites and folds the key in") {
+    import spark.implicits._
+    // keyed points and intervals: the q61 shape
+    //   ON a.cust = b.cust AND p >= s AND p < e
+    Seq((1L, 0L), (1L, 5L), (1L, 12L), (2L, 5L), (2L, 99L), (3L, 7L))
+      .toDF("cust", "p").createOrReplaceTempView("kpts")
+    Seq((1L, 10L, 0L, 10L), (1L, 11L, 10L, 20L), (2L, 20L, 0L, 50L),
+      (2L, 21L, 90L, 95L), (4L, 40L, 0L, 100L))
+      .toDF("cust", "iid", "s", "e").createOrReplaceTempView("kiv")
+    val kq = """SELECT kiv.iid, kpts.p FROM kpts JOIN kiv
+               |ON kpts.cust = kiv.cust AND kpts.p >= kiv.s AND kpts.p < kiv.e""".stripMargin
+
+    spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    val naive = spark.sql(kq)
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected === Set((10L, 0L), (10L, 5L), (11L, 12L), (20L, 5L)))
+
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "8")
+    try {
+      val rewritten = spark.sql(kq)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"q61-shape SQL must not nested-loop:\n$plan")
+      assert(plan.contains("Generate"), "bucket explode must fire")
+      // the equality conjunct must ride in the hash-join keys next to
+      // the bucket key, not linger as a nested-loop post-filter
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"expected an equi-join on (cust, bucket):\n$plan")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("cast-wrapped range operands rewrite too") {
+    import spark.implicits._
+    // point column is INT; the query compares CAST(p AS BIGINT) — the
+    // operand is an expression, not a bare attribute
+    Seq(0, 5, 99, 250).toDF("p").createOrReplaceTempView("ipts")
     fixtures()
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
     try {
-      // extra equality conjunct -> out of the rule's narrow scope: the
-      // equi-key already gives Spark a hash join, so no rewrite should
-      // fire (no bucket Generate in the plan)
       val df = spark.sql(
-        "SELECT iid, p FROM pts JOIN iv ON pts.p >= iv.s AND pts.p < iv.e AND pts.p = iv.iid")
-      assert(!df.queryExecution.executedPlan.toString.contains("Generate"))
-      // no point id coincides with an interval id inside its range
-      assert(df.collect().isEmpty)
+        "SELECT iid, p FROM ipts JOIN iv ON CAST(ipts.p AS BIGINT) >= iv.s AND CAST(ipts.p AS BIGINT) < iv.e")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"cast-wrapped operands must still rewrite:\n$plan")
+      assert(plan.contains("Generate"))
+      val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got === Set((1L, 0), (1L, 5), (2L, 99), (4L, 250)))
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("joins without a range pair are left untouched") {
+    fixtures()
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    try {
+      // plain equi-join: no >=/< pair over a common point expression,
+      // nothing to rewrite (no bucket Generate in the plan)
+      val eq = spark.sql(
+        "SELECT iid, p FROM pts JOIN iv ON pts.p = iv.s")
+      assert(!eq.queryExecution.executedPlan.toString.contains("Generate"))
+      assert(eq.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+      // one-sided inequality only: also untouched
+      val half = spark.sql(
+        "SELECT iid, p FROM pts JOIN iv ON pts.p >= iv.s")
+      assert(!half.queryExecution.executedPlan.toString.contains("Generate"))
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
   }
 }
