@@ -156,6 +156,78 @@ object Similarity {
       queryVec, k, idCol, vecCol)
   }
 
+  /** EXACT cosine top-k with adaptive IVF probing — equal to
+    * [[bruteForceKnn]] on ANY input, by construction, while scanning
+    * only the lists the triangle-inequality bound cannot rule out.
+    *
+    * Pass 1 probes the `nProbe0` lists nearest the query and takes its
+    * provisional top-k with k-th cosine c_k. On the unit sphere
+    * d² = 2 − 2·cos, so an unprobed list `c` (unit-centroid ĉ, radius
+    * r_c = max member distance to ĉ) can hold a better-than-rank-k
+    * vector only if ‖q̂ − ĉ‖ − r_c < d_k; only such lists are probed in
+    * pass 2. Skipped lists provably contain only strictly-worse
+    * cosines, so ties and tie-breaks are unaffected. On clusterable
+    * data pass 2 touches few lists; on adversarial (uniform) data it
+    * degrades toward a full scan but stays exact — the same contract
+    * as [[nearestSameLabelIvf]]. Driver-side state is bounded: k
+    * provisional rows, nLists radii, nLists centroid distances.
+    *
+    * The ranking cosine is the literally-same expression as
+    * [[bruteForceKnn]]'s (dot of RAW vectors over norm product), so FP
+    * rounding can never order a near-tie differently between the two. */
+  def exactIvfKnn(indexed: DataFrame, model: IvfModel, queryVec: Seq[Double],
+      k: Int, nProbe0: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    val qUnit = if (qn == 0.0) queryVec else queryVec.map(_ / qn)
+    val centsUnit = model.centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    val qcDist = centsUnit.map(c =>
+      math.sqrt(c.zip(qUnit).map { case (a, b) => val d = a - b; d * d }.sum))
+    val probe0 = qcDist.zipWithIndex.sortBy(_._1).take(nProbe0 min qcDist.size)
+      .map(_._2)
+
+    // per-list radius to the UNIT centroid — one nLists-row aggregate.
+    // The triangle bound holds for any reference point, so using the
+    // unit-normalized centroid (where d²=2−2cos applies) is sound.
+    val spark = indexed.sparkSession
+    val centroids = spark.createDataFrame(
+      centsUnit.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("c_list", "centroid")
+    def eucl(a: Column, c: Column): Column =
+      sqrt(graft.engine.Columns.ofExpr(SqDistExpr(
+        graft.engine.Columns.exprOf(a), graft.engine.Columns.exprOf(c))))
+    val radii = indexed
+      .select(col("ivf_list"), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+      .withColumn("unit", transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")))
+      .join(broadcast(centroids), col("ivf_list") === col("c_list"))
+      .groupBy(col("ivf_list"))
+      .agg(max(eucl(col("unit"), col("centroid"))).as("radius"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    // pass 1: provisional top-k from the initial probes (k rows)
+    val pass1 = bruteForceKnn(
+      indexed.filter(col("ivf_list").isin(probe0: _*)), queryVec, k, idCol, vecCol)
+      .select(col("cosine")).collect().map(_.getDouble(0))
+    // k-th best = the MINIMUM cosine of the provisional top-k
+    // (order-independent — collect after a window need not keep sort)
+    val dk =
+      if (pass1.length < k || pass1.exists(_.isNaN)) Double.MaxValue
+      else math.sqrt(math.max(0.0, 2.0 - 2.0 * pass1.min))
+
+    // ε absorbs float rounding: an extra probe never hurts exactness,
+    // a missed one would
+    val eps = 1e-9
+    val qualifying = centsUnit.indices
+      .filterNot(probe0.contains)
+      .filter(c => radii.get(c).exists(r => qcDist(c) - r < dk + eps))
+    bruteForceKnn(
+      indexed.filter(col("ivf_list").isin((probe0 ++ qualifying): _*)),
+      queryVec, k, idCol, vecCol)
+  }
+
   /** Native random-projection near-dup pairs: unit-normalize, compute
     * all bucket ids in one custom-expression pass, equi-join on
     * (table, bucket) — 3 longs per join row — then verify cosine (the

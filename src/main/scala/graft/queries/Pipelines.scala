@@ -191,17 +191,34 @@ object Pipelines {
       .orderBy("l_returnflag")
 
   // ---------------------------------------------------------------- q42
-  /** IVF-flat ANN: probe the 4 nearest of 16 inverted lists for the
-    * vec_id=0 query (the partition-pruned scale path of q21). */
+  /** IVF ANN with adaptive exact probing: start from the 4 nearest of
+    * 16 inverted lists and expand only where the triangle bound says a
+    * better neighbor could hide (the partition-pruned scale path of
+    * q21). [[Similarity.exactIvfKnn]] equals brute force on ANY input
+    * by construction, so the brute-force SQL is a true oracle — the
+    * probing machinery is what's under test, not a recall gamble. The
+    * fixed-nProbe [[Similarity.ivfKnn]] stays the recall-trading API. */
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val qvec = emb.filter(col("vec_id") === 0)
       .select("embedding").limit(1).collect()
       .head.getSeq[Float](0).map(_.toDouble)
     val (indexed, model) = Similarity.fitIvf(emb, nLists = 16)
-    Similarity.ivfKnn(indexed, model, qvec, k = 20, nProbe = 4)
-      .select("rank", "vec_id")
+    Similarity.exactIvfKnn(indexed, model, qvec, k = 20, nProbe0 = 4)
+      .select(col("rank").as("rk"), col("vec_id"))
   }
+
+  // same oracle shape as q21 (ranks + ids; float32 rationale there):
+  // exactIvfKnn == bruteForceKnn structurally, so the brute-force SQL
+  // is the ground truth for the IVF path too
+  private val q42Sql =
+    """SELECT rk, vec_id FROM (
+      |  SELECT vec_id, ROW_NUMBER() OVER (
+      |    ORDER BY list_cosine_similarity(embedding,
+      |      (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rk
+      |  FROM embeddings) t
+      |WHERE rk <= 20
+      |ORDER BY rk""".stripMargin
 
   // ---------------------------------------------------------------- q43
   /** LSH near-dup pairs over unit-normalized embeddings (bucket-join
@@ -404,6 +421,22 @@ object Pipelines {
       |GROUP BY d.lang
       |ORDER BY d.lang""".stripMargin
 
+  /** Why the remaining `None`-oracle queries resist a DuckDB oracle
+    * (each is covered by seeded-determinism + distance-sanity specs,
+    * RowsOnlySanitySpec re-deriving every emitted distance on real
+    * testdata):
+    *  - q30/q67: MLlib CountVectorizer/HashingTF+IDF+LSH fits — vector
+    *    spaces depend on murmur3/seeded fits DuckDB cannot replay.
+    *  - q33: MLlib BucketedRandomProjectionLSH candidates are
+    *    seed-dependent and approxNearestNeighbors is approximate by
+    *    contract; the emitted DISTANCES are spec-re-derived exactly.
+    *  - q35/q54: HLL++/approx-quantile/MinHash sketch internals differ
+    *    per engine by design (estimates, not values).
+    *  - q43: RP-LSH candidate recall < 1 by design at its demo
+    *    threshold (recall 1 would force near-all-pairs bucketing);
+    *    every emitted pair's cosine is spec-re-derived exactly.
+    * q42 moved OFF this list in round 3: adaptive exact-IVF equals
+    * brute force structurally, so the brute-force SQL is its oracle. */
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q54_corpus_sketch", q54, None),
     QueryDef("q55_dedup_corpus", q55, Some(q55Sql)),
@@ -416,6 +449,6 @@ object Pipelines {
     QueryDef("q32_simhash_pairs", q32, Some(q32Sql)),
     QueryDef("q33_ann_lsh", q33, None),
     QueryDef("q35_sketches", q35, None),
-    QueryDef("q42_ivf_knn", q42, None),
+    QueryDef("q42_ivf_knn", q42, Some(q42Sql)),
     QueryDef("q43_lsh_neardup", q43, None))
 }

@@ -289,6 +289,35 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf === brute, "probing the nearest lists must recover the exact top-k")
   }
 
+  test("exact ivf knn equals brute force on ADVERSARIAL (uniform) data") {
+    // pseudo-random vectors with no cluster structure: fixed-nProbe
+    // probing misses neighbors here; the adaptive triangle-bound
+    // expansion must still recover the exact brute-force top-k
+    val emb = (0 until 80).map { i =>
+      (i.toLong, Seq.tabulate(6)(d => (((i * 37 + d * 101) % 47) - 23).toFloat))
+    }.toDF("vec_id", "embedding")
+    val query = Seq(3.0, -11.0, 7.0, 0.5, -2.0, 9.0)
+    val (indexed, model) = graft.ops.Similarity.fitIvf(emb, nLists = 8)
+    indexed.cache()
+    try {
+      val brute = graft.ops.Similarity.bruteForceKnn(emb, query, 10)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq.sorted
+      for (nProbe0 <- Seq(1, 2, 8)) {
+        val exact = graft.ops.Similarity.exactIvfKnn(indexed, model, query,
+            k = 10, nProbe0 = nProbe0)
+          .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq.sorted
+        assert(exact === brute, s"nProbe0=$nProbe0 must still be exact")
+      }
+      // k larger than the corpus: every row comes back, same order
+      val bruteAll = graft.ops.Similarity.bruteForceKnn(emb, query, 200)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq.sorted
+      val exactAll = graft.ops.Similarity.exactIvfKnn(indexed, model, query,
+          k = 200, nProbe0 = 2)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq.sorted
+      assert(exactAll === bruteAll)
+    } finally indexed.unpersist()
+  }
+
   test("native rp near-dup pairs find duplicated embeddings at cosine 1") {
     val emb = ((0 until 20).map { i =>
       (i.toLong, Seq.tabulate(8)(d => ((i * 31 + d * 17) % 23 - 11).toFloat))
