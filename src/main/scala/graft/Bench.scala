@@ -43,7 +43,60 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    // dedup-funnel scaling curve: replicate the documents corpus ~10×
+    // with per-replica token perturbations (near-dup-heavy, the hard
+    // direction) and measure the q31/q55 operators at 1× and 10× — a
+    // measured slope instead of an argued one. Skipped when a query
+    // subset was requested (single-query iteration loops don't want
+    // the extra ~minute) or SPARK_GRAFT_SCALING=0.
+    val scaling =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALING").contains("0")) ""
+      else {
+        import org.apache.spark.sql.functions._
+        val base = graft.engine.Tables.documents(spark, sfDir)
+          .select("doc_id", "text", "lang")
+        // replica r of a doc appends r replica-distinct tokens, so the
+        // 10 replicas form a graded near-dup family (replica 0 is the
+        // original; sequence() guarded by when — an inverted range
+        // throws). concat_ws skips the null perturbation at r=0.
+        val x10 = base
+          .withColumn("__r", explode(sequence(lit(0), lit(9))))
+          .select(
+            (col("doc_id") * 10 + col("__r")).as("doc_id"),
+            concat_ws(" ", col("text"),
+              when(col("__r") >= 1,
+                concat_ws(" ", transform(sequence(lit(1), col("__r")),
+                  i => concat(lit("uq"), col("doc_id").cast("string"),
+                    lit("x"), i.cast("string")))))).as("text"),
+            col("lang"))
+        val n1 = base.count()
+        val n10 = x10.count()
+        def timed(f: => Long): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val n = f
+          (n, (System.nanoTime() - t0) / 1e9)
+        }
+        def pairs(df: org.apache.spark.sql.DataFrame): Long =
+          graft.ops.Dedup.minhashPairs(df, shingleSize = 3, bands = 10,
+            rowsPerBand = 5, maxJaccardDist = 0.4).count()
+        def funnel(df: org.apache.spark.sql.DataFrame): Long =
+          graft.ops.Dedup.deduplicate(df, maxJaccardDist = 0.4).count()
+        val (p1, tp1) = timed(pairs(base)); spark.catalog.clearCache()
+        val (p10, tp10) = timed(pairs(x10)); spark.catalog.clearCache()
+        val (f1, tf1) = timed(funnel(base)); spark.catalog.clearCache()
+        val (f10, tf10) = timed(funnel(x10)); spark.catalog.clearCache()
+        f""","scaling":{"docs_x1":$n1,"docs_x10":$n10,"q31_pairs_x1":$p1,"q31_pairs_x10":$p10,"q31_sec_x1":$tp1%.2f,"q31_sec_x10":$tp10%.2f,"q31_slope":${tp10 / tp1}%.2f,"q55_survivors_x1":$f1,"q55_survivors_x10":$f10,"q55_sec_x1":$tf1%.2f,"q55_sec_x10":$tf10%.2f,"q55_slope":${tf10 / tf1}%.2f}"""
+      }
+
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$scaling}"""
+    // stdout AND a file: the driver's tail-capture of sbt output has
+    // truncated this (long) line before — the file copy is the record
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench.json: ${e.getMessage}") }
     spark.stop()
   }
 }

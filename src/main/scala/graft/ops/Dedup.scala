@@ -60,11 +60,25 @@ object Dedup {
     * joins to re-attach shingle sets to the (small) candidate set.
     * Collision probability per band is jaccard^rowsPerBand, OR'd over
     * `bands`, so join fan-out tracks true similarity, not corpus size.
-    * Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b. */
+    * Returns (doc_a, doc_b, jaccard_dist), doc_a < doc_b.
+    *
+    * Skew guard: a band bucket with more than `maxBandBucket` members
+    * (the stop-shingle / boilerplate flood — the known MinHash failure
+    * mode at corpus scale, where one bucket of m docs would emit
+    * m²/2 candidate rows into a single task) switches from the
+    * all-pairs clique to a STAR on the bucket's min-id representative:
+    * m−1 candidates, each still exact-verified. Dedup connectivity
+    * through the bucket is preserved (every member links to the rep),
+    * junk floods die in the verify exactly as their clique pairs
+    * would, and genuinely-similar pairs inside a capped bucket retain
+    * their `bands`−1 other chances to collide in an uncapped band —
+    * the same probabilistic-recall contract banding already has. Per-
+    * bucket fan-out is thus ≤ max(maxBandBucket², m) instead of m². */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleSize: Int = 3,
       bands: Int = 10, rowsPerBand: Int = 5,
-      maxJaccardDist: Double = 0.5, seed: Long = 42L): DataFrame = {
+      maxJaccardDist: Double = 0.5, seed: Long = 42L,
+      maxBandBucket: Int = 256): DataFrame = {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
     val rnd = new scala.util.Random(seed)
     val coefs = Seq.fill(bands * rowsPerBand)(
@@ -113,12 +127,23 @@ object Dedup {
       .select(col(idCol), explode(bandKeys).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.key"))
 
-    val candidates = banded.alias("a")
-      .join(banded.alias("b"),
+    // bucket sizes + representative in one map-side-combinable pass;
+    // the (band, key) exchange is then shared with the self-join, so
+    // routing costs one aggregate, not an extra shuffle of `banded`
+    val stats = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("rep"))
+    val routed = banded.join(stats, Seq("band", "key"))
+    val cold = routed.filter(col("cnt") <= maxBandBucket)
+      .select(col(idCol), col("band"), col("key"))
+    val coldPairs = cold.alias("a")
+      .join(cold.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+    val hotStars = routed.filter(col("cnt") > maxBandBucket)
+      .filter(col(idCol) =!= col("rep"))
+      .select(col("rep").as("doc_a"), col(idCol).as("doc_b"))
+    val candidates = coldPairs.union(hotStars).distinct()
 
     // exact verify on the (small) candidate set, over hashed sets
     val ga = shingled.select(col(idCol).as("doc_a"), col("hs").as("ga"))
@@ -342,9 +367,33 @@ object Dedup {
   def deduplicate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleSize: Int = 3,
       maxJaccardDist: Double = 0.3): DataFrame = {
+    // Connected components prefers RELIABLE checkpoints, but only when
+    // a checkpoint dir is configured — otherwise production silently
+    // gets the non-fault-tolerant localCheckpoint path. In local mode
+    // a temp dir is a correct default (one machine, one filesystem);
+    // on a real cluster the dir must be SHARED storage (HDFS/object
+    // store), which the engine cannot guess — warn loudly instead.
+    val sc = docs.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      if (sc.isLocal) {
+        sc.setCheckpointDir(
+          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      } else {
+        org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
+          "graft.Dedup.deduplicate: no spark checkpoint dir configured — " +
+            "connected components will fall back to localCheckpoint, which " +
+            "is NOT fault-tolerant. Set sc.setCheckpointDir to shared storage.")
+      }
+    }
     // cache: the exact-collapsed corpus feeds BOTH the MinHash funnel
     // and the final left_anti survivor join — uncached, the windowed
-    // exact-dedup shuffle would run twice end to end.
+    // exact-dedup shuffle would run twice end to end. This cache is
+    // deliberately RETAINED past the call: the returned survivor frame
+    // is corpus-sized (cannot be materialized locally) and still
+    // references it lazily — unpersisting here would just force the
+    // recompute the cache exists to avoid. Long-lived sessions release
+    // it via catalog.clearCache() or by unpersisting after the
+    // survivors are written out.
     val exact = dropExact(docs, textCol, idCol).cache()
     val pairs = minhashPairs(exact, idCol, textCol,
       shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)

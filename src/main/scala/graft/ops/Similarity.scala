@@ -139,6 +139,12 @@ object Similarity {
     val cents = fitCentroids(asDouble, "__v", idCol, nLists, seed)
     val indexed = assignLists(asDouble, "__v", cents)
       .withColumnRenamed("list", "ivf_list").drop("__v")
+    // the cache existed for the Lloyd passes (all eager, done above);
+    // release it so repeated fits in a long session don't accumulate
+    // executor storage. Consumers of `indexed` recompute one cheap
+    // cast-map per scan — or cache `indexed` themselves when they
+    // probe it repeatedly (exactIvfKnn does).
+    asDouble.unpersist(blocking = false)
     (indexed, IvfModel(cents))
   }
 
@@ -175,9 +181,13 @@ object Similarity {
     * The ranking cosine is the literally-same expression as
     * [[bruteForceKnn]]'s (dot of RAW vectors over norm product), so FP
     * rounding can never order a near-tie differently between the two. */
-  def exactIvfKnn(indexed: DataFrame, model: IvfModel, queryVec: Seq[Double],
+  def exactIvfKnn(indexedIn: DataFrame, model: IvfModel, queryVec: Seq[Double],
       k: Int, nProbe0: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // three passes read the index (radii, provisional top-k, final
+    // top-k): cache for the duration of the call, release on exit —
+    // the returned frame is k LOCAL rows, so nothing lazy retains it
+    val indexed = indexedIn.cache()
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
     val qUnit = if (qn == 0.0) queryVec else queryVec.map(_ / qn)
     val centsUnit = model.centroids.map { c =>
@@ -223,9 +233,15 @@ object Similarity {
     val qualifying = centsUnit.indices
       .filterNot(probe0.contains)
       .filter(c => radii.get(c).exists(r => qcDist(c) - r < dk + eps))
-    bruteForceKnn(
+    val result = bruteForceKnn(
       indexed.filter(col("ivf_list").isin((probe0 ++ qualifying): _*)),
       queryVec, k, idCol, vecCol)
+    // materialize the ≤ k result rows locally (bounded by contract) so
+    // the per-call cache can be released deterministically
+    val rows = result.collect()
+    indexed.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), result.schema)
   }
 
   /** Native random-projection near-dup pairs: unit-normalize, compute
@@ -361,10 +377,20 @@ object Similarity {
           (col("p_nrm") * col("m.nrm"))).as("cos"))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand"))
-    pairs1.union(pairs2)
+    val result = pairs1.union(pairs2)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("qid").as(idCol), col("cand").as("nn_id"))
+      .cache()
+    // materialize the (id, nn_id) result — two longs per vector, ~dim×
+    // smaller than the unit/assigned inputs — then release the fat
+    // caches. The one cache that survives the call is the returned
+    // frame itself; callers running many invocations per session
+    // should unpersist it (or clearCache) when done with the result.
+    result.count()
+    unit.unpersist(blocking = false)
+    assigned.unpersist(blocking = false)
+    result
   }
 
   /** MLlib-based near-dup variant (kept as the API-compatible MLlib

@@ -21,8 +21,13 @@ object Splits {
     * breaks the "stable on any cluster, any day" contract exactly when
     * the corpus gets big. Matches the exact mathematical formula
     * ((id mod 2^32)·K mod 2^32) mod buckets — the one the SQL oracles
-    * compute — for EVERY id, because
+    * compute — for every NON-NEGATIVE id, because
     * lo·K + ((hi·K mod 2^16) << 16) ≡ (lo + hi·2^16)·K  (mod 2^32).
+    * For negative ids the two sides diverge: this code hashes the
+    * unsigned low 32 bits into [0, 2^32), while DuckDB's `%` keeps the
+    * dividend's sign, so a negative id's oracle cell goes negative.
+    * Document ids are non-negative in every supported source; callers
+    * minting synthetic ids must keep them ≥ 0 for split stability.
     * (The previous naive-multiply code could never have produced
     * persisted splits for ids ≥ ~3.5e9: ANSI mode made it throw.) */
   def hashBucket(id: Column): Column = hashBucketN(id, 100L)

@@ -95,6 +95,52 @@ class OpsSpec extends AnyFunSuite {
     assert(falsePairs.isEmpty, s"false positives: $falsePairs")
   }
 
+  test("band-bucket skew guard: 1k identical docs emit a star, not a clique") {
+    // the stop-shingle flood: every document identical → every band
+    // bucket holds all 1000 ids. Without the cap the candidate join
+    // emits 1000·999/2 ≈ 500k rows into one task; with it, each hot
+    // bucket links members to the min-id representative → 999 pairs.
+    val flood = (0 until 1000).map(i =>
+      (i.toLong, "the same boilerplate text repeated in every document"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(flood, shingleSize = 2).collect()
+    assert(pairs.length === 999,
+      s"expected a 999-edge star from the skew guard, got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Long]("doc_a") == 0L),
+      "every star edge must anchor at the bucket representative")
+    assert(pairs.forall(_.getAs[Double]("jaccard_dist") == 0.0))
+    // connectivity is what dedup needs — the star keeps one cluster
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashPairs(flood, shingleSize = 2))
+      .select("cluster").distinct().collect()
+    assert(clusters.length === 1)
+  }
+
+  test("deduplicate defaults a reliable checkpoint dir in local mode") {
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    // a token-window CHAIN: consecutive docs share 27/33 tokens
+    // (jaccard dist ≈ 0.19 ≤ 0.3), docs two apart only 0.35 — so the
+    // cluster is a path and min-label propagation needs ~n rounds,
+    // crossing the every-3rd-round checkpoint more than once
+    val toks = (0 until 66).map(j => s"tok$j")
+    val chain = (0 until 12).map(i =>
+      (i.toLong, toks.slice(i * 3, i * 3 + 30).mkString(" ")))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.deduplicate(chain).collect()
+    assert(survivors.length === 1, "the whole chain is one near-dup cluster")
+    assert(survivors.head.getAs[Long]("doc_id") === 0L)
+    val dir = sc.getCheckpointDir
+    assert(dir.isDefined, "deduplicate must default a checkpoint dir in local mode")
+    // the reliable-checkpoint path actually wrote RDD checkpoint data
+    if (prior.isEmpty) {
+      val files = new java.io.File(new java.net.URI(dir.get))
+      def count(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(count).sum else 1
+      assert(count(files) > 0, s"no checkpoint data under ${dir.get}")
+    }
+  }
+
   test("connected components: chains and triangles collapse to min-id clusters") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),   // chain → cluster 1
