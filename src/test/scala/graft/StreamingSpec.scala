@@ -144,6 +144,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(res.select("event_id").distinct().count() === 1000L)
   }
 
+  test("late events beyond the watermark are dropped from the windowed agg") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-late")
+    val in = work.resolve("in"); val out = work.resolve("out")
+    val ckpt = work.resolve("ckpt")
+    java.nio.file.Files.createDirectories(in)
+    val h0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(h0.getTime + min * 60000L)
+
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val q = EventsStream.hourlyAgg(
+          spark.readStream.schema(schema).parquet(s"$in/*"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // batch 1: three rows in window A [00:00, 01:00) plus one at 03:30
+    // that drives the watermark to 02:30 — past window A's end
+    Seq((ts(5), "click", 10.0), (ts(10), "click", 5.0), (ts(20), "click", 1.0),
+      (ts(210), "view", 2.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$in/b1")
+    runOnce()
+
+    // batch 2: a LATE click at 00:40 — 110 minutes behind the
+    // restored watermark — must be dropped, not re-open window A
+    Seq((ts(40), "click", 99.0), (ts(330), "view", 3.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$in/b2")
+    runOnce()
+
+    val res = spark.read.parquet(out.toString)
+      .filter(col("hour") === lit(h0) && col("event_type") === "click")
+      .collect()
+    assert(res.length === 1,
+      s"window A must be emitted exactly once, got ${res.length} rows")
+    assert(res.head.getAs[Long]("n_events") === 3L,
+      "the late event must NOT be counted into the closed window")
+    assert(res.head.getAs[Double]("sum_value") === 16.0,
+      "the late event's value must not leak into the closed window")
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.runToMemory(
