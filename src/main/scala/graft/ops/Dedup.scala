@@ -122,10 +122,15 @@ object Dedup {
         xxhash64(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)).as("key"))
     }: _*)
 
+    // cached: (id, band, key) is 3 longs per row, and the frame feeds
+    // FOUR plan branches (bucket stats, both self-join sides, hot
+    // stars) — uncached, each branch would recompute the k-hash
+    // MinHash signatures, the dominant cost of the whole operator
     val banded = shingled
       .withColumn("sig", sig)
       .select(col(idCol), explode(bandKeys).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.key"))
+      .cache()
 
     // bucket sizes + representative in one map-side-combinable pass;
     // the (band, key) exchange is then shared with the self-join, so
@@ -305,13 +310,15 @@ object Dedup {
   }
 
   // ------------------------------------------- clusters and survivors
-  /** Connected components over near-dup pair edges by iterative
-    * min-label propagation: each round every vertex takes the min
-    * label in its neighborhood (one join + one groupBy-min per round);
-    * converges in O(component diameter) rounds. This is the
-    * DataFrame-native version of the map-reduce label-propagation CC —
-    * at 100 TB each round is one shuffle of (vertex, label) longs,
-    * and near-dup components are short-diameter in practice.
+  /** Connected components over near-dup pair edges by min-label
+    * propagation WITH pointer halving: each round every vertex takes
+    * the min of its own label, its neighbors' labels, and its label's
+    * label (one extra tiny self-join). The label-of-label hop halves
+    * remaining path lengths, so convergence is O(log diameter) rounds
+    * instead of O(diameter) — near-dup chains (a→b→c→…, each edge one
+    * near-dup hop) otherwise cost one full round per link, and every
+    * round is a fixed-overhead set of shuffles. At 100 TB each round
+    * shuffles (vertex, label) longs only.
     * Returns (id, cluster) where cluster = min id in the component. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
@@ -319,12 +326,21 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
     val vertices = edges.select(col("src").as("id")).distinct()
-    // `held` tracks the ACTUAL cached/checkpointed frame: unpersisting
-    // a derived projection (labels = held.drop(...)) would be a no-op
-    // because the cache entry is keyed on the materialized plan, and
-    // up to maxIter label frames would pile up in executor storage.
-    var held = vertices.withColumn("cluster", col("id")).cache()
-    var labels = held
+    // Every round's result is EAGERLY materialized with its lineage
+    // cut (localCheckpoint): each subsequent round then plans against
+    // a materialized-RDD scan, never against the previous rounds' join
+    // trees. Per-round Dataset caches are NOT used here — the halving
+    // self-join re-aliases one side during analysis, which defeats
+    // cache lookup and silently recomputes the full multi-round
+    // lineage (~4^rounds blowup, measured in the 100s-of-seconds on a
+    // 468-row graph). Superseded round frames become unreachable as
+    // the loop advances and their blocks are reclaimed by Spark's
+    // ContextCleaner. When a checkpoint dir is configured, every 3rd
+    // round ALSO writes a reliable checkpoint (reading the just-
+    // materialized local blocks, so no recompute): bounded-loss
+    // restart data on a real cluster, where localCheckpoint blocks
+    // die with their executor.
+    var labels = vertices.withColumn("cluster", col("id")).localCheckpoint()
     var converged = false
     var iter = 0
     val sc = pairs.sparkSession.sparkContext
@@ -333,25 +349,30 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("cluster")).as("nbr_min"))
       // carry the old label through the update so convergence detection
-      // is a filter on the same cached frame, not a second self-join
-      val joined = labels
+      // is a filter on the same materialized frame, not a second join
+      val tentative = labels
         .join(neighborMin, labels("id") === neighborMin("id2"), "left")
         .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-      // Cut lineage every few rounds: without it the plan chains on
-      // every previous round's frame and the DAG deepens linearly.
-      // Prefer a RELIABLE checkpoint when a checkpoint dir is set (a
-      // lost executor can reload it); localCheckpoint blocks die with
-      // their executor, so it is the local-mode/driver-resilient
-      // fallback, not a fault-tolerance feature.
+        .localCheckpoint()
+      // pointer halving: also adopt the label OF the tentative label.
+      // Labels only ever decrease toward the component min, so the
+      // extra hop is always safe — and it is what turns path-shaped
+      // components from O(diameter) rounds into O(log diameter).
+      val parents = tentative
+        .select(col("id").as("pid"), col("cluster").as("pcluster"))
+      val updatedLocal = tentative
+        .join(parents, tentative("cluster") === parents("pid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("cluster"), coalesce(col("pcluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
       val updated =
-        if (iter % 3 == 2) {
-          if (sc.getCheckpointDir.isDefined) joined.checkpoint()
-          else joined.localCheckpoint()
-        } else joined.cache()
+        if (iter % 3 == 2 && sc.getCheckpointDir.isDefined) updatedLocal.checkpoint()
+        else updatedLocal
+      val t0dbg = System.nanoTime()
       val changes = updated.filter(col("cluster") =!= col("prev")).count()
-      held.unpersist()
-      held = updated
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC_ITER $iter changes=$changes ${(System.nanoTime() - t0dbg) / 1e9}%.2f s")
       labels = updated.drop("prev")
       converged = changes == 0
       iter += 1

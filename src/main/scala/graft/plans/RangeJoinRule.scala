@@ -87,6 +87,40 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Candidate (sL, eL, sR, eR) interval-OVERLAP quadruples: two ≤/<
+    * conjuncts `sideA.start ≤ sideB.end AND sideB.start ≤ sideA.end`
+    * (strict or not — the original condition stays as the exact
+    * post-filter either way). Returned oriented against (left, right)
+    * output sets; extra conjuncts are permitted exactly as in the
+    * point-in-interval shape. */
+  private def decomposeOverlap(cond: Expression,
+      leftOut: AttributeSet, rightOut: AttributeSet)
+      : Option[(Expression, Expression, Expression, Expression)] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def usable(e: Expression): Boolean = e.deterministic && isIntegral(e.dataType)
+    // normalize any ≤/< conjunct to (lo, hi): lo ≤ hi or lo < hi
+    def asLe(c: Expression): Option[(Expression, Expression)] = c match {
+      case LessThanOrEqual(lo, hi)    => Some((lo, hi))
+      case LessThan(lo, hi)           => Some((lo, hi))
+      case GreaterThanOrEqual(hi, lo) => Some((lo, hi))
+      case GreaterThan(hi, lo)        => Some((lo, hi))
+      case _                          => None
+    }
+    val les = conjuncts.zipWithIndex.flatMap { case (c, i) => asLe(c).map((_, i)) }
+    val pairs = for {
+      ((l1, h1), i) <- les
+      ((l2, h2), j) <- les
+      if i != j && Seq(l1, h1, l2, h2).forall(usable)
+      // c_i: sL ≤ eR, c_j: sR ≤ eL — the left interval is [l1, h2],
+      // the right interval is [l2, h1]
+      if l1.references.nonEmpty && l1.references.subsetOf(leftOut) &&
+        h2.references.nonEmpty && h2.references.subsetOf(leftOut) &&
+        l2.references.nonEmpty && l2.references.subsetOf(rightOut) &&
+        h1.references.nonEmpty && h1.references.subsetOf(rightOut)
+    } yield (l1, h2, l2, h1)
+    pairs.headOption
+  }
+
   private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
     case other     => Seq(other)
@@ -124,9 +158,68 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
         oriented match {
           case Some((points, intervals, p, s, e, pointIsLeft)) =>
             rewrite(points, intervals, p, s, e, cond, hint, w, pointIsLeft)
-          case None => j
+          case None =>
+            // fall back to the interval-overlap shape (sL ≤ eR AND
+            // sR ≤ eL) — tried second because the point shape's plan
+            // is cheaper (one-sided explode, no dedup conjunct) and
+            // point-in-interval also parses as a degenerate overlap
+            decomposeOverlap(cond, left.outputSet, right.outputSet) match {
+              case Some((sL, eL, sR, eR)) =>
+                rewriteOverlap(left, right, sL, eL, sR, eR, cond, hint, w)
+              case None => j
+            }
         }
     }
+  }
+
+  /** Both sides explode their covered buckets; the join runs on bucket
+    * equality (plus any extra equality conjuncts, via
+    * ExtractEquiJoinKeys) with the original condition as the exact
+    * post-filter. A pair can collide in many buckets, but its overlap
+    * region begins at greatest(sL, sR) — keeping only THAT bucket's
+    * collision emits each pair exactly once without a distinct pass
+    * (same trick as [[graft.ops.RangeJoin.intervalOverlap]]).
+    *
+    * INVERTED rows (start > end) raise a descriptive runtime error
+    * instead of bucketizing: unlike the point shape — where an
+    * inverted interval provably matches nothing and an empty explode
+    * is exact — an inverted row CAN satisfy the raw overlap condition
+    * (e.g. [50,40] vs [0,1000]), but its match region is unbounded and
+    * cannot be bucketized. Failing loudly keeps the rewrite sound on
+    * every input: valid data pays nothing, invalid data gets an error
+    * naming the fix instead of silently missing rows. */
+  private def rewriteOverlap(left: LogicalPlan, right: LogicalPlan,
+      sL: Expression, eL: Expression, sR: Expression, eR: Expression,
+      cond: Expression, hint: JoinHint, w: Long): LogicalPlan = {
+    def explodeBuckets(side: LogicalPlan, s: Expression, e: Expression,
+        outName: String): (LogicalPlan, AttributeReference) = {
+      val sB = floorDiv(s, w)
+      val eB = floorDiv(e, w)
+      val err = Cast(new RaiseError(Literal(
+        "graft range-join: the interval-overlap rewrite requires start <= end " +
+          "on every row (an inverted interval's raw-SQL matches cannot be " +
+          "bucketized). Fix the data or unset " +
+          "spark.graft.rangeJoin.bucketWidth to run the naive plan.")),
+        org.apache.spark.sql.types.ArrayType(LongType))
+      val seq = If(LessThanOrEqual(sB, eB),
+        new Sequence(sB, eB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+        err)
+      val out = AttributeReference(outName, LongType, nullable = true)()
+      (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(out), side), out)
+    }
+    val (lG, lB) = explodeBuckets(left, sL, eL, "__rjb_l")
+    val (rG, rB) = explodeBuckets(right, sR, eR, "__rjb_r")
+    // emit-once guard: only the collision in the bucket that contains
+    // the overlap's start survives. greatest(sL, sR) lies inside both
+    // intervals whenever the original condition holds, so exactly one
+    // bucket passes — and the exact post-filter already removed
+    // non-overlapping pairs before this can matter.
+    val dedup = EqualTo(lB,
+      floorDiv(Greatest(Seq(Cast(sL, LongType), Cast(sR, LongType))), w))
+    val newCond = And(EqualTo(lB, rB), And(cond, dedup))
+    val joined = Join(lG, rG, Inner, Some(newCond), hint)
+    Project(left.output ++ right.output, joined)
   }
 
   private def rewrite(points: LogicalPlan, intervals: LogicalPlan,

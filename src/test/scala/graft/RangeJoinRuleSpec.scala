@@ -131,6 +131,88 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
   }
 
+  test("interval-overlap SQL rewrites to a two-sided bucket join, each pair once") {
+    import spark.implicits._
+    // proper intervals only (inverted rows raise by design — next test)
+    Seq((1L, 0L, 10L), (2L, 10L, 101L), (3L, 100L, 100L), (4L, 240L, 260L))
+      .toDF("iid", "s", "e").createOrReplaceTempView("piv")
+    Seq((10L, 5L, 12L), (11L, 90L, 260L), (12L, 300L, 310L), (13L, 0L, 1000L))
+      .toDF("jid", "s2", "e2").createOrReplaceTempView("jv")
+    val oq = """SELECT iid, jid FROM piv JOIN jv
+               |ON piv.s <= jv.e2 AND jv.s2 <= piv.e""".stripMargin
+    spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    val naive = spark.sql(oq)
+    assert(naive.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sorted
+
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "16")
+    try {
+      val rewritten = spark.sql(oq)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"overlap SQL must not nested-loop:\n$plan")
+      assert(plan.contains("Generate"), "both sides must explode buckets")
+      // collect WITHOUT distinct: the greatest(start)-bucket guard must
+      // emit every overlapping pair exactly once
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .sorted
+      assert(got === expected, "same pairs, same multiplicities")
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("overlap rewrite raises loudly on inverted intervals instead of dropping") {
+    import spark.implicits._
+    fixtures() // iv contains the inverted interval (5, 50, 40)
+    Seq((13L, 0L, 1000L)).toDF("jid", "s2", "e2").createOrReplaceTempView("jv1")
+    val oq = """SELECT iid, jid FROM iv JOIN jv1
+               |ON iv.s <= jv1.e2 AND jv1.s2 <= iv.e""".stripMargin
+    spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    // raw SQL semantics: the inverted interval DOES match
+    assert(spark.sql(oq).collect().exists(_.getLong(0) == 5L),
+      "naive plan matches the inverted interval — which is why silent " +
+        "dropping would be wrong")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "16")
+    try {
+      val e = intercept[Exception](spark.sql(oq).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("requires start <= end")),
+        s"expected the documented inverted-interval error, got: $e")
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("overlap with an extra equality key (full q61 SQL shape) rewrites") {
+    import spark.implicits._
+    Seq((1L, 100L, 0L, 10L), (1L, 101L, 8L, 20L), (1L, 102L, 30L, 40L),
+      (2L, 200L, 0L, 50L), (3L, 300L, 5L, 6L))
+      .toDF("cust", "aid", "a_s", "a_e").createOrReplaceTempView("ov_a")
+    Seq((1L, 900L, 9L, 12L), (1L, 901L, 39L, 45L), (2L, 902L, 49L, 60L),
+      (2L, 903L, 50L, 55L), (4L, 904L, 0L, 100L))
+      .toDF("cust", "bid", "b_s", "b_e").createOrReplaceTempView("ov_b")
+    // strict half-open overlap + equality key — the q61 semantics
+    val oq = """SELECT aid, bid FROM ov_a a JOIN ov_b b
+               |ON a.cust = b.cust AND a.a_s < b.b_e AND b.b_s < a.a_e""".stripMargin
+    spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    val expected = spark.sql(oq).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // ground truth by hand: cust1 100∩900 ([0,10)∩[9,12)), 101∩900,
+    // 102∩901; cust2 200∩902 ([0,50)∩[49,60)) but NOT 903 ([50,55)
+    // starts exactly at 200's exclusive end)
+    assert(expected === Seq((100L, 900L), (101L, 900L), (102L, 901L), (200L, 902L)))
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "8")
+    try {
+      val rewritten = spark.sql(oq)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"q61-shape overlap SQL must not nested-loop:\n$plan")
+      assert(plan.contains("Generate"))
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === expected)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   test("joins without a range pair are left untouched") {
     fixtures()
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
