@@ -114,16 +114,44 @@ object Similarity {
     cents
   }
 
-  /** Adds the argmin-centroid `list` column. Distances materialize as
-    * an attribute first so the argmin reads the array instead of
-    * re-evaluating nLists folds; array_position takes the FIRST
-    * minimum — a deterministic tie-break. */
+  /** Adds the argmin-centroid `list` column.
+    *
+    * Small centroid matrices (nLists × dim ≤ `maxLiteralCells`) embed
+    * as codegen literals: distances materialize as an attribute first
+    * so the argmin reads the array instead of re-evaluating nLists
+    * folds, and array_position takes the FIRST minimum — a
+    * deterministic tie-break. Above the threshold the literal plan
+    * would blow past JVM method/constant-pool limits, so assignment
+    * switches to a broadcast join against the centroid table plus a
+    * min_by aggregation keyed on a transient row id — shuffle rows =
+    * n × nLists narrow structs, the documented large-config path. The
+    * (distance, list) lexicographic min_by reproduces the literal
+    * path's first-minimum tie-break exactly. */
   def assignLists(df: DataFrame, vecCol: String,
-      cents: IndexedSeq[Seq[Double]]): DataFrame =
-    df.withColumn("__d", array(cents.map(c => sqDistTo(col(vecCol), c)): _*))
-      .withColumn("list",
-        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
-      .drop("__d")
+      cents: IndexedSeq[Seq[Double]],
+      maxLiteralCells: Int = 65536): DataFrame = {
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    if (cents.length.toLong * dim <= maxLiteralCells) {
+      df.withColumn("__d", array(cents.map(c => sqDistTo(col(vecCol), c)): _*))
+        .withColumn("list",
+          (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+        .drop("__d")
+    } else {
+      val spark = df.sparkSession
+      val centDf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("__cl", "__cv")
+      val keyed = df.withColumn("__rk", monotonically_increasing_id())
+      val carried = df.columns.toSeq
+      val scored = keyed.crossJoin(broadcast(centDf))
+        .withColumn("__d", sqDist(col(vecCol), col("__cv")))
+      scored.groupBy(col("__rk"))
+        .agg(
+          min_by(col("__cl"), struct(col("__d"), col("__cl"))).as("list"),
+          carried.map(c => first(col(c)).as(c)): _*)
+        .select((carried.map(col) :+ col("list").cast("int").as("list")): _*)
+    }
+  }
 
   /** IVF-style index: seeded centroids partition the corpus into
     * `nLists` inverted lists; a query probes only the `nProbe` lists

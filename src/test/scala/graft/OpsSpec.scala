@@ -364,6 +364,32 @@ class OpsSpec extends AnyFunSuite {
     } finally indexed.unpersist()
   }
 
+  test("broadcast-join list assignment equals the literal-argmin path") {
+    // the large-nLists path (centroid matrix too big for codegen
+    // literals) must assign every vector to the same list, including
+    // on distance ties, as the embedded-literal argmin
+    val emb = (0 until 120).map { i =>
+      (i.toLong, Seq.tabulate(5)(d => (((i * 29 + d * 13) % 17) - 8).toDouble))
+    }.toDF("vec_id", "v")
+    val cents = (0 until 9).map(c =>
+      Seq.tabulate(5)(d => (((c * 7 + d * 3) % 11) - 5).toDouble)).toIndexedSeq
+    val lit = graft.ops.Similarity.assignLists(emb, "v", cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("list")).toMap
+    val bcast = graft.ops.Similarity.assignLists(emb, "v", cents, maxLiteralCells = 0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("list")).toMap
+    assert(bcast === lit)
+    // tie fixture: two identical centroids — both paths must pick the
+    // LOWER list index
+    val tied = cents.take(1) ++ cents.take(1) ++ cents.drop(1)
+    val litT = graft.ops.Similarity.assignLists(emb, "v", tied.toIndexedSeq)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("list")).toMap
+    val bcastT = graft.ops.Similarity.assignLists(emb, "v", tied.toIndexedSeq,
+        maxLiteralCells = 0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("list")).toMap
+    assert(bcastT === litT)
+    assert(!litT.values.exists(_ == 1), "ties resolve to the first minimum")
+  }
+
   test("native rp near-dup pairs find duplicated embeddings at cosine 1") {
     val emb = ((0 until 20).map { i =>
       (i.toLong, Seq.tabulate(8)(d => ((i * 31 + d * 17) % 23 - 11).toFloat))
