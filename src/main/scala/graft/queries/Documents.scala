@@ -80,6 +80,45 @@ object Documents {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q68
+  /** Per-group top-k via the bounded-heap [[graft.ops.TopKAgg]]
+    * aggregate: the 3 best documents per language by quality score.
+    * Unlike the window-function spelling (which shuffles every row and
+    * sorts whole groups), the heap aggregate reduces each task's slice
+    * to k entries BEFORE the exchange — shuffle volume is groups × k,
+    * not the corpus. The oracle is the window-function spelling in
+    * DuckDB, so the two formulations cross-check each other. */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        TextStats.qualityScore(col("text")).as("q"))
+      .groupBy("lang")
+      .agg(graft.ops.TopKAgg.topK(col("q"), col("doc_id"), 3).as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+        col("e.id").as("doc_id"), col("e.ord").as("quality"))
+      .orderBy("lang", "rk")
+
+  private val q68Sql = {
+    val stops = TextStats.miniStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT lang, doc_id,
+       |    (least(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |     + least(CAST(len(list_filter(string_split(text,' '), t -> list_contains($stops, t))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) * 5.0, 1.0) * 0.3
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1) AS quality
+       |  FROM documents
+       |),
+       |ranked AS (
+       |  SELECT lang, doc_id, quality,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+       |  FROM scored
+       |)
+       |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, quality
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q18
   /** Language-ID heuristic: marker-word scores + CJK check, argmax. */
   private def q18(s: SparkSession, dir: String): DataFrame = {
@@ -417,5 +456,6 @@ object Documents {
     QueryDef("q19_fingerprints", q19, Some(q19Sql)),
     QueryDef("q20_ngram_jaccard", q20, Some(q20Sql)),
     QueryDef("q21_cosine_knn", q21, Some(q21Sql)),
-    QueryDef("q22_embedding_neardup", q22, Some(q22Sql)))
+    QueryDef("q22_embedding_neardup", q22, Some(q22Sql)),
+    QueryDef("q68_topk_per_group", q68, Some(q68Sql)))
 }
