@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.ops.SimHashExpr
+import graft.ops.{DotExpr, SimHashExpr, SqDistExpr, TopKAgg}
 import graft.text.LemmatizeExpr
 
 /** Session-extension entry point: registers the engine's native
@@ -24,6 +24,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHashExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDistExpr].getName, "graft_sqdist"),
+      (exprs: Seq[Expression]) => SqDistExpr(exprs(0), exprs(1))))
+    // aggregate: graft_top_k(ord, id, k[, largest]) — bounded-heap
+    // per-group top-k; k (and largest) must be literals
+    e.injectFunction((
+      FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val k = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_top_k: k must be an integer literal, got $other")
+        }
+        val largest = exprs.lift(3) match {
+          case None                          => true
+          case Some(Literal(b: Boolean, _))  => b
+          case Some(other) => throw new IllegalArgumentException(
+            s"graft_top_k: largest must be a boolean literal, got $other")
+        }
+        TopKAgg(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), k, largest)
+      }))
     // Rewrites naive point-in-interval inequality joins (which Spark
     // plans as BroadcastNestedLoopJoin) into bucketized equi-joins;
     // no-op until spark.graft.rangeJoin.bucketWidth is set.

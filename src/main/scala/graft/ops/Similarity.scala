@@ -69,9 +69,38 @@ object Similarity {
     (withVec, model)
   }
 
-  /** IVF index handle: just the centroid matrix (nLists × dim) —
-    * driver/broadcast-scale by construction. */
-  final case class IvfModel(centroids: IndexedSeq[Seq[Double]])
+  /** IVF index handle: the centroid matrix (nLists × dim) plus the
+    * per-list triangle-bound radii (max member distance to the list's
+    * UNIT centroid) — both driver/broadcast-scale by construction.
+    * Radii are a property of the INDEX, computed once at fit time and
+    * reused by every [[exactIvfKnn]] probe decision. */
+  final case class IvfModel(centroids: IndexedSeq[Seq[Double]],
+      radii: Map[Int, Double] = Map.empty)
+
+  private def unitCentroids(cents: IndexedSeq[Seq[Double]]): IndexedSeq[Seq[Double]] =
+    cents.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+
+  /** Per-list radius to the UNIT centroid — one nLists-row aggregate.
+    * The triangle bound holds for any reference point, so using the
+    * unit-normalized centroid (where d² = 2 − 2·cos applies) is
+    * sound. */
+  private def listRadii(indexed: DataFrame, centsUnit: IndexedSeq[Seq[Double]],
+      vecCol: String): Map[Int, Double] = {
+    val spark = indexed.sparkSession
+    val centroids = spark.createDataFrame(
+      centsUnit.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("c_list", "centroid")
+    indexed
+      .select(col("ivf_list"), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
+      .withColumn("unit", transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")))
+      .join(broadcast(centroids), col("ivf_list") === col("c_list"))
+      .groupBy(col("ivf_list"))
+      .agg(max(sqrt(sqDist(col("unit"), col("centroid")))).as("radius"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
 
   /** Squared Euclidean distance of a vector column to a literal
     * centroid — one imperative codegen pass ([[SqDistExpr]]). */
@@ -85,9 +114,9 @@ object Similarity {
     * assignment only needs rough balance. Each Lloyd pass is one
     * posexplode + (list, dim) average with map-side combine: shuffle
     * rows = partitions × nLists × dim, independent of corpus size.
-    * The assignment argmin embeds the centroid matrix as codegen
-    * literals — fine at IVF-ish nLists·dim; a 4096-list × 1024-dim
-    * config should switch to a broadcast-join assignment instead. */
+    * Assignment embeds the centroid matrix as codegen literals at
+    * IVF-ish sizes and auto-switches to the broadcast-join + min_by
+    * path above the literal budget (see [[assignLists]]). */
   def fitCentroids(df: DataFrame, vecCol: String, idCol: String,
       nLists: Int, seed: Long = 42L, lloydIters: Int = 2): IndexedSeq[Seq[Double]] = {
     var cents: IndexedSeq[Seq[Double]] = df
@@ -167,13 +196,18 @@ object Similarity {
     val cents = fitCentroids(asDouble, "__v", idCol, nLists, seed)
     val indexed = assignLists(asDouble, "__v", cents)
       .withColumnRenamed("list", "ivf_list").drop("__v")
-    // the cache existed for the Lloyd passes (all eager, done above);
-    // release it so repeated fits in a long session don't accumulate
-    // executor storage. Consumers of `indexed` recompute one cheap
-    // cast-map per scan — or cache `indexed` themselves when they
-    // probe it repeatedly (exactIvfKnn does).
+    // triangle-bound radii belong to the index: one nLists-row
+    // aggregate at fit time (reading the still-cached input) instead
+    // of one per query
+    val radii = listRadii(indexed, unitCentroids(cents), vecCol)
+    // the cache existed for the Lloyd passes and the radii aggregate
+    // (all eager, done above); release it so repeated fits in a long
+    // session don't accumulate executor storage. Consumers of
+    // `indexed` recompute one cheap cast-map per scan — or cache
+    // `indexed` themselves when they probe it repeatedly
+    // (exactIvfKnn does).
     asDouble.unpersist(blocking = false)
-    (indexed, IvfModel(cents))
+    (indexed, IvfModel(cents, radii))
   }
 
   /** Cosine top-k probing only the nearest `nProbe` inverted lists. */
@@ -218,32 +252,18 @@ object Similarity {
     val indexed = indexedIn.cache()
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
     val qUnit = if (qn == 0.0) queryVec else queryVec.map(_ / qn)
-    val centsUnit = model.centroids.map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      if (n == 0.0) c else c.map(_ / n)
-    }
+    val centsUnit = unitCentroids(model.centroids)
     val qcDist = centsUnit.map(c =>
       math.sqrt(c.zip(qUnit).map { case (a, b) => val d = a - b; d * d }.sum))
     val probe0 = qcDist.zipWithIndex.sortBy(_._1).take(nProbe0 min qcDist.size)
       .map(_._2)
 
-    // per-list radius to the UNIT centroid — one nLists-row aggregate.
-    // The triangle bound holds for any reference point, so using the
-    // unit-normalized centroid (where d²=2−2cos applies) is sound.
+    // radii are part of the fitted model; fall back to a one-off
+    // aggregate only for hand-built models that lack them
     val spark = indexed.sparkSession
-    val centroids = spark.createDataFrame(
-      centsUnit.zipWithIndex.map { case (c, i) => (i, c) })
-      .toDF("c_list", "centroid")
-    def eucl(a: Column, c: Column): Column =
-      sqrt(graft.engine.Columns.ofExpr(SqDistExpr(
-        graft.engine.Columns.exprOf(a), graft.engine.Columns.exprOf(c))))
-    val radii = indexed
-      .select(col("ivf_list"), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
-      .withColumn("unit", transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")))
-      .join(broadcast(centroids), col("ivf_list") === col("c_list"))
-      .groupBy(col("ivf_list"))
-      .agg(max(eucl(col("unit"), col("centroid"))).as("radius"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val radii =
+      if (model.radii.nonEmpty) model.radii
+      else listRadii(indexed, centsUnit, vecCol)
 
     // pass 1: provisional top-k from the initial probes (k rows)
     val pass1 = bruteForceKnn(

@@ -28,6 +28,22 @@ class EngineSpec extends AnyFunSuite {
         .collect().head
       assert(r.getString(0) === "test")
       assert(r.getLong(1) === graft.ops.SimHash.ofTokens(Iterator("a", "b")))
+      val v = ext.sql(
+        """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       graft_sqdist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS s""".stripMargin)
+        .collect().head
+      assert(v.getDouble(0) === 11.0)
+      assert(v.getDouble(1) === 25.0)
+      // the aggregate surface: per-group top-2 by score in pure SQL
+      ext.sql("SELECT * FROM VALUES ('a', 1L, 5.0D), ('a', 2L, 9.0D), " +
+        "('a', 3L, 7.0D), ('b', 4L, 1.0D) AS t(g, id, o)")
+        .createOrReplaceTempView("tk_in")
+      val tk = ext.sql(
+        """SELECT g, e.id FROM (
+          |  SELECT g, graft_top_k(o, id, 2) AS tk FROM tk_in GROUP BY g
+          |) LATERAL VIEW explode(tk) AS e ORDER BY g, e.ord DESC""".stripMargin)
+        .collect().map(r0 => (r0.getString(0), r0.getLong(1))).toSeq
+      assert(tk === Seq(("a", 2L), ("a", 3L), ("b", 4L)))
     } finally {
       SparkSession.setActiveSession(prior)
       SparkSession.setDefaultSession(prior)

@@ -141,6 +141,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: a 100-link chain converges within maxIter") {
+    // diameter 100 ≫ maxIter 10: one-hop min-label propagation would
+    // terminate UNCONVERGED here — only the pointer-halving update
+    // (O(log diameter) rounds) can label the whole chain correctly
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(labels.size === 101)
+    assert(labels.values.forall(_ == 0L),
+      "every vertex of the chain must reach the min label 0")
+  }
+
   test("connected components: chains and triangles collapse to min-id clusters") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),   // chain → cluster 1

@@ -60,6 +60,20 @@ class TopKAggSpec extends AnyFunSuite {
     assert(heapTopK(df, 10) === windowTopK(df, 10))
   }
 
+  test("randomized equivalence: 15 instances of heap == window") {
+    val rnd = new scala.util.Random(20260812L)
+    for (inst <- 1 to 15) {
+      val n = 20 + rnd.nextInt(300)
+      val groups = 1 + rnd.nextInt(9)
+      val k = 1 + rnd.nextInt(6)
+      // coarse ord values force plenty of ties
+      val rows = (0 until n).map { i =>
+        (s"g${rnd.nextInt(groups)}", i.toLong, rnd.nextInt(7).toDouble) }
+      val df = rows.toDF("g", "id", "o").repartition(1 + rnd.nextInt(8))
+      assert(heapTopK(df, k) === windowTopK(df, k), s"instance $inst (k=$k, n=$n)")
+    }
+  }
+
   test("null ords are skipped; largest=false ranks ascending") {
     val df = Seq(
       ("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, Some(1.0)),
