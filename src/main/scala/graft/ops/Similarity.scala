@@ -5,7 +5,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -291,6 +291,34 @@ object Similarity {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), result.schema)
   }
+
+  /** Symmetric int8 quantization of an embedding column: returns
+    * struct(scale double, q array<int> in [-127, 127]) with
+    * scale = max|xᵢ| / 127 and qᵢ = floor(xᵢ/scale + 0.5).
+    *
+    * The 100 TB rationale: a float32 corpus shrinks 4× (and the
+    * candidate-scan dot product becomes exact INTEGER arithmetic —
+    * overflow-free up to dim ≈ 2⁴⁷), which is the standard first
+    * lever for ANN memory/bandwidth at scale; re-rank survivors with
+    * the full-precision [[dot]]. floor(x+0.5) is used instead of a
+    * library round() so every engine reproduces the same codes
+    * bit-for-bit (round() half-up/half-even conventions differ across
+    * engines). A zero vector quantizes to all-zero codes (scale
+    * guard), not an error. */
+  def quantizeInt8(vec: Column): Column = {
+    val d = transform(vec, x => x.cast(DoubleType))
+    val rawScale = array_max(transform(d, x => abs(x))) / lit(127.0)
+    val scale = when(rawScale === 0.0, lit(1.0)).otherwise(rawScale)
+    struct(
+      rawScale.as("scale"),
+      transform(d, x => floor(x / scale + lit(0.5)).cast("int")).as("q"))
+  }
+
+  /** Exact integer dot of two int8 code arrays, rescaled to the
+    * approximate float dot: (Σ qaᵢ·qbᵢ) · scaleA · scaleB. */
+  def quantizedDot(qa: Column, scaleA: Column, qb: Column, scaleB: Column): Column =
+    aggregate(zip_with(qa, qb, (a, b) => (a * b).cast(LongType)), lit(0L), _ + _)
+      .cast(DoubleType) * scaleA * scaleB
 
   /** Native random-projection near-dup pairs: unit-normalize, compute
     * all bucket ids in one custom-expression pass, equi-join on

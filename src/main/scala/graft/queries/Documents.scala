@@ -246,6 +246,60 @@ object Documents {
       |WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** int8-quantized cosine top-k vs the vec_id=0 query: the 4×-smaller
+    * scan path for ANN at corpus scale ([[Similarity.quantizeInt8]]).
+    * The inner dot is EXACT integer arithmetic on the codes, so DuckDB
+    * replays the whole pipeline bit-for-bit (floor(x+0.5) quantization,
+    * integer dot, one fixed double rescale chain) — a full hash oracle
+    * for a similarity operator, which the float32-vs-double cosine
+    * paths (q21/q42) can't have; ranks+ids output keeps the contract
+    * uniform with them anyway. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale").as("scale"), col("z.q").as("qv"))
+    val probe = q.filter(col("vec_id") === 0)
+      .select(col("scale").as("qscale"), col("qv").as("qqv"))
+    q.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        Similarity.quantizedDot(col("qv"), col("scale"), col("qqv"), col("qscale"))
+          .as("score"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("vec_id"))
+      .orderBy("rk")
+  }
+
+  private val q69Sql =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS rawscale
+      |  FROM embeddings
+      |),
+      |q AS (
+      |  SELECT e.vec_id, s.rawscale AS scale,
+      |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+      |      (CASE WHEN s.rawscale = 0 THEN 1.0 ELSE s.rawscale END) + 0.5) AS INTEGER)) AS qv
+      |  FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+      |),
+      |probe AS (SELECT scale AS qscale, qv AS qqv FROM q WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT q.vec_id,
+      |    (CAST(CAST(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(q.qv[i] AS BIGINT) * CAST(probe.qqv[i] AS BIGINT))) AS BIGINT)
+      |      AS DOUBLE) * q.scale) * probe.qscale AS score
+      |  FROM q, probe
+      |)
+      |SELECT rk, vec_id FROM (
+      |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rk
+      |  FROM scored) t
+      |WHERE rk <= 20
+      |ORDER BY rk""".stripMargin
+
   // ---------------------------------------------------------------- q48
   /** Sliding-window token chunking (50-token chunks, 10 overlap). */
   private def q48(s: SparkSession, dir: String): DataFrame =
@@ -457,5 +511,6 @@ object Documents {
     QueryDef("q20_ngram_jaccard", q20, Some(q20Sql)),
     QueryDef("q21_cosine_knn", q21, Some(q21Sql)),
     QueryDef("q22_embedding_neardup", q22, Some(q22Sql)),
-    QueryDef("q68_topk_per_group", q68, Some(q68Sql)))
+    QueryDef("q68_topk_per_group", q68, Some(q68Sql)),
+    QueryDef("q69_quantized_knn", q69, Some(q69Sql)))
 }

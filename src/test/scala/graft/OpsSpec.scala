@@ -376,6 +376,56 @@ class OpsSpec extends AnyFunSuite {
     } finally indexed.unpersist()
   }
 
+  test("int8 quantization: codes bounded, reconstruction within scale/2, zero-safe") {
+    val emb = Seq(
+      (1L, Seq(1.5f, -3.0f, 0.25f, 2.9f)),
+      (2L, Seq(-127.0f, 127.0f, 0.0f, 63.5f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector must not error
+      .toDF("vec_id", "embedding")
+    val rows = emb.select(col("vec_id"),
+        graft.ops.Similarity.quantizeInt8(col("embedding")).as("z"),
+        col("embedding"))
+      .collect()
+    rows.foreach { r =>
+      val scale = r.getStruct(1).getDouble(0)
+      val q = r.getStruct(1).getSeq[Int](1)
+      val x = r.getSeq[Float](2).map(_.toDouble)
+      assert(q.forall(c => c >= -127 && c <= 127), s"codes out of range: $q")
+      if (scale == 0.0) assert(q.forall(_ == 0), "zero vector → zero codes")
+      else x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(xi - qi * scale) <= scale / 2 + 1e-12,
+          s"reconstruction error beyond scale/2 at $xi vs ${qi * scale}")
+      }
+    }
+    // lossless case: integer entries with max |x| = 127 → scale = 1,
+    // codes = values, quantized dot == exact dot. The ranking must
+    // then EQUAL the exact dot ranking (dot, not cosine — quantized
+    // scoring preserves the dot metric; cosine re-rank is the
+    // documented full-precision second stage)
+    def vec(i: Int): Seq[Double] = {
+      val raw = Seq.tabulate(8)(d => (((i * 31 + d * 17) % 23) - 11).toDouble)
+      raw.updated(i % 8, 127.0)
+    }
+    val corpus = (0 until 50).map(i => (i.toLong, vec(i).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val z = corpus.select(col("vec_id"),
+      graft.ops.Similarity.quantizeInt8(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale").as("sc"), col("z.q").as("qv"))
+    val probe = z.filter(col("vec_id") === 0)
+      .select(col("sc").as("qs"), col("qv").as("qq"))
+    val topQ = z.crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        graft.ops.Similarity.quantizedDot(col("qv"), col("sc"), col("qq"), col("qs")).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val q0 = vec(0)
+    val topX = (0 until 50)
+      .map(i => (i.toLong, vec(i).zip(q0).map { case (a, b) => a * b }.sum))
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(topQ === topX,
+      s"lossless quantized ranking $topQ must equal the exact dot ranking $topX")
+  }
+
   test("broadcast-join list assignment equals the literal-argmin path") {
     // the large-nLists path (centroid matrix too big for codegen
     // literals) must assign every vector to the same list, including
