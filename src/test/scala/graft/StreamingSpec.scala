@@ -199,6 +199,34 @@ class StreamingSpec extends AnyFunSuite {
       "the late event's value must not leak into the closed window")
   }
 
+  test("TopKAgg works as a streaming windowed aggregate, equal to batch") {
+    // the custom TypedImperativeAggregate must serialize its heap
+    // through the streaming state store; every emitted window's top-3
+    // must match the batch computation over the same data
+    val stream = EventsStream.readEvents(spark, streamDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.ops.TopKAgg.topK(col("value"), col("event_id"), 3).as("tk"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        expr("transform(tk, e -> e.id)").as("top_ids"))
+    val q = EventsStream.runToMemory(stream, "topk_stream", outputMode = "append")
+    try {
+      val streamed = spark.table("topk_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+      assert(streamed.nonEmpty)
+      val batch = Tables.events(spark, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(graft.ops.TopKAgg.topK(col("value"), col("event_id"), 3).as("tk"))
+        .select(col("hour"), col("event_type"),
+          expr("transform(tk, e -> e.id)").as("top_ids"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+      streamed.foreach { case (key, ids) =>
+        assert(batch(key) === ids, s"window $key: streamed $ids vs batch ${batch(key)}")
+      }
+    } finally q.stop()
+  }
+
   test("session windows produce bounded per-user sessions") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.runToMemory(
