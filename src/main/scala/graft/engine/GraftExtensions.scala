@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.ops.{DotExpr, SimHashExpr, SqDistExpr, TopKAgg}
+import graft.ops.{DotExpr, SimHashExpr, SqDistExpr, TopKAgg, ZOrderExpr}
 import graft.text.LemmatizeExpr
 
 /** Session-extension entry point: registers the engine's native
@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrderExpr].getName, "graft_zorder"),
+      (exprs: Seq[Expression]) => ZOrderExpr(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SqDistExpr].getName, "graft_sqdist"),

@@ -420,7 +420,29 @@ object Relational3 {
       | AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
       |ORDER BY a.o_custkey, key_a, key_b""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Z-order (Morton) interleave of (l_partkey, l_suppkey): the
+    * multi-column data-layout key — range-partition/sort by `z` before
+    * a lake write and per-file min/max statistics prune scans on
+    * EITHER key column ([[graft.ops.ZOrderExpr]]; locality property
+    * spec-verified). Pure integer bit arithmetic, so DuckDB replays
+    * the interleave exactly, bit by bit. */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.ZOrderExpr.zorder(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q70Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(list_sum(list_transform(range(0, 32), i ->
+      |    (((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i + 1))
+      |  )) AS BIGINT) AS z
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q70_zorder_layout", q70, Some(q70Sql)),
     QueryDef("q61_interval_overlap", q61, Some(q61Sql)),
     QueryDef("q60_range_join", q60, Some(q60Sql)),
     QueryDef("q59_sessionize", q59, Some(q59Sql)),

@@ -34,6 +34,7 @@ class EngineSpec extends AnyFunSuite {
         .collect().head
       assert(v.getDouble(0) === 11.0)
       assert(v.getDouble(1) === 25.0)
+      assert(ext.sql("SELECT graft_zorder(3, 3) AS z").collect().head.getLong(0) === 15L)
       // the aggregate surface: per-group top-2 by score in pure SQL
       ext.sql("SELECT * FROM VALUES ('a', 1L, 5.0D), ('a', 2L, 9.0D), " +
         "('a', 3L, 7.0D), ('b', 4L, 1.0D) AS t(g, id, o)")

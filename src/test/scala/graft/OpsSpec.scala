@@ -376,6 +376,41 @@ class OpsSpec extends AnyFunSuite {
     } finally indexed.unpersist()
   }
 
+  test("zorder: interleave bit positions and two-dimensional locality") {
+    import graft.ops.ZOrderExpr
+    // bit-position ground truth
+    assert(ZOrderExpr.interleave(0L, 0L) === 0L)
+    assert(ZOrderExpr.interleave(1L, 0L) === 1L)
+    assert(ZOrderExpr.interleave(0L, 1L) === 2L)
+    assert(ZOrderExpr.interleave(3L, 3L) === 15L)
+    assert(ZOrderExpr.interleave(0xFFFFFFFFL, 0L) === 0x5555555555555555L)
+    assert(ZOrderExpr.interleave(0L, 0xFFFFFFFFL) === java.lang.Long.parseUnsignedLong("aaaaaaaaaaaaaaaa", 16))
+    // naive per-bit reference over a value sweep
+    def naive(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)) }
+    val rnd = new scala.util.Random(7L)
+    (0 until 200).foreach { _ =>
+      val a = rnd.nextLong() & 0xFFFFFFFFL
+      val b = rnd.nextLong() & 0xFFFFFFFFL
+      assert(ZOrderExpr.interleave(a, b) === naive(a, b))
+    }
+    // locality: chunking a 32×32 grid sorted by z keeps BOTH
+    // coordinates tight per chunk; an x-major sort leaves y wild
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), ZOrderExpr.zorder(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def spreadOfChunks(sorted: Seq[(Long, Long)]): Long =
+      sorted.grouped(64).map { c =>
+        (c.map(_._2).max - c.map(_._2).min) + (c.map(_._1).max - c.map(_._1).min)
+      }.sum
+    val byZ = spreadOfChunks(grid.sortBy(_._3).map(t => (t._1, t._2)).toSeq)
+    val byX = spreadOfChunks(grid.sortBy(t => (t._1, t._2)).map(t => (t._1, t._2)).toSeq)
+    assert(byZ * 2 < byX,
+      s"z-order chunks must be at least 2x tighter: z=$byZ vs x-major=$byX")
+  }
+
   test("int8 quantization: codes bounded, reconstruction within scale/2, zero-safe") {
     val emb = Seq(
       (1L, Seq(1.5f, -3.0f, 0.25f, 2.9f)),
