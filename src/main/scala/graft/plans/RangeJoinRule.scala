@@ -201,9 +201,16 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
           "bucketized). Fix the data or unset " +
           "spark.graft.rangeJoin.bucketWidth to run the naive plan.")),
         org.apache.spark.sql.types.ArrayType(LongType))
-      val seq = If(LessThanOrEqual(sB, eB),
-        new Sequence(sB, eB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
-        err)
+      val empty = Literal.create(Seq.empty[Long],
+        org.apache.spark.sql.types.ArrayType(LongType))
+      // a NULL bound matches nothing under the raw condition (null
+      // comparison filters the row), so it must DROP silently — only a
+      // definitely-inverted row raises. Without the null guard the
+      // If predicate evaluates null and falls into the error branch.
+      val seq = If(Or(IsNull(sB), IsNull(eB)), empty,
+        If(LessThanOrEqual(sB, eB),
+          new Sequence(sB, eB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+          err))
       val out = AttributeReference(outName, LongType, nullable = true)()
       (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
         qualifier = None, generatorOutput = Seq(out), side), out)

@@ -183,6 +183,23 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
   }
 
+  test("overlap rewrite drops null-bound rows silently (no raise, no match)") {
+    import spark.implicits._
+    Seq((1L, Some(0L), Some(10L)), (2L, None, Some(10L)), (3L, Some(5L), None))
+      .toDF("nid", "s", "e").createOrReplaceTempView("niv")
+    Seq((13L, 0L, 1000L)).toDF("jid", "s2", "e2").createOrReplaceTempView("jv2")
+    val oq = """SELECT nid, jid FROM niv JOIN jv2
+               |ON niv.s <= jv2.e2 AND jv2.s2 <= niv.e""".stripMargin
+    spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    val expected = spark.sql(oq).collect().map(_.getLong(0)).toSet
+    assert(expected === Set(1L), "null bounds match nothing under raw SQL")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "16")
+    try {
+      val got = spark.sql(oq).collect().map(_.getLong(0)).toSet
+      assert(got === expected, "rewrite must drop null-bound rows, not raise")
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   test("overlap with an extra equality key (full q61 SQL shape) rewrites") {
     import spark.implicits._
     Seq((1L, 100L, 0L, 10L), (1L, 101L, 8L, 20L), (1L, 102L, 30L, 40L),
