@@ -300,6 +300,62 @@ object Documents {
       |WHERE rk <= 20
       |ORDER BY rk""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Batched kNN: top-5 neighbors for EVERY query in a 20-vector probe
+    * set, in ONE corpus scan. The probe set broadcasts, scoring is the
+    * exact-integer quantized dot (q69's machinery, so DuckDB replays
+    * it bit-for-bit), and [[graft.ops.TopKAgg]] reduces each task's
+    * slice to k entries per query BEFORE the exchange — the shuffle
+    * carries |queries| × k rows regardless of corpus size. This is the
+    * production "score the corpus against a probe set" shape
+    * (retrieval eval, hard-negative mining, decontamination probes). */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale").as("sc"), col("z.q").as("qv"))
+    val probes = q.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("sc").as("qs"), col("qv").as("qq"))
+    q.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.quantizedDot(col("qv"), col("sc"), col("qq"), col("qs")).as("score"))
+      .groupBy("qid")
+      .agg(graft.ops.TopKAgg.topK(col("score"), col("vec_id"), 5).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rk"),
+        col("e.id").as("vec_id"))
+      .orderBy("qid", "rk")
+  }
+
+  private val q71Sql =
+    """WITH s AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS rawscale
+      |  FROM embeddings
+      |),
+      |q AS (
+      |  SELECT e.vec_id, s.rawscale AS scale,
+      |    list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+      |      (CASE WHEN s.rawscale = 0 THEN 1.0 ELSE s.rawscale END) + 0.5) AS INTEGER)) AS qv
+      |  FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+      |),
+      |probes AS (SELECT vec_id AS qid, scale AS qscale, qv AS qqv FROM q WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT probes.qid, q.vec_id,
+      |    (CAST(CAST(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(q.qv[i] AS BIGINT) * CAST(probes.qqv[i] AS BIGINT))) AS BIGINT)
+      |      AS DOUBLE) * q.scale) * probes.qscale AS score
+      |  FROM q, probes
+      |  WHERE q.vec_id <> probes.qid
+      |)
+      |SELECT qid, CAST(rk AS INTEGER) AS rk, vec_id FROM (
+      |  SELECT qid, vec_id, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+      |  FROM scored) t
+      |WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
   // ---------------------------------------------------------------- q48
   /** Sliding-window token chunking (50-token chunks, 10 overlap). */
   private def q48(s: SparkSession, dir: String): DataFrame =
@@ -512,5 +568,6 @@ object Documents {
     QueryDef("q21_cosine_knn", q21, Some(q21Sql)),
     QueryDef("q22_embedding_neardup", q22, Some(q22Sql)),
     QueryDef("q68_topk_per_group", q68, Some(q68Sql)),
-    QueryDef("q69_quantized_knn", q69, Some(q69Sql)))
+    QueryDef("q69_quantized_knn", q69, Some(q69Sql)),
+    QueryDef("q71_batch_knn", q71, Some(q71Sql)))
 }
