@@ -125,7 +125,12 @@ object Dedup {
     // cached: (id, band, key) is 3 longs per row, and the frame feeds
     // FOUR plan branches (bucket stats, both self-join sides, hot
     // stars) — uncached, each branch would recompute the k-hash
-    // MinHash signatures, the dominant cost of the whole operator
+    // MinHash signatures, the dominant cost of the whole operator.
+    // Like `shingled` above (and deduplicate's `exact`), this cache is
+    // deliberately retained past the call: the returned pair frame is
+    // lazy and still references it. Long-lived sessions release both
+    // via catalog.clearCache() or by unpersisting after materializing
+    // the pairs.
     val banded = shingled
       .withColumn("sig", sig)
       .select(col(idCol), explode(bandKeys).as("bk"))
@@ -397,8 +402,20 @@ object Dedup {
     val sc = docs.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty) {
       if (sc.isLocal) {
-        sc.setCheckpointDir(
-          java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+        // note: setCheckpointDir is CONTEXT-global — this default only
+        // fires when nothing else configured one. The temp dir is
+        // removed on JVM exit (checkpoint files are not auto-cleaned
+        // by Spark; without the hook every short-lived local job
+        // would leave its checkpoint data behind).
+        val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+        sc.setCheckpointDir(dir.toString)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(dir.toFile)
+        }))
       } else {
         org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
           "graft.Dedup.deduplicate: no spark checkpoint dir configured — " +

@@ -95,11 +95,22 @@ object Similarity {
       .toDF("c_list", "centroid")
     indexed
       .select(col("ivf_list"), col(vecCol), l2Norm(col(vecCol)).as("nrm"))
-      .withColumn("unit", transform(col(vecCol), x => x.cast(DoubleType) / col("nrm")))
+      // zero-norm guard: dividing by a zero norm is an ANSI error (and
+      // a NaN radius would silently SKIP the list in the triangle
+      // filter even though its other members may hold true neighbors,
+      // while the zero vector itself ranks first under brute force's
+      // NaN cosine). Zero-norm members force radius +∞ instead —
+      // their list always qualifies: exactness over pruning.
+      .withColumn("unit", when(col("nrm") =!= 0.0,
+        transform(col(vecCol), x => x.cast(DoubleType) / col("nrm"))))
       .join(broadcast(centroids), col("ivf_list") === col("c_list"))
       .groupBy(col("ivf_list"))
-      .agg(max(sqrt(sqDist(col("unit"), col("centroid")))).as("radius"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .agg(max(when(col("nrm") === 0.0, lit(Double.PositiveInfinity))
+        .otherwise(sqrt(sqDist(col("unit"), col("centroid"))))).as("radius"))
+      .collect().map { r =>
+        val d = r.getDouble(1)
+        r.getInt(0) -> (if (d.isNaN) Double.PositiveInfinity else d)
+      }.toMap
   }
 
   /** Squared Euclidean distance of a vector column to a literal
@@ -246,10 +257,16 @@ object Similarity {
   def exactIvfKnn(indexedIn: DataFrame, model: IvfModel, queryVec: Seq[Double],
       k: Int, nProbe0: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // three passes read the index (radii, provisional top-k, final
-    // top-k): cache for the duration of the call, release on exit —
-    // the returned frame is k LOCAL rows, so nothing lazy retains it
-    val indexed = indexedIn.cache()
+    // up to three passes read the index (radii fallback, provisional
+    // top-k, final top-k): cache for the duration of the call and
+    // release on exit — UNLESS the caller already persisted this very
+    // frame, in which case both the cache() and the unpersist() must
+    // be no-ops (Spark keys cache entries on the plan, so an
+    // unpersist here would evict the CALLER's cache and force a full
+    // index recompute on their next probe)
+    val callerCached =
+      indexedIn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val indexed = if (callerCached) indexedIn else indexedIn.cache()
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
     val qUnit = if (qn == 0.0) queryVec else queryVec.map(_ / qn)
     val centsUnit = unitCentroids(model.centroids)
@@ -287,7 +304,7 @@ object Similarity {
     // materialize the ≤ k result rows locally (bounded by contract) so
     // the per-call cache can be released deterministically
     val rows = result.collect()
-    indexed.unpersist(blocking = false)
+    if (!callerCached) indexed.unpersist(blocking = false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), result.schema)
   }
@@ -309,9 +326,15 @@ object Similarity {
     val d = transform(vec, x => x.cast(DoubleType))
     val rawScale = array_max(transform(d, x => abs(x))) / lit(127.0)
     val scale = when(rawScale === 0.0, lit(1.0)).otherwise(rawScale)
+    // the scale must NOT be referenced inside the per-element lambda
+    // (HOF lambdas get no subexpression elimination, so the array_max
+    // underneath it would re-run per element — O(dim²) per row).
+    // array_repeat evaluates it ONCE per row; zip_with then reads the
+    // materialized element.
+    val scaleArr = array_repeat(scale, size(vec))
     struct(
       rawScale.as("scale"),
-      transform(d, x => floor(x / scale + lit(0.5)).cast("int")).as("q"))
+      zip_with(d, scaleArr, (x, s0) => floor(x / s0 + lit(0.5)).cast("int")).as("q"))
   }
 
   /** Exact integer dot of two int8 code arrays, rescaled to the

@@ -26,8 +26,11 @@ import graft.engine.Columns
   * that works at 100 TB and one that re-shuffles the corpus.
   *
   * Buffer is a size-bounded binary heap ordered worst-first (so the
-  * root is the entry the next better candidate evicts). Null ords are
-  * skipped, matching rank-over-non-null semantics.
+  * root is the entry the next better candidate evicts). Rows with a
+  * null ord OR null id are skipped — ids are non-null keys by
+  * contract (a window spelling ranks null ids NULLS FIRST; this
+  * operator's contract is rank-over-non-null for both inputs). NaN
+  * ords rank as the greatest double, exactly like Spark's ORDER BY.
   */
 case class TopKAgg(
     ord: Expression,
@@ -112,15 +115,27 @@ object TopKAgg {
     def size: Int = n
 
     // ranks: (ord desc|asc, id asc). Returns true when (o1,i1) BEATS
-    // (o2,i2). NaN ords sort worst in both directions (< and > are
-    // both false for NaN operands, so NaN never beats, matching SQL
-    // ORDER BY ... NULLS/NaN-last rank semantics closely enough for a
-    // score column; callers with NaN scores should filter first).
-    private def better(o1: Double, i1: Long, o2: Double, i2: Long): Boolean =
-      if (o1 != o2) { if (largest) o1 > o2 else o1 < o2 }
+    // (o2,i2). MUST be a total order (the heap and sortWith both rely
+    // on it), so ords compare via Double.compare — NaN ranks as the
+    // GREATEST double, exactly Spark's SQL ordering, which keeps the
+    // heap equal to the row_number() window spelling even on NaN
+    // scores (a raw `>` would make NaN incomparable: a NaN that
+    // entered a non-full heap could then never be evicted and would
+    // block every later candidate).
+    private def better(o1: Double, i1: Long, o2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(o1, o2)
+      if (c != 0) { if (largest) c > 0 else c < 0 }
       else i1 < i2
+    }
 
-    def offer(o: Double, i: Long): Unit = {
+    def offer(oIn: Double, i: Long): Unit = {
+      // normalize -0.0 to 0.0 like Spark's UnsafeRow/grouping layer,
+      // so the Double.compare tie-break can't order ±0.0 apart
+      val o = if (oIn == 0.0) 0.0 else oIn
+      offerNormalized(o, i)
+    }
+
+    private def offerNormalized(o: Double, i: Long): Unit = {
       if (n < k) {
         ords(n) = o; ids(n) = i; n += 1
         siftUp(n - 1)

@@ -162,8 +162,20 @@ case class RangeJoinRule() extends Rule[LogicalPlan] {
             // fall back to the interval-overlap shape (sL ≤ eR AND
             // sR ≤ eL) — tried second because the point shape's plan
             // is cheaper (one-sided explode, no dedup conjunct) and
-            // point-in-interval also parses as a degenerate overlap
-            decomposeOverlap(cond, left.outputSet, right.outputSet) match {
+            // point-in-interval also parses as a degenerate overlap.
+            // Gated by its OWN opt-in: syntactically, ANY two
+            // cross-side inequalities parse as an "overlap" (e.g.
+            // `a.price <= b.budget AND b.min_qty <= a.qty` — two
+            // unrelated constraints), and whether the synthesized
+            // (start, end) pairs are genuine intervals with
+            // start <= end is a semantic fact only the user knows.
+            // The point shape needs no such assertion (an inverted
+            // interval provably matches nothing there).
+            val overlapOn = conf
+              .getConfString("spark.graft.rangeJoin.overlap.enabled", "false")
+              .trim.equalsIgnoreCase("true")
+            if (!overlapOn) j
+            else decomposeOverlap(cond, left.outputSet, right.outputSet) match {
               case Some((sL, eL, sR, eR)) =>
                 rewriteOverlap(left, right, sL, eL, sR, eR, cond, hint, w)
               case None => j

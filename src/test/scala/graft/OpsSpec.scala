@@ -376,6 +376,27 @@ class OpsSpec extends AnyFunSuite {
     } finally indexed.unpersist()
   }
 
+  test("exact ivf knn matches brute force's behavior on a zero-norm vector") {
+    // cosine is undefined for a zero vector: under ANSI, brute force
+    // raises DIVIDE_BY_ZERO. exactIvfKnn must be CONSISTENT — the
+    // zero vector's list gets radius +inf (never silently pruned), so
+    // the final scoring pass reaches the identical loud error instead
+    // of quietly returning a different top-k. (With ANSI off the same
+    // guard makes both paths rank the NaN cosine first.)
+    val emb = ((0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => (((i * 19 + d * 7) % 13) - 6).toFloat))
+    } :+ (99L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val query = Seq(5.0, -2.0, 3.0, 1.0)
+    val (indexed, model) = graft.ops.Similarity.fitIvf(emb, nLists = 8)
+    val bruteErr = intercept[Exception](
+      graft.ops.Similarity.bruteForceKnn(emb, query, 8).collect())
+    assert(bruteErr.getMessage.contains("DIVIDE_BY_ZERO"))
+    val exactErr = intercept[Exception](
+      graft.ops.Similarity.exactIvfKnn(indexed, model, query, k = 8, nProbe0 = 1))
+    assert(exactErr.getMessage.contains("DIVIDE_BY_ZERO"),
+      s"exactIvfKnn must surface the same undefined-cosine error, got: $exactErr")
+  }
+
   test("zorder: interleave bit positions and two-dimensional locality") {
     import graft.ops.ZOrderExpr
     // bit-position ground truth

@@ -148,6 +148,11 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       .sorted
 
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", "16")
+    // the overlap shape needs its own opt-in: without it the join is
+    // untouched even with a bucket width set
+    assert(!spark.sql(oq).queryExecution.executedPlan.toString.contains("Generate"),
+      "overlap must not rewrite without spark.graft.rangeJoin.overlap.enabled")
+    spark.conf.set("spark.graft.rangeJoin.overlap.enabled", "true")
     try {
       val rewritten = spark.sql(oq)
       val plan = rewritten.queryExecution.executedPlan.toString
@@ -159,7 +164,10 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         .sorted
       assert(got === expected, "same pairs, same multiplicities")
-    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      spark.conf.unset("spark.graft.rangeJoin.overlap.enabled")
+    }
   }
 
   test("overlap rewrite raises loudly on inverted intervals instead of dropping") {
@@ -174,13 +182,17 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       "naive plan matches the inverted interval — which is why silent " +
         "dropping would be wrong")
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", "16")
+    spark.conf.set("spark.graft.rangeJoin.overlap.enabled", "true")
     try {
       val e = intercept[Exception](spark.sql(oq).collect())
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains("requires start <= end")),
         s"expected the documented inverted-interval error, got: $e")
-    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      spark.conf.unset("spark.graft.rangeJoin.overlap.enabled")
+    }
   }
 
   test("overlap rewrite drops null-bound rows silently (no raise, no match)") {
@@ -194,10 +206,14 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     val expected = spark.sql(oq).collect().map(_.getLong(0)).toSet
     assert(expected === Set(1L), "null bounds match nothing under raw SQL")
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", "16")
+    spark.conf.set("spark.graft.rangeJoin.overlap.enabled", "true")
     try {
       val got = spark.sql(oq).collect().map(_.getLong(0)).toSet
       assert(got === expected, "rewrite must drop null-bound rows, not raise")
-    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      spark.conf.unset("spark.graft.rangeJoin.overlap.enabled")
+    }
   }
 
   test("overlap with an extra equality key (full q61 SQL shape) rewrites") {
@@ -219,6 +235,7 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     // starts exactly at 200's exclusive end)
     assert(expected === Seq((100L, 900L), (101L, 900L), (102L, 901L), (200L, 902L)))
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", "8")
+    spark.conf.set("spark.graft.rangeJoin.overlap.enabled", "true")
     try {
       val rewritten = spark.sql(oq)
       val plan = rewritten.queryExecution.executedPlan.toString
@@ -227,7 +244,10 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       assert(plan.contains("Generate"))
       val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(got === expected)
-    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      spark.conf.unset("spark.graft.rangeJoin.overlap.enabled")
+    }
   }
 
   test("joins without a range pair are left untouched") {

@@ -74,6 +74,21 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN ords rank greatest, exactly like the window ordering") {
+    // NaN must neither poison the heap (a NaN that enters a non-full
+    // heap must still be evictable) nor rank differently than Spark's
+    // ORDER BY, where NaN is the greatest double
+    val df = Seq(
+      ("a", 1L, Double.NaN), ("a", 2L, 5.0), ("a", 3L, 7.0), ("a", 4L, 9.0))
+      .toDF("g", "id", "o")
+    // compare on (g, rk, id): NaN != NaN would fail a tuple compare
+    // even when both sides emit the same rows
+    def ids(s: Set[(String, Int, Long, Double)]) = s.map(t => (t._1, t._2, t._3))
+    assert(ids(heapTopK(df, 2)) === ids(windowTopK(df, 2)))
+    assert(ids(heapTopK(df, 2)) === Set(("a", 1, 1L), ("a", 2, 4L)),
+      "NaN first (greatest), then the best real score")
+  }
+
   test("null ords are skipped; largest=false ranks ascending") {
     val df = Seq(
       ("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, Some(1.0)),
