@@ -88,6 +88,27 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Continuous ingest into a JDBC table: each micro-batch appends
+    * through [[graft.io.JdbcSink]] via foreachBatch — the
+    * streaming twin of the reference's batch JDBC load. Exactly-once
+    * is the usual foreachBatch contract: the checkpoint tracks which
+    * batch ids committed, and a replayed batch re-appends — dedupe
+    * upstream (dropDuplicatesWithinWatermark) or use a keyed upsert
+    * table when the target must be idempotent. `numPartitions` caps
+    * concurrent connections per micro-batch at cluster scale. */
+  def streamToJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, checkpointDir: String,
+      numPartitions: Option[Int] = None): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.io.JdbcSink.write(batch.toDF(), url, table, props,
+          org.apache.spark.sql.SaveMode.Append, numPartitions)
+      }
+      .start()
+
   /** Drive a streaming frame into an in-memory table and run all
     * available micro-batches (local smoke harness; a cluster deploy
     * swaps the sink for kafka/delta and drops processAllAvailable). */

@@ -45,6 +45,41 @@ class DerbyRoundTripSpec extends AnyFunSuite {
       (df: DataFrame, table: String, mode: SaveMode) =>
         JdbcSink.write(df, url, table, props, mode))
 
+  test("streaming ingest appends micro-batches into live Derby, restart-safe") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-sjdbc")
+    val in = work.resolve("in"); val ckpt = work.resolve("ckpt")
+    java.nio.file.Files.createDirectories(in)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    JdbcSink.ensureTable(url, props, JdbcSink.createTableDdl(
+      "stream_events", schema, primaryKey = Some("event_id"),
+      typeFor = JdbcSink.derbyType, ifNotExists = false))
+
+    def runOnce(): Unit = {
+      val q = graft.streaming.EventsStream.streamToJdbc(
+        spark.readStream.schema(schema).parquet(s"$in/*"),
+        url, "stream_events", props, ckpt.toString, numPartitions = Some(2))
+      q.awaitTermination()
+    }
+    (0L until 100L).map(i => (i, i * 0.5)).toDF("event_id", "value")
+      .write.mode("overwrite").parquet(s"$in/b1")
+    runOnce()
+    assert(spark.read.jdbc(url, "stream_events", props).count() === 100L)
+    // restart with one NEW file: checkpoint must skip the committed
+    // batch (no PK violation from a re-append) and add only new rows
+    (100L until 150L).map(i => (i, i * 0.5)).toDF("event_id", "value")
+      .write.mode("overwrite").parquet(s"$in/b2")
+    runOnce()
+    val after = spark.read.jdbc(url, "stream_events", props)
+    assert(after.count() === 150L)
+    assert(after.select(sum(col("event_id"))).collect().head.getLong(0)
+      === (0L until 150L).sum)
+  }
+
   test("DDL-first load round-trips through live Derby with reference modes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_load").toString
     stageFixtures(tmp, Seq((1L, 0.5), (2L, 0.7)))
