@@ -37,9 +37,11 @@ object Bench {
     // keep them out of both the map and the total so a fast failure
     // can never read as a speedup
     val ok = results.filterNot { case (k, _) => failures.contains(k) }
-    // slowest first: regressions visible at a glance
+    // slowest first: regressions visible at a glance. Millisecond
+    // rounding keeps the printed line short enough for the driver's
+    // tail-capture (full precision never mattered — run noise is ~100ms)
     val qs = ok.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -89,10 +91,12 @@ object Bench {
         f""","scaling":{"docs_x1":$n1,"docs_x10":$n10,"q31_pairs_x1":$p1,"q31_pairs_x10":$p10,"q31_sec_x1":$tp1%.2f,"q31_sec_x10":$tp10%.2f,"q31_slope":${tp10 / tp1}%.2f,"q55_survivors_x1":$f1,"q55_survivors_x10":$f10,"q55_sec_x1":$tf1%.2f,"q55_sec_x10":$tf10%.2f,"q55_slope":${tf10 / tf1}%.2f}"""
       }
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$scaling}"""
-    // stdout AND a file: the driver's tail-capture of sbt output has
-    // truncated this (long) line before — the file copy is the record
-    println(json)
+    // the stdout line stays minimal (the driver tail-captures sbt
+    // output and has truncated the head of a long line before);
+    // bench.json carries the same record plus the scaling curve
+    val headline = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$scaling}"""
+    println(headline)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

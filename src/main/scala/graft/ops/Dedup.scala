@@ -468,6 +468,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** [[contaminationScores]] with a Bloom prefilter between the corpus
+    * scan and the exact join — same exact result, different scale
+    * regime. [[contaminationScores]] broadcasts the reference grams as
+    * an exact hash set, which stops working when the reference side is
+    * itself large (a billion held-out grams is ~16 GB of longs — too
+    * big to broadcast, and shuffling every corpus gram against it is
+    * the cost being avoided). Here the reference grams fold into a
+    * fixed-size bit array ([[BloomAgg]], ~10 bits/gram), that bloom
+    * broadcasts at any reference size, and only the corpus grams it
+    * passes — true matches plus the bloom's false-positive rate —
+    * reach the shuffle equi-join that makes the count exact. "No" from
+    * the bloom is certain, so no shared gram is ever lost; "maybe"
+    * rows are re-checked exactly, so false positives can't inflate the
+    * count. */
+  def bloomContaminationScores(corpus: DataFrame, ref: DataFrame,
+      shingleSize: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", numBits: Int = 1 << 22,
+      numHashes: Int = 5): DataFrame = {
+    def gramHashes(df: DataFrame) = df
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= shingleSize)
+      .select(col(idCol),
+        explode(transform(wordNgrams(col("__toks"), shingleSize),
+          g => xxhash64(g))).as("__g"))
+    val refGrams = gramHashes(ref).select("__g").distinct()
+    val bloom = refGrams.agg(
+      BloomFns.bloomAgg(col("__g"), numBits, numHashes).as("__bloom"))
+    gramHashes(corpus)
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFns.bloomContains(col("__bloom"), col("__g")))
+      .drop("__bloom")
+      .join(refGrams, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Drop corpus documents sharing at least `minOverlap` distinct
     * n-grams with the reference set (the C4/Pile-style "remove
     * training docs that leak the benchmark" step). */
