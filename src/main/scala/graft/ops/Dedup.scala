@@ -481,7 +481,17 @@ object Dedup {
     * reach the shuffle equi-join that makes the count exact. "No" from
     * the bloom is certain, so no shared gram is ever lost; "maybe"
     * rows are re-checked exactly, so false positives can't inflate the
-    * count. */
+    * count.
+    *
+    * The bloom is built distributed (one bitset partial per task, OR'd
+    * in the exchange), materialized to the driver as ONE blob of
+    * `numBits/8` bytes, and embedded as a plan literal — the same
+    * inject-after-build shape as Spark's own runtime bloom join
+    * filters. It must NOT ride along as a joined column instead: every
+    * `getBinary` on an UnsafeRow-backed column copies the full bitset,
+    * so a cross-joined bloom costs corpusGrams × numBits/8 bytes of
+    * memcpy (measured 6× the entire query's runtime), while a literal
+    * is one reference for the whole scan. */
   def bloomContaminationScores(corpus: DataFrame, ref: DataFrame,
       shingleSize: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", numBits: Int = 1 << 22,
@@ -492,13 +502,20 @@ object Dedup {
       .select(col(idCol),
         explode(transform(wordNgrams(col("__toks"), shingleSize),
           g => xxhash64(g))).as("__g"))
+    // materialize ref grams once: the bloom build and the verify join
+    // both consume them, and recomputing tokenize+ngram+distinct for
+    // the second job doubles the (admittedly small-side) ref cost.
+    // localCheckpoint, not cache: blocks are reclaimed by the
+    // ContextCleaner when this frame goes out of scope — no storage
+    // entry outlives the query (the leak ADVICE flagged on the
+    // similarity caches)
     val refGrams = gramHashes(ref).select("__g").distinct()
-    val bloom = refGrams.agg(
-      BloomFns.bloomAgg(col("__g"), numBits, numHashes).as("__bloom"))
+      .localCheckpoint(true)
+    val blob = refGrams
+      .agg(BloomFns.bloomAgg(col("__g"), numBits, numHashes))
+      .head.getAs[Array[Byte]](0)
     gramHashes(corpus)
-      .crossJoin(broadcast(bloom))
-      .filter(BloomFns.bloomContains(col("__bloom"), col("__g")))
-      .drop("__bloom")
+      .filter(BloomFns.bloomContains(lit(blob), col("__g")))
       .join(refGrams, "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_grams"))

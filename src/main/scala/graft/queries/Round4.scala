@@ -23,9 +23,14 @@ object Round4 {
     * the two queries don't share an oracle. */
   private def q72(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // bloom sized for the harness reference slice (~12k distinct grams
+    // at sf0.1 → 2^17 bits ≈ 10 bits/gram, ~1% fp); the library default
+    // (2^22) is sized for benchmark suites of hundreds of millions of
+    // grams and would only bloat this query's plan literal
     graft.ops.Dedup.bloomContaminationScores(
         docs.filter(col("doc_id") % 40 =!= 0),
-        docs.filter(col("doc_id") % 40 === 0))
+        docs.filter(col("doc_id") % 40 === 0),
+        numBits = 1 << 17)
       .filter(col("n_shared_grams") >= 3)
       .orderBy("doc_id")
   }
