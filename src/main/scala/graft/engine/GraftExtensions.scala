@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.ops.{DotExpr, SimHashExpr, SqDistExpr, TopKAgg, ZOrderExpr}
+import graft.ops.{BloomContainsExpr, DotExpr, MisraGriesAgg, SimHashExpr, SqDistExpr, TopKAgg, ZOrderExpr}
 import graft.text.LemmatizeExpr
 
 /** Session-extension entry point: registers the engine's native
@@ -56,6 +56,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_top_k: largest must be a boolean literal, got $other")
         }
         TopKAgg(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType), k, largest)
+      }))
+    // graft_bloom_contains(bloom_blob, hash) — probe a BloomAgg blob
+    // (the blob is self-describing, so SQL callers can't misconfigure
+    // the probe side)
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => BloomContainsExpr(exprs(0), exprs(1))))
+    // aggregate: graft_frequent_items(token, k) — Misra-Gries candidate
+    // set (≤ k tokens); k must be a literal. Candidates, not counts:
+    // recount exactly before trusting (see HeavyHitters.exact).
+    e.injectFunction((
+      FunctionIdentifier("graft_frequent_items"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_frequent_items"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_frequent_items: k must be an integer literal, got $other")
+        }
+        MisraGriesAgg(exprs.head, k)
       }))
     // Rewrites naive point-in-interval inequality joins (which Spark
     // plans as BroadcastNestedLoopJoin) into bucketized equi-joins;

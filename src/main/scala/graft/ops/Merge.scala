@@ -65,4 +65,61 @@ object Merge {
         when(col("__k").isNotNull, col(s"__row.$c"))
           .otherwise(col(s"__brow.$c")).as(c)): _*)
   }
+
+  /** SCD type-2 history from a change feed: every upsert becomes a
+    * versioned row whose validity closes when the key's NEXT change
+    * (of any kind — a later update or a delete tombstone both end the
+    * interval) takes effect. Appends `valid_to` = the next change's
+    * leading version value, NULL for the key's current row, then drops
+    * the tombstones themselves (a delete closes history, it isn't a
+    * version).
+    *
+    * This is a per-key `lead()` window — the one merge-family operator
+    * that legitimately sorts the feed within each key, because
+    * interval construction is inherently order-dependent. The shuffle
+    * carries the feed once, partitioned by key.
+    */
+  def scd2History(
+      changes: DataFrame,
+      key: String,
+      versionCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(versionCols.nonEmpty, "versionCols must order the feed")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(versionCols.map(col): _*)
+    changes
+      .withColumn("valid_to", lead(col(versionCols.head), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .drop(opCol)
+  }
+
+  /** The inverse of [[applyCdc]]: diff two snapshots of the same
+    * schema into a change feed — 'I' rows exist only in `after`, 'D'
+    * rows only in `before`, 'U' rows exist in both with any column
+    * differing (per-column null-safe comparison, so NULL → value and
+    * value → NULL both count as changes). Unchanged keys are absent
+    * from the output, which is what makes this the scalable way to
+    * publish incremental downstream updates of a recomputed table:
+    * one co-partitioned full-outer join, output proportional to the
+    * churn, not the table. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, key: String): DataFrame = {
+    val payload = before.columns.toSeq
+    require(payload.contains(key), s"key $key missing from before")
+    val b = before.select(col(key).as("__bk"),
+      struct(payload.map(col): _*).as("__b"))
+    val a = after.select(col(key).as("__ak"),
+      struct(payload.map(col): _*).as("__a"))
+    val differs = payload.filterNot(_ == key)
+      .map(c => !(col(s"__a.$c") <=> col(s"__b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, col("__bk") === col("__ak"), "full_outer")
+      .where(col("__bk").isNull || col("__ak").isNull || differs)
+      .select(
+        when(col("__bk").isNull, lit("I"))
+          .when(col("__ak").isNull, lit("D"))
+          .otherwise(lit("U")).as("op") +:
+          payload.map(c =>
+            when(col("__ak").isNotNull, col(s"__a.$c"))
+              .otherwise(col(s"__b.$c")).as(c)): _*)
+  }
 }

@@ -255,6 +255,72 @@ object Round4 {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** SCD type-2 history ([[graft.ops.Merge.scd2History]]) over the q74
+    * change feed: every upsert becomes a versioned row with its
+    * validity interval; tombstones close intervals without appearing.
+    * change_id (the orderkey) rides along as the deterministic
+    * tie-break and output key. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val changes = o.select(
+      col("o_custkey").as("c_custkey"),
+      col("o_totalprice").as("c_acctbal"),
+      col("o_orderdate").as("valid_from"),
+      col("o_orderkey").as("change_id"),
+      when(col("o_orderkey") % 97 === 0, lit("D")).otherwise(lit("U")).as("op"))
+    graft.ops.Merge.scd2History(changes, "c_custkey",
+        Seq("valid_from", "change_id"))
+      .orderBy("c_custkey", "valid_from", "change_id")
+  }
+
+  private val q79Sql =
+    """SELECT c_custkey, c_acctbal, valid_from, change_id, valid_to
+      |FROM (
+      |  SELECT o_custkey AS c_custkey, o_totalprice AS c_acctbal,
+      |         o_orderdate AS valid_from, o_orderkey AS change_id,
+      |         CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+      |         LEAD(o_orderdate) OVER (
+      |           PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |  FROM orders)
+      |WHERE op <> 'D'
+      |ORDER BY c_custkey, valid_from, change_id""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** Snapshot diff ([[graft.ops.Merge.snapshotDiff]]): re-derive the
+    * change feed by diffing the q74 merge result against the original
+    * customer snapshot — inserts, deletes and updates classified by a
+    * single full-outer join; unchanged keys (the bulk of the table)
+    * never reach the output. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val before = Tables.customer(s, dir)
+    val after = q74(s, dir)
+    graft.ops.Merge.snapshotDiff(before, after, "c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  private val q80Sql = {
+    val merged = q74Sql.replace("ORDER BY c_custkey", "")
+    s"""WITH m AS ($merged)
+       |SELECT
+       |  CASE WHEN c.c_custkey IS NULL THEN 'I'
+       |       WHEN m.c_custkey IS NULL THEN 'D'
+       |       ELSE 'U' END AS op,
+       |  COALESCE(m.c_custkey, c.c_custkey) AS c_custkey,
+       |  CASE WHEN m.c_custkey IS NOT NULL THEN m.c_name ELSE c.c_name END AS c_name,
+       |  CASE WHEN m.c_custkey IS NOT NULL THEN m.c_nationkey ELSE c.c_nationkey END AS c_nationkey,
+       |  CASE WHEN m.c_custkey IS NOT NULL THEN m.c_acctbal ELSE c.c_acctbal END AS c_acctbal,
+       |  CASE WHEN m.c_custkey IS NOT NULL THEN m.c_mktsegment ELSE c.c_mktsegment END AS c_mktsegment
+       |FROM customer c FULL JOIN m ON c.c_custkey = m.c_custkey
+       |WHERE c.c_custkey IS NULL OR m.c_custkey IS NULL
+       |   OR m.c_name IS DISTINCT FROM c.c_name
+       |   OR m.c_nationkey IS DISTINCT FROM c.c_nationkey
+       |   OR m.c_acctbal IS DISTINCT FROM c.c_acctbal
+       |   OR m.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q72_bloom_decontaminate", q72, Some(q72Sql)),
     QueryDef("q73_pagerank", q73, Some(q73Sql)),
@@ -262,5 +328,7 @@ object Round4 {
     QueryDef("q75_bucketed_join", q75, Some(q75Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),
     QueryDef("q77_json_roundtrip", q77, Some(q77Sql)),
-    QueryDef("q78_orc_roundtrip", q78, Some(q78Sql)))
+    QueryDef("q78_orc_roundtrip", q78, Some(q78Sql)),
+    QueryDef("q79_scd2_history", q79, Some(q79Sql)),
+    QueryDef("q80_snapshot_diff", q80, Some(q80Sql)))
 }

@@ -45,6 +45,23 @@ class EngineSpec extends AnyFunSuite {
           |) LATERAL VIEW explode(tk) AS e ORDER BY g, e.ord DESC""".stripMargin)
         .collect().map(r0 => (r0.getString(0), r0.getLong(1))).toSeq
       assert(tk === Seq(("a", 2L), ("a", 3L), ("b", 4L)))
+      // frequent-items candidate aggregate: k=1 over x,x,x,y,z leaves x
+      ext.sql("SELECT * FROM VALUES ('x'),('x'),('x'),('y'),('z') AS t(w)")
+        .createOrReplaceTempView("hh_in")
+      val fi = ext.sql("SELECT graft_frequent_items(w, 1) AS c FROM hh_in")
+        .collect().head.getSeq[String](0)
+      assert(fi === Seq("x"))
+      // bloom probe: build a blob via the API, probe it from SQL (named
+      // parameter carries the binary)
+      val blob = Seq(1L, 2L, 3L).toDF("h")
+        .agg(graft.ops.BloomFns.bloomAgg(col("h"), 1 << 10, 5))
+        .collect().head.getAs[Array[Byte]](0)
+      val probes = ext.sql(
+        "SELECT graft_bloom_contains(:b, 2L) AS hit, " +
+          "graft_bloom_contains(:b, 424242L) AS miss",
+        Map("b" -> blob)).collect().head
+      assert(probes.getBoolean(0) === true)
+      assert(probes.getBoolean(1) === false)
     } finally {
       SparkSession.setActiveSession(prior)
       SparkSession.setDefaultSession(prior)

@@ -63,6 +63,59 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("scd2History: intervals chain, tombstones close history without appearing") {
+    val changes = Seq(
+      (1L, 10.0, 1L, 100L, "U"),
+      (1L, 20.0, 3L, 101L, "U"),
+      (1L, 0.0, 5L, 102L, "D"), // closes the v=3 row, emits nothing
+      (2L, 5.0, 2L, 103L, "U")  // open-ended current row
+    ).toDF("id", "bal", "v", "tie", "op")
+    val got = Merge.scd2History(changes, "id", Seq("v", "tie"))
+      .orderBy("id", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      (1L, 10.0, 1L, Some(3L)), // closed by the v=3 update
+      (1L, 20.0, 3L, Some(5L)), // closed by the tombstone
+      (2L, 5.0, 2L, None)       // still current
+    ))
+  }
+
+  test("snapshotDiff classifies I/U/D, skips unchanged keys, round-trips through applyCdc") {
+    val before = Seq(
+      (1L, "same", 1.0),
+      (2L, "will-change", 2.0),
+      (3L, "will-delete", 3.0)
+    ).toDF("id", "name", "bal")
+    val after = Seq(
+      (1L, "same", 1.0),
+      (2L, "changed", 2.0),
+      (4L, "new", 4.0)
+    ).toDF("id", "name", "bal")
+    val diff = Merge.snapshotDiff(before, after, "id")
+    val got = diff.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("U", 2L), ("D", 3L), ("I", 4L)))
+    // the diff IS a valid change feed: applying it onto `before`
+    // reconstructs `after` exactly (versionless feed — one change per
+    // key, a constant version column suffices)
+    val feed = diff.withColumn("v", lit(1L))
+    val rebuilt = Merge.applyCdc(before, feed, "id", Seq("v"))
+    assert(rebuilt.orderBy("id").collect().toSeq ===
+      after.orderBy("id").collect().toSeq)
+  }
+
+  test("snapshotDiff counts NULL→value and value→NULL as updates") {
+    val before = Seq((1L, Some("x")), (2L, None: Option[String]))
+      .toDF("id", "name")
+    val after = Seq((1L, None: Option[String]), (2L, Some("y")))
+      .toDF("id", "name")
+    val got = Merge.snapshotDiff(before, after, "id").orderBy("id")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq(("U", 1L, None), ("U", 2L, Some("y"))))
+  }
+
   // ------------------------------------------------------ HeavyHitters
 
   test("misra-gries sketch never loses a true heavy hitter (superset guarantee)") {
