@@ -34,8 +34,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // SEMI-oracle substitution: a query whose row SELECTION is
+    // recall/seed-dependent but whose metric columns are exact (q33,
+    // q43) declares SQL that re-reads the ids THIS run emitted (the
+    // parquet written above) and recomputes the metric from the source
+    // tables — `__GRAFT_OUT__` becomes the absolute dump dir here, so
+    // the driver's DuckDB run hash-checks every emitted metric value.
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

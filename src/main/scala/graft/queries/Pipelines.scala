@@ -175,6 +175,38 @@ object Pipelines {
     Similarity.lshKnn(emb, model, 0L, 10)
   }
 
+  /** SEMI-oracle (see `QueryDef` and `Verify` for the `__GRAFT_OUT__`
+    * mechanics): which k neighbors LSH returns is seed/recall-dependent
+    * and no SQL engine can re-derive it — but the emitted DISTANCES are
+    * exact Euclidean metric values. The oracle reads the ids THIS run
+    * emitted and recomputes each distance from the embeddings table
+    * with the identical IEEE sequence MLlib's keyDistance uses (widen
+    * float→double, d=a−b, acc+=d·d left to right, sqrt) so the driver's
+    * hash covers every metric value bit-for-bit. Pair SELECTION stays
+    * covered by RowsOnlySanitySpec + Verify's self-check; this mirrors
+    * the reference's own validation style (transform/execute.ipynb
+    * cells 76-86: judge the returned neighbors, not search internals). */
+  private val q33Sql =
+    """WITH q AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id = 0
+      |),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |),
+      |p AS (
+      |  SELECT vec_id AS pid FROM read_parquet('__GRAFT_OUT__/q33_ann_lsh/*.parquet')
+      |)
+      |SELECT p.pid AS vec_id,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(len(e.v)), i ->
+      |      (e.v[CAST(i+1 AS INTEGER)] - q.qv[CAST(i+1 AS INTEGER)])
+      |      * (e.v[CAST(i+1 AS INTEGER)] - q.qv[CAST(i+1 AS INTEGER)]))),
+      |    (acc, x) -> acc + x)) AS distance
+      |FROM p JOIN e ON e.vec_id = p.pid, q
+      |ORDER BY distance, vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q35
   /** Sketch aggregations: HLL++ distinct counts and approximate
     * quantiles — constant memory per group at any scale (the exact
@@ -234,6 +266,35 @@ object Pipelines {
     Similarity.rpNearDupPairs(Tables.embeddings(s, dir), minCosine = 0.395,
       numTables = 4, bucketLength = 0.5)
       .orderBy("vec_a", "vec_b")
+
+  /** SEMI-oracle, same design as q33's: RP-LSH candidate recall < 1 by
+    * design, so pair SELECTION has no SQL ground truth — but every
+    * emitted cosine is an exact metric. Recompute it for exactly the
+    * emitted (vec_a, vec_b) ids with the identical IEEE sequence
+    * [[graft.ops.Similarity.rpNearDupPairs]] uses (widen float→double,
+    * unitᵢ = xᵢ/√Σxᵢ² accumulated left to right, cosine = Σ uaᵢ·ubᵢ
+    * left to right — [[graft.ops.DotExpr]]'s documented order), so the
+    * driver's hash covers the metric column bit-for-bit. Verified
+    * bit-exact against DuckDB 1.0 before declaring. */
+  private val q43Sql =
+    """WITH u AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+      |        (acc, e) -> acc + e))) AS unit
+      |  FROM embeddings
+      |),
+      |p AS (
+      |  SELECT vec_a, vec_b FROM read_parquet('__GRAFT_OUT__/q43_lsh_neardup/*.parquet')
+      |)
+      |SELECT p.vec_a, p.vec_b,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(len(a.unit)), i ->
+      |      a.unit[CAST(i+1 AS INTEGER)] * b.unit[CAST(i+1 AS INTEGER)])),
+      |    (acc, e) -> acc + e) AS cosine
+      |FROM p JOIN u a ON a.vec_id = p.vec_a JOIN u b ON b.vec_id = p.vec_b
+      |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------- q44
   /** Multimodal plumbing end-to-end: pack documents as binary assets,
@@ -424,19 +485,19 @@ object Pipelines {
   /** Why the remaining `None`-oracle queries resist a DuckDB oracle
     * (each is covered by seeded-determinism + distance-sanity specs,
     * RowsOnlySanitySpec re-deriving every emitted distance on real
-    * testdata):
+    * testdata, AND a Verify-time self-check recorded per round in
+    * self_checks.json — see [[graft.Verify]]):
     *  - q30/q67: MLlib CountVectorizer/HashingTF+IDF+LSH fits — vector
     *    spaces depend on murmur3/seeded fits DuckDB cannot replay.
-    *  - q33: MLlib BucketedRandomProjectionLSH candidates are
-    *    seed-dependent and approxNearestNeighbors is approximate by
-    *    contract; the emitted DISTANCES are spec-re-derived exactly.
     *  - q35/q54: HLL++/approx-quantile/MinHash sketch internals differ
-    *    per engine by design (estimates, not values).
-    *  - q43: RP-LSH candidate recall < 1 by design at its demo
-    *    threshold (recall 1 would force near-all-pairs bucketing);
-    *    every emitted pair's cosine is spec-re-derived exactly.
+    *    per engine by design (estimates, not values); the self-check
+    *    bounds each estimate against its exact twin.
     * q42 moved OFF this list in round 3: adaptive exact-IVF equals
-    * brute force structurally, so the brute-force SQL is its oracle. */
+    * brute force structurally, so the brute-force SQL is its oracle.
+    * q33/q43 moved OFF this list in round 7: their metric columns are
+    * exact even though pair selection is recall-dependent, so a
+    * SEMI-oracle (recompute the metric for the emitted ids — see
+    * q33Sql/q43Sql) puts the numbers under the driver's hash. */
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q54_corpus_sketch", q54, None),
     QueryDef("q55_dedup_corpus", q55, Some(q55Sql)),
@@ -447,8 +508,8 @@ object Pipelines {
     QueryDef("q67_recommend_hashed", q67, None),
     QueryDef("q31_minhash_pairs", q31, Some(q31Sql)),
     QueryDef("q32_simhash_pairs", q32, Some(q32Sql)),
-    QueryDef("q33_ann_lsh", q33, None),
+    QueryDef("q33_ann_lsh", q33, Some(q33Sql)),
     QueryDef("q35_sketches", q35, None),
     QueryDef("q42_ivf_knn", q42, Some(q42Sql)),
-    QueryDef("q43_lsh_neardup", q43, None))
+    QueryDef("q43_lsh_neardup", q43, Some(q43Sql)))
 }

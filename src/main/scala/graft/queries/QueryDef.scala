@@ -12,6 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - ends in a deterministic total ORDER BY (unique tie-break key);
   *   - performs float aggregation in exact DECIMAL, casting to double
   *     only at the end, so parallel summation order cannot change bits.
+  *
+  * SEMI-oracles: a recall/seed-dependent query (LSH ANN) has no SQL
+  * ground truth for WHICH rows it emits, but its metric columns are
+  * exact. Such oracles may contain the literal `__GRAFT_OUT__`, which
+  * `graft.Verify` rewrites to the absolute dump directory when writing
+  * oracle_sql.json — the SQL then re-reads the emitted ids and
+  * recomputes the metric from the source tables with the identical
+  * IEEE operation sequence, so the driver's hash still covers every
+  * number.
   */
 final case class QueryDef(
     name: String,
