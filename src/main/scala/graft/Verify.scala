@@ -40,11 +40,25 @@ object Verify {
     // parquet written above) and recomputes the metric from the source
     // tables — `__GRAFT_OUT__` becomes the absolute dump dir here, so
     // the driver's DuckDB run hash-checks every emitted metric value.
-    val absOut = Paths.get(outDir).toAbsolutePath.toString
+    // The path lands inside single-quoted SQL string literals, so a
+    // quote in it must double (fails closed either way, but with a
+    // clear value instead of a DuckDB parse error).
+    val absOut = Paths.get(outDir).toAbsolutePath.toString.replace("'", "''")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", absOut))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-round self-checks for the no-oracle queries (q30/q35/q54/q67
+    // structural+exact-twin invariants, q33/q43 selection invariants)
+    // — the driver's artifact then records a concrete pass/fail beside
+    // each `no_oracle` row instead of a silent gap
+    try Files.writeString(Paths.get(s"$outDir/self_checks.json"),
+      SelfChecks.toJson(SelfChecks.run(spark, sfDir, outDir)))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] self-checks failed to run: ${e.getMessage}")
+      Files.writeString(Paths.get(s"$outDir/self_checks.json"),
+        s"""{"error": "self-checks crashed: ${e.getClass.getSimpleName}"}""")
+    }
     spark.stop()
   }
 }

@@ -22,12 +22,18 @@ object SkewJoin {
     * @param saltSource columns of `big` whose hash spreads a hot key's
     *                   rows across salts (any roughly-unique column).
     */
+  /** The salt assignment `saltedInnerJoin` applies to the big side —
+    * exposed so specs can assert the spread property (max rows per
+    * (key, salt) ≪ max rows per key) against the operator's own
+    * expression rather than a re-derivation that could drift. */
+  private[graft] def saltCol(saltSource: Seq[String], numSalts: Int): Column =
+    pmod(hash(saltSource.map(col): _*), lit(numSalts))
+
   def saltedInnerJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
       numSalts: Int, saltSource: Seq[String]): DataFrame = {
     require(numSalts > 0)
-    val salted = big.withColumn("__salt",
-      pmod(hash(saltSource.map(col): _*), lit(numSalts)))
+    val salted = big.withColumn("__salt", saltCol(saltSource, numSalts))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(numSalts - 1))))
     salted.join(replicated,

@@ -182,10 +182,17 @@ object Pipelines {
     * emitted and recomputes each distance from the embeddings table
     * with the identical IEEE sequence MLlib's keyDistance uses (widen
     * float→double, d=a−b, acc+=d·d left to right, sqrt) so the driver's
-    * hash covers every metric value bit-for-bit. Pair SELECTION stays
-    * covered by RowsOnlySanitySpec + Verify's self-check; this mirrors
-    * the reference's own validation style (transform/execute.ipynb
-    * cells 76-86: judge the returned neighbors, not search internals). */
+    * hash covers every metric value bit-for-bit. The SQL-expressible
+    * SELECTION invariants are encoded fail-closed in the oracle itself
+    * (not just asserted in specs): `DISTINCT` + `pid <> 0` shrink the
+    * oracle's rows if the engine ever emits a duplicate or the query
+    * vector itself, and the `cnt <= 10` guard empties it if k overruns
+    * — each surfaces as a driver row-count mismatch. Residual
+    * selection (WHICH 10 of the corpus) stays recall-dependent,
+    * covered by RowsOnlySanitySpec + Verify's self_checks.json; this
+    * mirrors the reference's own validation style (transform/
+    * execute.ipynb cells 76-86: judge the returned neighbors, not
+    * search internals). */
   private val q33Sql =
     """WITH q AS (
       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -196,15 +203,19 @@ object Pipelines {
       |  FROM embeddings
       |),
       |p AS (
-      |  SELECT vec_id AS pid FROM read_parquet('__GRAFT_OUT__/q33_ann_lsh/*.parquet')
-      |)
+      |  SELECT DISTINCT vec_id AS pid
+      |  FROM read_parquet('__GRAFT_OUT__/q33_ann_lsh/*.parquet')
+      |  WHERE vec_id <> 0
+      |),
+      |g AS (SELECT count(*) AS cnt FROM p)
       |SELECT p.pid AS vec_id,
       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |    list_transform(range(len(e.v)), i ->
       |      (e.v[CAST(i+1 AS INTEGER)] - q.qv[CAST(i+1 AS INTEGER)])
       |      * (e.v[CAST(i+1 AS INTEGER)] - q.qv[CAST(i+1 AS INTEGER)]))),
       |    (acc, x) -> acc + x)) AS distance
-      |FROM p JOIN e ON e.vec_id = p.pid, q
+      |FROM p JOIN e ON e.vec_id = p.pid, q, g
+      |WHERE g.cnt <= 10
       |ORDER BY distance, vec_id""".stripMargin
 
   // ---------------------------------------------------------------- q35
@@ -274,7 +285,15 @@ object Pipelines {
     * [[graft.ops.Similarity.rpNearDupPairs]] uses (widen float→double,
     * unitᵢ = xᵢ/√Σxᵢ² accumulated left to right, cosine = Σ uaᵢ·ubᵢ
     * left to right — [[graft.ops.DotExpr]]'s documented order), so the
-    * driver's hash covers the metric column bit-for-bit. Verified
+    * driver's hash covers the metric column bit-for-bit. The
+    * SQL-expressible SELECTION invariants are encoded fail-closed in
+    * the oracle itself: `DISTINCT` + `vec_a < vec_b` drop duplicate or
+    * non-canonical pairs, and the outer `cosine >= 0.395` filter drops
+    * any pair the engine emitted below its declared threshold — each
+    * surfaces as a driver row-count mismatch rather than a
+    * self-fulfilling hash match. Residual selection (recall — which
+    * qualifying pairs the RP bucketing finds) is covered by
+    * RowsOnlySanitySpec + Verify's self_checks.json. Verified
     * bit-exact against DuckDB 1.0 before declaring. */
   private val q43Sql =
     """WITH u AS (
@@ -286,14 +305,18 @@ object Pipelines {
       |  FROM embeddings
       |),
       |p AS (
-      |  SELECT vec_a, vec_b FROM read_parquet('__GRAFT_OUT__/q43_lsh_neardup/*.parquet')
+      |  SELECT DISTINCT vec_a, vec_b
+      |  FROM read_parquet('__GRAFT_OUT__/q43_lsh_neardup/*.parquet')
+      |  WHERE vec_a < vec_b
       |)
-      |SELECT p.vec_a, p.vec_b,
-      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |    list_transform(range(len(a.unit)), i ->
-      |      a.unit[CAST(i+1 AS INTEGER)] * b.unit[CAST(i+1 AS INTEGER)])),
-      |    (acc, e) -> acc + e) AS cosine
-      |FROM p JOIN u a ON a.vec_id = p.vec_a JOIN u b ON b.vec_id = p.vec_b
+      |SELECT * FROM (
+      |  SELECT p.vec_a, p.vec_b,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(len(a.unit)), i ->
+      |        a.unit[CAST(i+1 AS INTEGER)] * b.unit[CAST(i+1 AS INTEGER)])),
+      |      (acc, e) -> acc + e) AS cosine
+      |  FROM p JOIN u a ON a.vec_id = p.vec_a JOIN u b ON b.vec_id = p.vec_b
+      |) WHERE cosine >= 0.395
       |ORDER BY vec_a, vec_b""".stripMargin
 
   // ---------------------------------------------------------------- q44
@@ -486,7 +509,7 @@ object Pipelines {
     * (each is covered by seeded-determinism + distance-sanity specs,
     * RowsOnlySanitySpec re-deriving every emitted distance on real
     * testdata, AND a Verify-time self-check recorded per round in
-    * self_checks.json — see [[graft.Verify]]):
+    * self_checks.json — see [[graft.SelfChecks]]):
     *  - q30/q67: MLlib CountVectorizer/HashingTF+IDF+LSH fits — vector
     *    spaces depend on murmur3/seeded fits DuckDB cannot replay.
     *  - q35/q54: HLL++/approx-quantile/MinHash sketch internals differ

@@ -83,6 +83,26 @@ class EngineSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("salting spreads the hot key: max per-task key input drops ~numSalts×") {
+    // same pathological shape as above: ~90% of rows on key 1, so the
+    // unsalted shuffle sends ~1800 rows to one task. After salting the
+    // shuffle key is (k, salt): the hot key's rows split across 8
+    // sub-keys, so the largest single-task input must shrink by at
+    // least half of the ideal 8× (hash spread is not perfectly even).
+    val numSalts = 8
+    val big = (1 to 2000).map(i =>
+      (if (i % 10 == 0) i % 7 else 1, i.toLong)).toDF("k", "row_id")
+    val maxPlain = big.groupBy("k").count()
+      .agg(max("count")).head().getLong(0)
+    val maxSalted = big
+      .withColumn("__salt", SkewJoin.saltCol(Seq("row_id"), numSalts))
+      .groupBy("k", "__salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPlain >= 1800, s"fixture lost its skew: maxPlain=$maxPlain")
+    assert(maxSalted * (numSalts / 2) <= maxPlain,
+      s"salting did not spread the hot key: $maxSalted per (key,salt) vs $maxPlain per key")
+  }
+
   test("partitioned writes enable partition pruning at read time") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
