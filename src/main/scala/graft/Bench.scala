@@ -32,6 +32,12 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
+    // cache-hygiene evidence (several operators deliberately retain
+    // caches their lazy result frames still reference): peak persisted
+    // bytes right after each query, and the leftover count after the
+    // battery's final clearCache — recorded in bench.json so the
+    // release contract is measured, not argued
+    var peakStorageBytes = 0L
     // name -> times of the successful iterations (slowest-median first
     // later); a query that throws is skipped for its remaining
     // iterations — its time-to-exception is not a measurement
@@ -47,6 +53,8 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failures += name; failed = true
         }
+        peakStorageBytes = math.max(peakStorageBytes,
+          spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum)
         // queries may cache internally; drop those entries so
         // successive timings are independent and memory stays flat
         spark.catalog.clearCache()
@@ -54,6 +62,7 @@ object Bench {
       }
       name -> times.toSeq
     }
+    val leakedAfterBattery = spark.sparkContext.getPersistentRDDs.size
     val ok = results.filter { case (k, v) => v.nonEmpty && !failures.contains(k) }
     val meds = ok.map { case (k, v) => k -> median(v) }
     // slowest first: regressions visible at a glance. 2-decimal values
@@ -136,14 +145,14 @@ object Bench {
         s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"points":[${points.mkString(",")}]}"""
       }
 
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"queries":$qs,"stats":$stats,"failed":$failed,"sf":"$sfDir"$scaling}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"peak_storage_mb":${peakStorageBytes / 1048576},"leaked_cached_rdds":$leakedAfterBattery,"queries":$qs,"stats":$stats,"failed":$failed,"sf":"$sfDir"$scaling}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench.json: ${e.getMessage}") }
     // cache-hygiene telemetry: after clearCache the battery must leave
     // nothing persisted — a nonzero count here is a leak report
-    System.err.println(s"[bench] persistent RDDs after battery: ${spark.sparkContext.getPersistentRDDs.size}")
+    System.err.println(f"[bench] peak storage ${peakStorageBytes / 1048576} MB; persistent RDDs after battery: $leakedAfterBattery")
     spark.stop()
   }
 }
