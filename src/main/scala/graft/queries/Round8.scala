@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.SkewJoin
+import graft.ops.{Packing, SkewJoin}
 
 /** Round-8 battery additions. */
 object Round8 {
@@ -43,6 +43,42 @@ object Round8 {
       |FROM skewed JOIN dim ON skewed.k = dim.dk
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Sequence packing (concat-and-cut): the corpus token stream in
+    * doc-id order, cut every 256 tokens into training sequences; the
+    * emitted doc→sequence span map is fully deterministic (a pure
+    * function of ids and token counts), so DuckDB replays it exactly
+    * with a window cumsum. The Spark side computes the global prefix
+    * sum in two distributed phases — see [[graft.ops.Packing]] — so no
+    * single-partition window ever sees corpus-sized data. */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(Tables.documents(s, dir), budget = 256L)
+      .orderBy("seq_id", "doc_id")
+
+  private val q82Sql =
+    """WITH counted AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |),
+      |placed AS (
+      |  -- SUM over BIGINT widens to HUGEINT in DuckDB; cast back so
+      |  -- range() accepts it and the output schema stays BIGINT
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM counted
+      |)
+      |SELECT s.seq_id, doc_id,
+      |  GREATEST(start, s.seq_id * 256) - start AS doc_off,
+      |  GREATEST(start, s.seq_id * 256) - s.seq_id * 256 AS seq_off,
+      |  LEAST(start + n_tok, (s.seq_id + 1) * 256)
+      |    - GREATEST(start, s.seq_id * 256) AS len
+      |FROM placed, LATERAL (
+      |  SELECT unnest(range(start // 256, (start + n_tok - 1) // 256 + 1)) AS seq_id) s
+      |WHERE n_tok > 0
+      |ORDER BY seq_id, doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q81_salted_skew_join", q81, Some(q81Sql)))
+    QueryDef("q81_salted_skew_join", q81, Some(q81Sql)),
+    QueryDef("q82_sequence_packing", q82, Some(q82Sql)))
 }
