@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.{Chunking, Dedup, Splits, TextStats}
+import graft.ops.{Chunking, Dedup, Packing, Splits, TextStats}
 import graft.util.Timing
 
 /** End-to-end training-data pipeline over the documents corpus — the
@@ -12,8 +12,9 @@ import graft.util.Timing
   *
   *   load → dedup funnel (exact → MinHash → connected components) →
   *   quality + language annotation → quality gate → sliding-window
-  *   chunking → stable train/val/test split → parquet partitioned by
-  *   split.
+  *   chunking → stable train/val/test split → concat-and-cut packing
+  *   of the train chunks into fixed-token training sequences →
+  *   parquet partitioned by split.
   *
   * Prints one JSON line of per-stage wall-clock + row counts. Every
   * stage is deterministic and partitioning-independent, so the same
@@ -66,20 +67,39 @@ object TrainDataBench {
     }
     val nChunks = chunks.count()
 
+    // pack the train split's chunks into fixed-256-token training
+    // sequences (what a loader actually consumes); the chunk id keeps
+    // doc order primary so sequences read contiguous corpus text.
+    // chunk_idx < 4096 always holds here: chunkByTokens emits one
+    // chunk per `step` tokens, and the corpus has no 160k-token docs.
+    val (packMap, packS) = Timing.timed {
+      val train = chunks.filter(col("split") === "train")
+        .withColumn("chunk_id", col("doc_id") * 4096 + col("chunk_idx"))
+      val p = Packing.packSequences(train, budget = 256L,
+          idCol = "chunk_id", textCol = "chunk_text")
+        .cache()
+      p.count()
+      p
+    }
+    val nPackRows = packMap.count()
+    val nSeqs = packMap.agg(countDistinct(col("seq_id"))).head().getLong(0)
+
     val (_, writeS) = Timing.timed {
       chunks.write.mode(SaveMode.Overwrite).partitionBy("split").parquet(out)
+      packMap.write.mode(SaveMode.Overwrite).parquet(s"$out-packmap")
     }
 
     val splitCounts = spark.read.parquet(out).groupBy("split").count()
       .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
       .mkString("{", ",", "}")
-    val total = dedupS + qualS + chunkS + writeS
+    val total = dedupS + qualS + chunkS + packS + writeS
     println(
       s"""{"metric":"traindata_pipeline","raw_docs":$nRaw,"after_dedup":$nKept,""" +
         s""""after_quality":$nGated,"chunks":$nChunks,"splits":$splitCounts,""" +
+        s""""train_pack_rows":$nPackRows,"train_seqs":$nSeqs,""" +
         s""""dedup_s":${f"$dedupS%.1f"},"quality_s":${f"$qualS%.1f"},""" +
-        s""""chunk_s":${f"$chunkS%.1f"},"write_s":${f"$writeS%.1f"},""" +
-        s""""total_s":${f"$total%.1f"}}""")
+        s""""chunk_s":${f"$chunkS%.1f"},"pack_s":${f"$packS%.1f"},""" +
+        s""""write_s":${f"$writeS%.1f"},"total_s":${f"$total%.1f"}}""")
     spark.stop()
   }
 }
