@@ -25,8 +25,10 @@ object SelfChecks {
     def guard(body: => (Boolean, String)): (Boolean, String) =
       try body catch { case e: Throwable => (false, s"check crashed: ${e.getClass.getSimpleName}: ${e.getMessage}") }
     Seq(
-      "q30_doc_recommend" -> guard(neighborShape(spark, outDir, "q30_doc_recommend", "doc_id")),
-      "q67_recommend_hashed" -> guard(neighborShape(spark, outDir, "q67_recommend_hashed", "doc_id")),
+      "q30_doc_recommend" -> guard(neighborMetricExact(spark, outDir, "q30_doc_recommend",
+        () => graft.queries.Pipelines.docVectors(spark, sfDir)._1)),
+      "q67_recommend_hashed" -> guard(neighborMetricExact(spark, outDir, "q67_recommend_hashed",
+        () => graft.queries.Pipelines.docVectorsHashed(spark, sfDir)._1)),
       "q33_ann_lsh" -> guard(annDistances(spark, sfDir, outDir)),
       "q43_lsh_neardup" -> guard(neardupCosines(spark, sfDir, outDir)),
       "q35_sketches" -> guard(sketchesVsExact(spark, sfDir, outDir)),
@@ -49,13 +51,19 @@ object SelfChecks {
   private def out(spark: SparkSession, outDir: String, name: String): DataFrame =
     spark.read.parquet(s"$outDir/$name")
 
-  /** q30/q67: the vector space is fit-dependent (seeded MLlib), so the
-    * checkable invariants are structural: exactly k=10 neighbors,
-    * distinct, the query doc self-excluded, distances finite,
-    * non-negative and ascending. */
-  private def neighborShape(spark: SparkSession, outDir: String,
-      name: String, idCol: String): (Boolean, String) = {
-    val rows = out(spark, outDir, name).select(col(idCol), col("distance"))
+  /** q30/q67: structural invariants (k=10, distinct, self-excluded,
+    * ascending) PLUS metric-exact re-derivation: the vectorization is
+    * re-fit from the source documents (deterministic in-session —
+    * seeded LSH, pure-aggregate IDF; vocabulary order can at most
+    * permute coordinates, which Euclidean distance is invariant to)
+    * and every emitted distance is recomputed as
+    * sqrt(sqdist(vec(0), vec(neighbor))) — the same keyDistance the
+    * LSH model used. The emitted ROW SELECTION stays fit-dependent
+    * (hence no SQL oracle), but every emitted VALUE is now checked
+    * against an independent recomputation, same as q33. */
+  private def neighborMetricExact(spark: SparkSession, outDir: String,
+      name: String, refit: () => DataFrame): (Boolean, String) = {
+    val rows = out(spark, outDir, name).select(col("doc_id"), col("distance"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val errs = ListBuffer.empty[String]
     if (rows.length != 10) errs += s"expected 10 rows, got ${rows.length}"
@@ -63,9 +71,21 @@ object SelfChecks {
     if (rows.exists(_._1 == 0L)) errs += "query doc 0 not self-excluded"
     if (rows.exists(r => r._2 < 0 || r._2.isNaN || r._2.isInfinite)) errs += "non-finite or negative distance"
     if (!rows.map(_._2).sameElements(rows.map(_._2).sorted)) errs += "distances not ascending"
-    (errs.isEmpty,
-      if (errs.isEmpty) "10 distinct non-self neighbors, distances finite and ascending"
-      else errs.mkString("; "))
+    val vectors = refit()
+    try {
+      val ids = rows.map(_._1) :+ 0L
+      val vecs = vectors.filter(col("id").isin(ids: _*))
+        .select("id", "norm_features").collect()
+        .map(r => r.getLong(0) -> r.getAs[org.apache.spark.ml.linalg.Vector](1)).toMap
+      val q = vecs(0L)
+      val maxErr = rows.map { case (id, d) =>
+        math.abs(d - math.sqrt(org.apache.spark.ml.linalg.Vectors.sqdist(q, vecs(id))))
+      }.foldLeft(0.0)(math.max)
+      if (maxErr > 1e-9) errs += f"distance re-derivation off by $maxErr%.3g"
+      (errs.isEmpty,
+        if (errs.isEmpty) f"10 distinct non-self neighbors; every distance re-derives exactly from a re-fit vector space (max err $maxErr%.3g)"
+        else errs.mkString("; "))
+    } finally vectors.unpersist()
   }
 
   /** q33: structural invariants PLUS exact re-derivation of every

@@ -73,4 +73,88 @@ object Packing {
         (least(col("start") + col("n_tok"), (col("seq_id") + 1) * budget)
           - greatest(col("start"), col("seq_id") * budget)).as("len"))
   }
+
+  /** No-split packing by grouped first-fit-decreasing: each document
+    * lands whole in exactly one `budget`-capacity bin (the opposite
+    * trade to [[packSequences]], which has zero padding waste but cuts
+    * documents at sequence boundaries — FFD never splits a document
+    * and pays bounded padding instead). Docs longer than `budget` are
+    * unpackable without splitting and are dropped; route them through
+    * [[packSequences]] in a real pipeline.
+    *
+    * Determinism + scale: classic FFD is inherently sequential (bin
+    * state threads through every placement), so it is run EXACTLY but
+    * only within fixed `groupSize` slices of the global
+    * (n_tok desc, doc_id) rank order; bins never cross slices. The
+    * result is a pure function of the (id, n_tok) set — no dependence
+    * on partitioning — and each slice is an independent in-memory FFD
+    * over ≤ groupSize (id, count) pairs, so the packing phase is
+    * embarrassingly parallel. Because the global order is decreasing,
+    * a slice holds near-uniform sizes, and the waste stays close to
+    * unsliced FFD (first-fit ≈ best-fit on a decreasing stream).
+    *
+    * The global rank itself is the operator's only coordination and is
+    * computed in three levels so no corpus-sized frame ever hits one
+    * task: (1) per-length totals (≤ budget rows — the ONLY single-task
+    * window input); (2) per-(length, id-bucket) cumulative counts
+    * (window partitioned by length); (3) row_number within a
+    * (length, bucket) cell (bounded by bucketSpan). Everything
+    * shuffled is (id, count) longs.
+    */
+  def packBestFit(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupSize: Int = 4096, bucketSpan: Long = 1L << 20): DataFrame = {
+    require(budget > 0 && groupSize > 0 && bucketSpan > 0)
+    val counted = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextStats.tokenCount(col(textCol)).as("n_tok"))
+      .filter(col("n_tok") > 0 && col("n_tok") <= budget)
+    val bucketed = counted.withColumn("bucket", expr(s"doc_id div $bucketSpan"))
+    // level 1: docs per length class — at most `budget` rows, so the
+    // unpartitioned running-sum window is trivially single-task-safe
+    val classTotals = counted.groupBy("n_tok").agg(count(lit(1)).as("ctotal"))
+    val overClasses = Window.orderBy(col("n_tok").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classOffsets = classTotals
+      .withColumn("coff", coalesce(sum(col("ctotal")).over(overClasses), lit(0L)))
+      .select("n_tok", "coff")
+    // level 2: cumulative cell counts across id-buckets WITHIN a class
+    // (window partitioned by n_tok: one partition per class, #buckets
+    // rows each — distributed across classes)
+    val cellCounts = bucketed.groupBy("n_tok", "bucket").agg(count(lit(1)).as("cnt"))
+    val overBuckets = Window.partitionBy("n_tok").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellOffsets = cellCounts
+      .withColumn("boff", coalesce(sum(col("cnt")).over(overBuckets), lit(0L)))
+      .select("n_tok", "bucket", "boff")
+    // level 3: rank inside a (class, bucket) cell — bounded partitions
+    val inCell = Window.partitionBy("n_tok", "bucket").orderBy("doc_id")
+    val ranked = bucketed
+      .join(cellOffsets, Seq("n_tok", "bucket"))
+      .join(broadcast(classOffsets), Seq("n_tok"))
+      .withColumn("r", col("coff") + col("boff") + row_number().over(inCell) - 1)
+
+    val gs = groupSize.toLong
+    val spark = docs.sparkSession
+    import spark.implicits._
+    ranked
+      .select(expr(s"r div $gs").as("g"), col("r"), col("doc_id"), col("n_tok"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+        // ≤ groupSize items; first-fit over the open-bin fill array —
+        // the linear scan is O(bins) per item (worst 16M ops at the
+        // 4096 default; a segment tree over fills would make it
+        // O(log bins) if groupSize were ever raised 100×)
+        val items = it.toArray.sortBy(_._2)
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (_, _, docId, nTok) =>
+          var j = 0
+          while (j < fills.length && fills(j) + nTok > budget) j += 1
+          if (j == fills.length) fills += nTok else fills(j) = fills(j) + nTok
+          (g * gs + j, docId, nTok)
+        }
+      }
+      .toDF("bin_id", "doc_id", "n_tok")
+  }
 }

@@ -31,7 +31,15 @@ object PageRank {
   val Scale: Long = 1000000000000L
 
   /** `iterations` rounds over `edges` (`src`, `dst` long columns;
-    * duplicate edges are collapsed). Returns (id, rank_scaled). */
+    * duplicate edges are collapsed). Returns (id, rank_scaled).
+    *
+    * Storage contract: the returned frame is backed by the final
+    * round's localCheckpoint (every intermediate one is unpersisted
+    * here), so its blocks stay registered until the CALLER releases
+    * them — `catalog.clearCache` does not touch RDD-level persists.
+    * Long-lived callers should sweep `sc.getPersistentRDDs` once done
+    * with the result (what `Bench` does after every query); one-shot
+    * drivers like Verify can rely on session teardown. */
   def ranks(edges: DataFrame, iterations: Int, dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
     val e = edges

@@ -49,7 +49,10 @@ object Pipelines {
     * corpus vocabulary. Rows-only like q30 (MLlib fits); the
     * hashing-vs-vocab geometry agreement is spec-checked in
     * VectorizeSpec. */
-  private def q67(s: SparkSession, dir: String): DataFrame = {
+  /** q67's vector space, factored out so SelfChecks can re-derive the
+    * emitted distances from an identical (deterministic: HashingTF has
+    * no fit and IDF is a pure doc-frequency aggregate) re-fit. */
+  def docVectorsHashed(s: SparkSession, dir: String): (DataFrame, org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel) = {
     val docs = Tables.documents(s, dir)
       .withColumn("tags", split(col("text"), "\\s+"))
       .withColumnRenamed("doc_id", "id")
@@ -66,6 +69,11 @@ object Pipelines {
     val (_, vectorized0) = Vectorize.hashingTfIdf(prepped, numFeatures = 1 << 12)
     val vectorized = vectorized0.cache()
     val model = Recommender.fit(vectorized)
+    (vectorized, model)
+  }
+
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val (vectorized, model) = docVectorsHashed(s, dir)
     Recommender.neighbors(model, vectorized, "id", 0L, 10)
       .select(col("id").as("doc_id"), col("distance"))
       .orderBy("distance", "doc_id")

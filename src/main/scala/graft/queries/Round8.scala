@@ -57,7 +57,10 @@ object Round8 {
 
   private val q82Sql =
     """WITH counted AS (
-      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  -- \s+ split, matching TextStats.tokens (split on ANY whitespace
+      |  -- run): string_split(text, ' ') would agree on single-spaced
+      |  -- testdata but silently diverge on a multi-space/tab document
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
       |  FROM documents
       |),
       |placed AS (
@@ -78,7 +81,63 @@ object Round8 {
       |WHERE n_tok > 0
       |ORDER BY seq_id, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** No-split packing by grouped first-fit-decreasing — the
+    * fragmentation-minimizing alternative to q82's concat-and-cut
+    * (q82 wastes nothing but cuts documents at sequence boundaries;
+    * q83 keeps every document whole and pays bounded padding). The
+    * assignment is a pure function of the (doc_id, n_tok) set — global
+    * (n_tok desc, doc_id) rank, exact FFD within 256-rank slices — so
+    * DuckDB replays it exactly with a recursive CTE that advances all
+    * slices one placement per step (recursion depth = slice size, not
+    * corpus size). groupSize 256 both bounds the oracle's recursion
+    * and exercises the multi-slice path on this corpus (500 docs at
+    * sf0.01 → 2 slices). */
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    Packing.packBestFit(Tables.documents(s, dir), budget = 256L, groupSize = 256)
+      .orderBy("bin_id", "doc_id")
+
+  private val q83Sql =
+    """WITH RECURSIVE counted AS (
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |),
+      |items AS (
+      |  SELECT doc_id, n_tok,
+      |    row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r
+      |  FROM counted WHERE n_tok > 0 AND n_tok <= 256
+      |),
+      |grp AS (
+      |  SELECT doc_id, n_tok, r // 256 AS g, (r % 256) + 1 AS step FROM items
+      |),
+      |-- one state row per slice per step: `fills` is the open-bin fill
+      |-- list, the placed doc and its 0-based bin index ride along; the
+      |-- first-fit position is list_filter(...)[1] (NULL = open new bin)
+      |ffd AS (
+      |  SELECT g, CAST(0 AS BIGINT) AS step, CAST([] AS BIGINT[]) AS fills,
+      |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+      |         CAST(NULL AS BIGINT) AS bin
+      |  FROM (SELECT DISTINCT g FROM grp)
+      |  UNION ALL
+      |  SELECT f.g, i.step,
+      |    CASE WHEN list_filter(range(1, len(f.fills)+1), j -> f.fills[j] + i.n_tok <= 256)[1] IS NULL
+      |         THEN list_append(f.fills, i.n_tok)
+      |         ELSE list_transform(range(1, len(f.fills)+1),
+      |                j -> CASE WHEN j = list_filter(range(1, len(f.fills)+1),
+      |                                  k -> f.fills[k] + i.n_tok <= 256)[1]
+      |                          THEN f.fills[j] + i.n_tok ELSE f.fills[j] END)
+      |    END,
+      |    i.doc_id, i.n_tok,
+      |    COALESCE(list_filter(range(1, len(f.fills)+1), j -> f.fills[j] + i.n_tok <= 256)[1],
+      |             len(f.fills) + 1) - 1
+      |  FROM ffd f JOIN grp i ON i.g = f.g AND i.step = f.step + 1
+      |)
+      |SELECT g * 256 + bin AS bin_id, doc_id, n_tok
+      |FROM ffd WHERE step >= 1
+      |ORDER BY bin_id, doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_salted_skew_join", q81, Some(q81Sql)),
-    QueryDef("q82_sequence_packing", q82, Some(q82Sql)))
+    QueryDef("q82_sequence_packing", q82, Some(q82Sql)),
+    QueryDef("q83_bestfit_packing", q83, Some(q83Sql)))
 }

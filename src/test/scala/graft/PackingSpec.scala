@@ -20,6 +20,16 @@ class PackingSpec extends AnyFunSuite {
     (7L, Seq.fill(3)("e").mkString(" ")))    // sparse ids are fine
     .toDF("doc_id", "text")
 
+  test("token counting splits on ANY whitespace run (the q82/q83 oracle contract)") {
+    // "a  b\tc \n d" = 4 tokens under \s+, 5 under a single-space
+    // split — the exact divergence the hardened DuckDB oracle
+    // (regexp_split_to_array(text, '\s+')) now matches
+    val df = Seq((0L, "a  b\tc \n d"), (1L, "x y")).toDF("doc_id", "text")
+    val spans = Packing.packSequences(df, budget).collect()
+      .map(r => (r.getLong(1), r.getLong(4)))
+    assert(spans.toMap === Map(0L -> 4L, 1L -> 2L))
+  }
+
   test("spans tile every sequence to exactly `budget` tokens (last may be short)") {
     val packed = Packing.packSequences(fixture, budget).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
@@ -62,6 +72,71 @@ class PackingSpec extends AnyFunSuite {
     val a = Packing.packSequences(fixture.repartition(1), budget).collect().toSet
     val b = Packing.packSequences(fixture.repartition(7), budget).collect().toSet
     assert(a === b)
+  }
+
+  // ------------------------------------------------------- packBestFit
+  // skewed lengths: a few near-budget docs + many small ones — the
+  // shape where placement order decides fragmentation
+  private def skewed = Seq(
+    9L -> 9, 10L -> 9, 11L -> 9, 12L -> 9,
+    20L -> 7, 21L -> 7, 22L -> 7, 23L -> 7,
+    30L -> 5, 31L -> 5,
+    40L -> 2, 41L -> 2, 42L -> 2, 43L -> 2, 44L -> 2, 45L -> 2,
+    50L -> 1, 51L -> 1, 52L -> 1, 53L -> 1,
+    60L -> 20) // oversized (> budget): unpackable without splitting
+    .map { case (id, n) => (id, Seq.fill(n)("t").mkString(" ")) }
+    .toDF("doc_id", "text")
+
+  test("best-fit packing: every packable doc lands whole in exactly one bin, no overflow") {
+    val packed = Packing.packBestFit(skewed, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // oversized doc 60 dropped, all others placed exactly once
+    val expected = skewed.filter(col("doc_id") =!= 60L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(packed.map(_._2).sorted === expected)
+    packed.groupBy(_._1).foreach { case (bin, rows) =>
+      assert(rows.map(_._3).sum <= budget, s"bin $bin overflows")
+    }
+  }
+
+  test("best-fit packing is a pure function of (id, n_tok): partitioning-independent") {
+    val a = Packing.packBestFit(skewed.repartition(1), budget).collect().toSet
+    val b = Packing.packBestFit(skewed.repartition(7), budget, groupSize = 8).collect().toSet
+    // same groupSize must agree across partitionings...
+    val a8 = Packing.packBestFit(skewed.repartition(3), budget, groupSize = 8).collect().toSet
+    assert(a8 === b)
+    // ...and the default single-slice result must also be stable
+    val a1 = Packing.packBestFit(skewed.repartition(5), budget).collect().toSet
+    assert(a === a1)
+  }
+
+  test("FFD beats next-fit-in-id-order on bins and splits nothing, where q82 splits docs") {
+    val items = Seq(9, 9, 9, 9, 7, 7, 7, 7, 5, 5, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1)
+    val totalTok = items.sum // 90 tokens
+    val packed = Packing.packBestFit(skewed, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // no-split property: exactly one bin row per packable doc
+    assert(packed.length === items.length)
+    assert(packed.map(_._2).sum === totalTok.toLong)
+    val ffdBins = packed.map(_._1).distinct.length
+    // next-fit in id order (the no-sort baseline FFD must not lose
+    // to): close the bin whenever the next doc doesn't fit
+    var nfBins = 1; var fill = 0L
+    items.foreach { n =>
+      if (fill + n > budget) { nfBins += 1; fill = n.toLong } else fill += n.toLong
+    }
+    assert(ffdBins < nfBins, s"FFD used $ffdBins bins vs next-fit $nfBins")
+    // golden FFD trace on this fixture: 9+7 pairs fill four bins to
+    // exactly 16, fifth bin takes 5+5+2+2+2, sixth the remainder —
+    // 6 bins, waste 6*16-90 = 6 (vs next-fit's 7 bins / waste 22)
+    assert(ffdBins === 6)
+    assert(ffdBins * budget - totalTok === 6L)
+    // the opposite trade: concat-and-cut wastes nothing but splits
+    // boundary docs — FFD splits none
+    val spans = Packing.packSequences(skewed.filter(col("doc_id") =!= 60L), budget)
+      .collect().map(r => r.getLong(1))
+    val splitDocs = spans.groupBy(identity).count(_._2.length > 1)
+    assert(splitDocs >= 1, "concat-and-cut should split at least one boundary doc here")
   }
 
   test("no corpus-sized single-partition window in the plan") {

@@ -81,7 +81,23 @@ def main():
                 for r in list(only_e)[:2]:
                     print(f"   only-oracle: {r}")
     print(f"== {n_pass} pass, {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+    # fail-closed proof for the q33/q43 SEMI-oracles (they re-read the
+    # engine's emitted ids, so the tamper harness must show every known
+    # bad-emission mode diverges the oracle's row count). One summary
+    # line lands in semioracle.txt next to bench.json so each round
+    # commits a concrete artifact of the property.
+    import subprocess
+    semi = subprocess.run(
+        [sys.executable, str(Path(__file__).with_name("check_semioracle.py")),
+         sf_dir, out_dir], capture_output=True, text=True)
+    semi_line = (semi.stdout.strip().splitlines() or ["no output"])[-1]
+    print(f"semioracle: {semi_line} (exit {semi.returncode})")
+    try:
+        Path("semioracle.txt").write_text(
+            f"{semi_line} (exit {semi.returncode})\n")
+    except OSError as e:
+        print(f"could not write semioracle.txt: {e}")
+    sys.exit(1 if n_fail or semi.returncode else 0)
 
 
 if __name__ == "__main__":
