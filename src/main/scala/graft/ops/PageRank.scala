@@ -44,31 +44,40 @@ object PageRank {
     require(iterations >= 1 && dampingPct > 0 && dampingPct < 100)
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct().cache()
+      .distinct()
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od")).cache()
+    // out-degree is static across rounds, so it is joined onto the
+    // edge set ONCE here instead of once per round — each iteration
+    // then does a single equi-join (ranks ⋈ weighted edges) rather
+    // than two
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val we = e.join(outdeg, "src").cache()
     // two driver scalars (vertex count for the teleport share), not data
     val n = verts.count()
     val tele = (Scale * (100 - dampingPct) / 100) / n
 
     var ranks = verts.select(col("id"), lit(Scale / n).as("r"))
       .localCheckpoint(true)
+    var lastCkpt = ranks
     var i = 0
     while (i < iterations) {
-      val recv = ranks.join(e, ranks("id") === e("src"))
-        .join(outdeg, "src")
+      val recv = ranks.join(we, ranks("id") === we("src"))
         .select(col("dst"), expr("r div od").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       val next = verts.join(recv, verts("id") === recv("dst"), "left_outer")
         .select(verts("id"),
           (lit(tele) + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
-      val prev = ranks
-      ranks = next.localCheckpoint(true)
-      prev.unpersist()
+      // checkpoint every OTHER round (and the last): a 2-round lineage
+      // still caps plan growth, at half the blocking materializations
+      if (i % 2 == 1 || i == iterations - 1) {
+        ranks = next.localCheckpoint(true)
+        lastCkpt.unpersist()
+        lastCkpt = ranks
+      } else ranks = next
       i += 1
     }
-    e.unpersist(); verts.unpersist(); outdeg.unpersist()
+    we.unpersist(); verts.unpersist()
     ranks.select(col("id"), col("r").as("rank_scaled"))
   }
 }
