@@ -80,47 +80,12 @@ object Dedup {
       maxJaccardDist: Double = 0.5, seed: Long = 42L,
       maxBandBucket: Int = 256): DataFrame = {
     val p = 2147483647L // 2^31 - 1, Mersenne prime
-    val rnd = new scala.util.Random(seed)
-    val coefs = Seq.fill(bands * rowsPerBand)(
-      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    val coefs = minhashCoefs(bands * rowsPerBand, seed, p)
 
-    // Hash each shingle string ONCE into a long ("hs"); all k minhash
-    // permutations then fold over cheap longs instead of re-hashing
-    // strings k times. Cached because three plan branches (band keys,
-    // verify-side A, verify-side B) reuse it.
-    // Tokens are materialized as a column attribute BEFORE shingling:
-    // the n-gram lambda references its token array per element, and a
-    // raw split() expression there would re-run the regex split per
-    // gram (no subexpression elimination inside lambda bodies —
-    // measured 10s of the 16s pipeline on 5k docs).
-    //
-    // Only the HASHED shingle sets are kept/cached: columnar-cache
-    // serialization of the raw shingle strings costs more than the
-    // whole join (measured 8s vs 2s recompute on 5k docs), and both
-    // the signature and the Jaccard verify are functions of the
-    // 64-bit hashes (set sizes identical barring ~1e-10 collisions).
-    // The too-short filter tests token count, NOT size(shingles):
-    // predicate pushdown would substitute the whole gram pipeline
-    // (with split() re-inlined per element) into the filter condition
-    // — measured as 8s of a 10s job on 5k docs.
-    val shingled = docs
-      .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= shingleSize)
-      .select(col(idCol), wordNgrams(col("toks"), shingleSize).as("shingles"))
-      .select(col(idCol),
-        transform(col("shingles"), s => pmod(xxhash64(s), lit(p))).as("hs"))
-      .cache()
-
-    // k minhash values in ONE array pass (custom expression — k
-    // transform+array_min folds would allocate k temp arrays per row)
-    val sig = graft.engine.Columns.ofExpr(MinHashSigExpr(
-      graft.engine.Columns.exprOf(col("hs")),
-      coefs.map(_._1).toArray, coefs.map(_._2).toArray, p))
-    // one 64-bit key per band = hash of that band's signature slice
-    val bandKeys = array((0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        xxhash64(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)).as("key"))
-    }: _*)
+    // Cached because three plan branches (band keys, verify-side A,
+    // verify-side B) reuse it — see [[hashedShingles]] for why only
+    // the hashed sets are kept.
+    val shingled = hashedShingles(docs, idCol, textCol, shingleSize, p).cache()
 
     // cached: (id, band, key) is 3 longs per row, and the frame feeds
     // FOUR plan branches (bucket stats, both self-join sides, hot
@@ -131,10 +96,7 @@ object Dedup {
     // lazy and still references it. Long-lived sessions release both
     // via catalog.clearCache() or by unpersisting after materializing
     // the pairs.
-    val banded = shingled
-      .withColumn("sig", sig)
-      .select(col(idCol), explode(bandKeys).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val banded = bandRows(shingled, idCol, coefs, bands, rowsPerBand, p)
       .cache()
 
     // bucket sizes + representative in one map-side-combinable pass;
@@ -166,6 +128,123 @@ object Dedup {
       .filter(col("jaccard_dist") <= maxJaccardDist)
   }
 
+  /** The seeded universal-hash family shared by every MinHash
+    * operator: k (a, b) pairs for h_i(x) = (a_i·x + b_i) mod p. */
+  private def minhashCoefs(k: Int, seed: Long, p: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+  }
+
+  /** (id, hs: array<long>) — each shingle string hashed ONCE into a
+    * long; all k minhash permutations then fold over cheap longs
+    * instead of re-hashing strings k times.
+    *
+    * Tokens are materialized as a column attribute BEFORE shingling:
+    * the n-gram lambda references its token array per element, and a
+    * raw split() expression there would re-run the regex split per
+    * gram (no subexpression elimination inside lambda bodies —
+    * measured 10s of the 16s pipeline on 5k docs).
+    *
+    * Only the HASHED shingle sets are emitted: columnar-cache
+    * serialization of the raw shingle strings costs more than the
+    * whole join (measured 8s vs 2s recompute on 5k docs), and both
+    * the signature and the Jaccard verify are functions of the
+    * 64-bit hashes (set sizes identical barring ~1e-10 collisions).
+    * The too-short filter tests token count, NOT size(shingles):
+    * predicate pushdown would substitute the whole gram pipeline
+    * (with split() re-inlined per element) into the filter condition
+    * — measured as 8s of a 10s job on 5k docs. */
+  private def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, p: Long): DataFrame =
+    docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+      .select(col(idCol), wordNgrams(col("toks"), shingleSize).as("shingles"))
+      .select(col(idCol),
+        transform(col("shingles"), s => pmod(xxhash64(s), lit(p))).as("hs"))
+
+  /** (id, band, key) rows from hashed shingle sets: k minhash values
+    * in ONE array pass (custom expression — k transform+array_min
+    * folds would allocate k temp arrays per row), then one 64-bit key
+    * per band = hash of that band's signature slice. */
+  private def bandRows(shingled: DataFrame, idCol: String,
+      coefs: Seq[(Long, Long)], bands: Int, rowsPerBand: Int, p: Long): DataFrame = {
+    val sig = graft.engine.Columns.ofExpr(MinHashSigExpr(
+      graft.engine.Columns.exprOf(col("hs")),
+      coefs.map(_._1).toArray, coefs.map(_._2).toArray, p))
+    val bandKeys = array((0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        xxhash64(slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)).as("key"))
+    }: _*)
+    shingled
+      .withColumn("sig", sig)
+      .select(col(idCol), explode(bandKeys).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+  }
+
+  /** Incremental near-dup detection: a NEW batch against an EXISTING
+    * corpus — the daily-increment shape of production dedup, where
+    * re-running all-pairs over corpus+batch would redo corpus-sized
+    * work for a batch-sized question. Both sides use the same seeded
+    * hash family, so a batch doc collides with a corpus doc in a band
+    * exactly as it would inside one all-pairs run; the join is
+    * batch-bands × corpus-bands on (band, key) — in production the
+    * corpus band table is computed once and stored, so each increment
+    * shuffles only its own 3-long band rows plus the colliding
+    * bucket's, and cost tracks batch size + true cross-set pairs,
+    * never corpus².
+    *
+    * Skew guard mirrors [[minhashPairs]]: a corpus-side band bucket
+    * larger than `maxBandBucket` (boilerplate flood) collapses to TWO
+    * representatives (min and max id) — each batch doc in that bucket
+    * pairs with the reps instead of all m members (fan-out ≤
+    * batch-members × 2), keeping the same probabilistic-recall
+    * contract via the other bands. Two reps, not one, so a batch doc
+    * that itself IS the min-id member of an overlapping corpus still
+    * links into the bucket after self-pair exclusion.
+    *
+    * Returns (new_id, corpus_id, jaccard_dist), exact-verified,
+    * jaccard_dist <= maxJaccardDist. Self-pairs (same id on both
+    * sides, when corpus overlaps batch) are excluded. */
+  def incrementalMinhashPairs(batch: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, bands: Int = 10, rowsPerBand: Int = 5,
+      maxJaccardDist: Double = 0.5, seed: Long = 42L,
+      maxBandBucket: Int = 256): DataFrame = {
+    val p = 2147483647L
+    val coefs = minhashCoefs(bands * rowsPerBand, seed, p)
+
+    // both hashed-shingle frames feed two branches (bands + verify) —
+    // cached with the same retained-past-call contract as minhashPairs
+    val shB = hashedShingles(batch, idCol, textCol, shingleSize, p).cache()
+    val shC = hashedShingles(corpus, idCol, textCol, shingleSize, p).cache()
+    val bandB = bandRows(shB, idCol, coefs, bands, rowsPerBand, p)
+      .select(col(idCol).as("new_id"), col("band"), col("key"))
+    val bandC = bandRows(shC, idCol, coefs, bands, rowsPerBand, p)
+
+    val stats = bandC.groupBy("band", "key")
+      .agg(count(lit(1)).as("cnt"),
+        min(col(idCol)).as("rep"), max(col(idCol)).as("rep2"))
+    val routedC = bandC.join(stats, Seq("band", "key"))
+    val coldC = routedC.filter(col("cnt") <= maxBandBucket)
+      .select(col(idCol).as("corpus_id"), col("band"), col("key"))
+    val hotC = routedC.filter(col("cnt") > maxBandBucket)
+      .select(explode(array(col("rep"), col("rep2"))).as("corpus_id"),
+        col("band"), col("key")).distinct()
+    val candidates = bandB.join(coldC.union(hotC), Seq("band", "key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id").distinct()
+
+    val ga = shB.select(col(idCol).as("new_id"), col("hs").as("ga"))
+    val gb = shC.select(col(idCol).as("corpus_id"), col("hs").as("gb"))
+    val nInter = size(array_intersect(col("ga"), col("gb"))).cast(DoubleType)
+    val nUnion = (size(col("ga")) + size(col("gb"))).cast(DoubleType) - nInter
+    candidates.join(ga, "new_id").join(gb, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (lit(1.0) - nInter / nUnion).as("jaccard_dist"))
+      .filter(col("jaccard_dist") <= maxJaccardDist)
+  }
+
   /** Per-document minhash signatures (k longs) — the input to
     * group-level sketching via [[MinHashMerge]]. Same hash family and
     * defaults as [[minhashPairs]]. */
@@ -173,15 +252,8 @@ object Dedup {
       textCol: String = "text", shingleSize: Int = 3,
       numHashes: Int = 50, seed: Long = 42L): DataFrame = {
     val p = 2147483647L
-    val rnd = new scala.util.Random(seed)
-    val coefs = Seq.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
-    docs
-      .select(col(idCol), TextStats.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= shingleSize)
-      .select(col(idCol), wordNgrams(col("toks"), shingleSize).as("shingles"))
-      .select(col(idCol),
-        transform(col("shingles"), s => pmod(xxhash64(s), lit(p))).as("hs"))
+    val coefs = minhashCoefs(numHashes, seed, p)
+    hashedShingles(docs, idCol, textCol, shingleSize, p)
       .select(col(idCol), graft.engine.Columns.ofExpr(MinHashSigExpr(
         graft.engine.Columns.exprOf(col("hs")),
         coefs.map(_._1).toArray, coefs.map(_._2).toArray, p)).as("sig"))

@@ -32,10 +32,10 @@ object Documents {
 
   private val q15Sql =
     """SELECT doc_id,
-      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_split_to_array(text,'\s+')) AS BIGINT) AS n_tokens,
       |  CAST(length(text) AS BIGINT) AS n_chars_measured,
-      |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS token_char_sum,
-      |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len
+      |  CAST(list_sum(list_transform(regexp_split_to_array(text,'\s+'), t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS token_char_sum,
+      |  CAST(list_sum(list_transform(regexp_split_to_array(text,'\s+'), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(len(regexp_split_to_array(text,'\s+')) AS DOUBLE) AS avg_token_len
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -69,11 +69,11 @@ object Documents {
   private val q17Sql = {
     val stops = TextStats.miniStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT doc_id,
-       |  CAST(len(list_filter(string_split(text,' '), t -> list_contains($stops, t))) AS BIGINT) AS n_stopwords,
+       |  CAST(len(list_filter(regexp_split_to_array(text,'\\s+'), t -> list_contains($stops, t))) AS BIGINT) AS n_stopwords,
        |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
-       |  (least(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
-       |   + least(CAST(len(list_filter(string_split(text,' '), t -> list_contains($stops, t))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) * 5.0, 1.0) * 0.3
+       |  (least(CAST(len(regexp_split_to_array(text,'\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |   + least(CAST(len(list_filter(regexp_split_to_array(text,'\\s+'), t -> list_contains($stops, t))) AS DOUBLE) / CAST(len(regexp_split_to_array(text,'\\s+')) AS DOUBLE) * 5.0, 1.0) * 0.3
        |   + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
        |   + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1) AS quality
        |FROM documents
@@ -103,8 +103,8 @@ object Documents {
     val stops = TextStats.miniStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH scored AS (
        |  SELECT lang, doc_id,
-       |    (least(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
-       |     + least(CAST(len(list_filter(string_split(text,' '), t -> list_contains($stops, t))) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE) * 5.0, 1.0) * 0.3
+       |    (least(CAST(len(regexp_split_to_array(text,'\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |     + least(CAST(len(list_filter(regexp_split_to_array(text,'\\s+'), t -> list_contains($stops, t))) AS DOUBLE) / CAST(len(regexp_split_to_array(text,'\\s+')) AS DOUBLE) * 5.0, 1.0) * 0.3
        |     + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
        |     + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1) AS quality
        |  FROM documents
@@ -135,7 +135,7 @@ object Documents {
   private val q18Sql = {
     def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     val scores = TextStats.langMarkers.map { case (l, m) =>
-      s"CAST(len(list_filter(string_split(text,' '), t -> list_contains(${lst(m)}, t))) AS BIGINT) AS s_$l"
+      s"CAST(len(list_filter(regexp_split_to_array(text,'\\s+'), t -> list_contains(${lst(m)}, t))) AS BIGINT) AS s_$l"
     }
     val names = TextStats.langMarkers.map { case (l, _) => s"s_$l" }
     val whens = TextStats.langMarkers.map { case (l, _) =>
@@ -167,13 +167,13 @@ object Documents {
 
   private val q19Sql =
     """SELECT doc_id,
-      |  CAST((1000003 * len(string_split(text,' '))
-      |    + list_sum(list_transform(string_split(text,' '),
+      |  CAST((1000003 * len(regexp_split_to_array(text,'\s+'))
+      |    + list_sum(list_transform(regexp_split_to_array(text,'\s+'),
       |        t -> CAST(ascii(t) AS BIGINT)*31 + CAST(length(t) AS BIGINT)*7)))
       |   % 1000000007 AS BIGINT) AS bag_fp,
       |  CAST(list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(string_split(text,' '),
+      |      list_transform(regexp_split_to_array(text,'\s+'),
       |        t -> CAST(ascii(t) AS BIGINT)*131 + CAST(length(t) AS BIGINT))),
       |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS rolling_fp
       |FROM documents
@@ -191,8 +191,8 @@ object Documents {
   private val q20Sql =
     """WITH grams AS (
       |  SELECT doc_id, lang,
-      |    list_distinct(list_transform(range(len(string_split(text,' '))-1),
-      |      i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS g
+      |    list_distinct(list_transform(range(len(regexp_split_to_array(text,'\s+'))-1),
+      |      i -> regexp_split_to_array(text,'\s+')[i+1] || ' ' || regexp_split_to_array(text,'\s+')[i+2])) AS g
       |  FROM documents
       |)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -367,7 +367,7 @@ object Documents {
     """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
       |  array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk_text,
       |  CAST(len(toks[i*40+1 : i*40+50]) AS BIGINT) AS n_chunk_tokens
-      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+      |FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents) t,
       |  UNNEST(range(CAST(ceil(len(toks) / 40.0) AS BIGINT))) AS u(i)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
@@ -447,7 +447,7 @@ object Documents {
 
   private val q62Sql =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
       |),
       |grams AS (
       |  SELECT doc_id,
@@ -477,7 +477,7 @@ object Documents {
 
   private val q63Sql =
     """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents
       |),
       |g AS (
       |  SELECT doc_id,
@@ -516,10 +516,10 @@ object Documents {
 
   private val q64Sql =
     """SELECT doc_id,
-      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
       |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpeish_tokens,
       |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS DOUBLE)
-      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS subword_ratio
+      |    / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS subword_ratio
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

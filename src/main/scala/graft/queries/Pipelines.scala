@@ -100,7 +100,7 @@ object Pipelines {
 
   private val q31Sql =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
       |),
       |grams AS (
       |  SELECT doc_id,
@@ -132,7 +132,7 @@ object Pipelines {
 
   private val q32Sql =
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
       |),
       |th AS (
       |  SELECT doc_id,
@@ -477,7 +477,7 @@ object Pipelines {
       |  SELECT d.doc_id, d.lang FROM documents d JOIN exact e ON d.doc_id = e.doc_id
       |),
       |toks AS (
-      |  SELECT k.doc_id, string_split(d.text, ' ') AS t
+      |  SELECT k.doc_id, regexp_split_to_array(d.text, '\s+') AS t
       |  FROM kept_exact k JOIN documents d ON k.doc_id = d.doc_id
       |),
       |grams AS (

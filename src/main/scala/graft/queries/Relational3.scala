@@ -49,7 +49,7 @@ object Relational3 {
 
   private val q37Sql =
     """SELECT t.token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
-      |FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      |FROM documents, UNNEST(regexp_split_to_array(text, '\s+')) AS t(token)
       |WHERE length(t.token) > 3
       |GROUP BY t.token
       |HAVING COUNT(*) > 50
@@ -69,8 +69,8 @@ object Relational3 {
 
   private val q38Sql =
     """SELECT doc_id,
-      |  array_to_string(list_sort(string_split(text, ' '))[1:5], '|') AS first5_sorted,
-      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+      |  array_to_string(list_sort(regexp_split_to_array(text, '\s+'))[1:5], '|') AS first5_sorted,
+      |  CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_distinct_tokens
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -168,6 +168,9 @@ object Relational3 {
     * whole-stage-codegen'd, no UDFs. */
   private def q47(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // deliberate literal single-space split (NOT TextStats.tokens):
+      // this query exercises the HOF surface, and its oracle pairs
+      // with string_split(text, ' ') — both sides agree on any input
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"),

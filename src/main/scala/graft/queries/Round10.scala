@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.Dedup
+
+/** Round-10 battery additions. */
+object Round10 {
+
+  // ---------------------------------------------------------------- q84
+  /** Incremental near-dup detection: the documents with doc_id % 10 = 0
+    * play the "new batch", the rest the existing corpus — the
+    * daily-increment shape where production dedup must NOT re-run
+    * all-pairs over the whole corpus ([[graft.ops.Dedup
+    * .incrementalMinhashPairs]]). Oracle: DuckDB recomputes ALL
+    * batch×corpus exact trigram Jaccard pairs — matching it checks the
+    * verify arithmetic AND that the cross-set banding missed nothing
+    * (same recall-1 argument as q31: this corpus's near-dup pairs are
+    * ≥ 0.6 similar, where the 10×5 banding's P(candidate) ≈ 1). */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    Dedup.incrementalMinhashPairs(batch, corpus,
+        shingleSize = 3, bands = 10, rowsPerBand = 5, maxJaccardDist = 0.4)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  private val q84Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |)
+      |SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |  1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) AS jaccard_dist
+      |FROM grams a JOIN grams b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+      |ORDER BY new_id, corpus_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q84_incremental_neardup", q84, Some(q84Sql)))
+}

@@ -37,7 +37,7 @@ object Round4 {
 
   private val q72Sql =
     """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
       |),
       |grams AS (
       |  SELECT doc_id,
@@ -202,7 +202,7 @@ object Round4 {
 
   private val q76Sql =
     """WITH tok AS (
-      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents
       |),
       |n AS (SELECT COUNT(*) AS n FROM tok)
       |SELECT token, COUNT(*) AS cnt

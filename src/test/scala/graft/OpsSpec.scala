@@ -95,6 +95,56 @@ class OpsSpec extends AnyFunSuite {
     assert(falsePairs.isEmpty, s"false positives: $falsePairs")
   }
 
+  test("incremental minhash agrees with the all-pairs run on planted cross-set dups") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val dups = base.map { case (i, text) =>
+      val toks = text.split(" ")
+      (i + 1000L, (toks.take(54) ++ (0 until 6).map(j => s"x${i}_$j")).mkString(" "))
+    }
+    val corpus = base.toDF("doc_id", "text")
+    val batch = dups.toDF("doc_id", "text")
+    val inc = Dedup.incrementalMinhashPairs(batch, corpus,
+        shingleSize = 2, maxJaccardDist = 0.5).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("corpus_id")) ->
+        r.getAs[Double]("jaccard_dist")).toMap
+    val found = (0 until 40).count(i => inc.contains((i + 1000L, i.toLong)))
+    assert(found >= 36, s"recall too low: $found/40 planted cross-set pairs found")
+    assert(inc.keys.forall { case (n, c) => n >= 1000L && c < 1000L },
+      "every pair must be batch-side × corpus-side")
+    // metamorphic: the all-pairs run over the union, restricted to
+    // cross-set pairs, must report the same distances
+    val all = Dedup.minhashPairs(corpus.union(batch), shingleSize = 2,
+        maxJaccardDist = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_b"), r.getAs[Long]("doc_a")) ->
+        r.getAs[Double]("jaccard_dist")).toMap
+    inc.foreach { case (pair, d) =>
+      assert(all.get(pair).exists(x => math.abs(x - d) < 1e-12),
+        s"pair $pair: incremental $d vs all-pairs ${all.get(pair)}")
+    }
+  }
+
+  test("incremental minhash: hot corpus bucket collapses to a rep star, self-pairs excluded") {
+    val flood = (0 until 500).map(i =>
+      (i.toLong, "the same boilerplate text repeated in every document"))
+    val corpus = flood.toDF("doc_id", "text")
+    val batch = (1000 until 1005).map(i =>
+      (i.toLong, "the same boilerplate text repeated in every document"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalMinhashPairs(batch, corpus, shingleSize = 2)
+      .collect()
+    assert(pairs.length === 10, s"expected two rep edges per batch doc, got ${pairs.length}")
+    assert(pairs.forall(r => Set(0L, 499L)(r.getAs[Long]("corpus_id"))),
+      "every edge must anchor at a corpus bucket representative (min or max id)")
+    // overlap case: a batch that IS part of the corpus must not
+    // self-pair but still links to its duplicates
+    val overlap = Dedup.incrementalMinhashPairs(
+      corpus.filter(col("doc_id") === 0L), corpus, shingleSize = 2).collect()
+    assert(overlap.forall(r => r.getAs[Long]("corpus_id") != 0L))
+    assert(overlap.nonEmpty)
+  }
+
   test("band-bucket skew guard: 1k identical docs emit a star, not a clique") {
     // the stop-shingle flood: every document identical → every band
     // bucket holds all 1000 ids. Without the cap the candidate join
