@@ -78,4 +78,31 @@ object Splits {
     }
     df.filter(keep)
   }
+
+  /** Deterministic k-per-group sample: within each group, keep the k
+    * rows with the SMALLEST id hash (full 32-bit Knuth multiply; ties
+    * by ascending id) — the stable way to draw a fixed-size eval/probe
+    * set per stratum. Membership is a pure function of the id set, so
+    * appends only displace entries when a new id hashes below a kept
+    * one, and reruns are bit-identical on any cluster layout.
+    *
+    * Scale path: the per-group selection runs as the bounded-heap
+    * [[TopKAgg]] aggregate, NOT a per-group window — map-side partial
+    * heaps mean shuffle volume is groups × k entries regardless of
+    * corpus size, and one giant stratum never lands in one sort task.
+    * The 32-bit hash values are exact in double (< 2^53), so the heap
+    * ordering equals integer ordering.
+    *
+    * Returns (group, rk, id, hv): rank 1..k by ascending hash, the
+    * hash value kept for oracle replay. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val hv = hashBucketN(col(idCol), 1L << 32)
+    df.select(col(groupCol), col(idCol), hv.as("hv"))
+      .groupBy(groupCol)
+      .agg(TopKAgg.topK(col("hv"), col(idCol), k, largest = false).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rk"),
+        col("e.id").as(idCol), col("e.ord").cast("long").as("hv"))
+  }
 }

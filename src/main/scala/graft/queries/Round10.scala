@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.Dedup
+import graft.ops.{Dedup, Splits}
 
 /** Round-10 battery additions. */
 object Round10 {
@@ -46,6 +46,35 @@ object Round10 {
       |    / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
       |ORDER BY new_id, corpus_id""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Deterministic 5-per-language eval sample
+    * ([[graft.ops.Splits.sampleKPerGroup]]): smallest-hash-wins
+    * selection via the bounded-heap TopKAgg, so the draw is a pure
+    * function of the id set (stable across clusters/reruns/appends)
+    * and the shuffle carries groups × k entries, never the corpus.
+    * DuckDB replays the same 32-bit Knuth multiply in HUGEINT (the
+    * BIGINT product would overflow) and ranks with a window — at
+    * oracle scale the window is fine; the engine side exists because
+    * that window re-shuffles the corpus at 100 TB. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    Splits.sampleKPerGroup(Tables.documents(s, dir), "lang", "doc_id", k = 5)
+      .orderBy("lang", "rk")
+
+  private val q85Sql =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      |         % 4294967296 AS BIGINT) AS hv
+      |  FROM documents
+      |)
+      |SELECT lang, rk, doc_id, hv FROM (
+      |  SELECT lang, doc_id, hv,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS INTEGER) AS rk
+      |  FROM h)
+      |WHERE rk <= 5
+      |ORDER BY lang, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q84_incremental_neardup", q84, Some(q84Sql)))
+    QueryDef("q84_incremental_neardup", q84, Some(q84Sql)),
+    QueryDef("q85_eval_sample", q85, Some(q85Sql)))
 }

@@ -691,6 +691,36 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("lang") === "b").count() === 0L)
   }
 
+  test("sampleKPerGroup: k smallest hashes per group, stable under layout and append") {
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val df = rows.toDF("doc_id", "lang")
+    val s = graft.ops.Splits.sampleKPerGroup(df, "lang", "doc_id", 5).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("hv")))
+    assert(s.length === 10, "5 per group × 2 groups")
+    s.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.map(_._2).sorted === (1 to 5).toArray, s"group $g ranks")
+      // ranks follow ascending hash; hv is the exact Knuth hash of the id
+      assert(rs.sortBy(_._2).map(_._4).toSeq === rs.map(_._4).sorted.toSeq)
+      rs.foreach { case (_, _, id, hv) =>
+        assert(hv === ((id & 0xFFFFFFFFL) * 2654435761L) % 4294967296L)
+      }
+    }
+    // pure function of the id set: any partitioning draws the same sample
+    val s2 = graft.ops.Splits.sampleKPerGroup(df.repartition(7), "lang", "doc_id", 5)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("hv")))
+    assert(s.toSet === s2.toSet)
+    // append semantics: adding ids only displaces entries whose hash
+    // undercuts a kept one — the surviving overlap keeps relative order
+    val s3 = graft.ops.Splits.sampleKPerGroup(
+      df.union(Seq((2000L, "a"), (2001L, "b")).toDF("doc_id", "lang")),
+      "lang", "doc_id", 5).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    val overlap = s.map(r => (r._1, r._3)).toSet.intersect(s3)
+    assert(overlap.size >= 8, s"append displaced more than the hash contract allows: $overlap")
+  }
+
   test("dot and sqdist return null on length-mismatched vectors") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
       (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
