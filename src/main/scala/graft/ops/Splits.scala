@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset splitting for training pipelines.
@@ -77,6 +78,55 @@ object Splits {
       acc || (col(sourceCol) === src && cell < math.round(w * 10000).toInt)
     }
     df.filter(keep)
+  }
+
+  /** Token-budget sampling: admit each group's documents in
+    * deterministic hash order (hv asc, id asc — the same stable
+    * pseudorandom order as [[sampleKPerGroup]]) while the running
+    * token total stays under `budget` — how training mixtures are
+    * actually specced ("2B tokens of lang X"), as opposed to
+    * row-count fractions. A doc is admitted iff the tokens BEFORE it
+    * total < budget, so the admitted set overshoots by at most one
+    * document and is a pure function of the (id, n_tok) set: stable
+    * across clusters, reruns and appends.
+    *
+    * Scale path: the per-group ordered cumsum is the same two-phase
+    * prefix sum as [[Packing.packSequences]] — per-(group, hv-bucket)
+    * totals (map-side combinable), a bucket-offset window whose
+    * partitions hold ≤ 2^32/bucketSpan rows, then the doc-level
+    * window only WITHIN a bucket. Buckets whose offset already
+    * exceeds the budget are pruned by the inner join BEFORE the
+    * doc-level window runs, so corpus-sized groups only do doc-level
+    * work for the admitted prefix plus one boundary bucket.
+    *
+    * Returns (group, id, hv, n_tok, start) — `start` (tokens before
+    * this doc in admission order) makes the selection replayable by a
+    * SQL window oracle. */
+  def tokenBudgetSample(df: DataFrame, budget: Long,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text", bucketSpan: Long = 1L << 24): DataFrame = {
+    require(budget > 0 && bucketSpan > 0)
+    val hv = hashBucketN(col(idCol), 1L << 32)
+    val counted = df.select(col(groupCol), col(idCol), hv.as("hv"),
+      TextStats.tokenCount(col(textCol)).as("n_tok"))
+    // bucket = hv div span is monotone in hv, so bucket-major order +
+    // (hv, id) inside a bucket IS the global (hv, id) order
+    val bucketed = counted.withColumn("bucket", expr(s"hv div $bucketSpan"))
+    val bucketTotals = bucketed.groupBy(groupCol, "bucket")
+      .agg(sum(col("n_tok")).as("btotal"))
+    val overBuckets = Window.partitionBy(groupCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("boffset", coalesce(sum(col("btotal")).over(overBuckets), lit(0L)))
+      .filter(col("boffset") < budget)
+      .select(groupCol, "bucket", "boffset")
+    val inBucket = Window.partitionBy(groupCol, "bucket").orderBy("hv", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(offsets, Seq(groupCol, "bucket"))
+      .withColumn("start",
+        col("boffset") + coalesce(sum(col("n_tok")).over(inBucket), lit(0L)))
+      .filter(col("start") < budget)
+      .select(col(groupCol), col(idCol), col("hv"), col("n_tok"), col("start"))
   }
 
   /** Deterministic k-per-group sample: within each group, keep the k

@@ -74,7 +74,40 @@ object Round10 {
       |WHERE rk <= 5
       |ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Token-budget mixture sampling
+    * ([[graft.ops.Splits.tokenBudgetSample]]): admit each language's
+    * docs in deterministic hash order until 2000 tokens — mixtures
+    * specced in TOKENS, not row fractions. The per-group cumsum runs
+    * as the two-phase bucketed prefix sum with past-budget buckets
+    * pruned before any doc-level window; DuckDB replays the whole
+    * selection with one window cumsum over the same Knuth hash
+    * order. */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    Splits.tokenBudgetSample(Tables.documents(s, dir), budget = 2000L)
+      .orderBy("lang", "start")
+
+  private val q86Sql =
+    """WITH h AS (
+      |  SELECT lang, doc_id,
+      |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      |         % 4294967296 AS BIGINT) AS hv,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |),
+      |placed AS (
+      |  SELECT lang, doc_id, hv, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+      |      ORDER BY hv, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM h
+      |)
+      |SELECT lang, doc_id, hv, n_tok, start FROM placed
+      |WHERE start < 2000
+      |ORDER BY lang, start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q84_incremental_neardup", q84, Some(q84Sql)),
-    QueryDef("q85_eval_sample", q85, Some(q85Sql)))
+    QueryDef("q85_eval_sample", q85, Some(q85Sql)),
+    QueryDef("q86_token_budget_sample", q86, Some(q86Sql)))
 }

@@ -721,6 +721,50 @@ class OpsSpec extends AnyFunSuite {
     assert(overlap.size >= 8, s"append displaced more than the hash contract allows: $overlap")
   }
 
+  test("tokenBudgetSample admits exactly the hash-order prefix under the budget") {
+    val rows = (0L until 400L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        Seq.fill((i % 7 + 1).toInt)("t").mkString(" "))  // 1..7 tokens
+    }
+    val df = rows.toDF("doc_id", "lang", "text")
+    // tiny bucketSpan → many hv buckets → exercises the bucketed
+    // two-phase path and the past-budget bucket pruning
+    val got = graft.ops.Splits.tokenBudgetSample(df, budget = 100L,
+        bucketSpan = 1L << 24).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("hv"), r.getAs[Long]("n_tok"), r.getAs[Long]("start")))
+    // reference: naive single-pass cumsum in hash order per group
+    def knuth(id: Long) = ((id & 0xFFFFFFFFL) * 2654435761L) % 4294967296L
+    val expected = rows.map { case (id, g, text) =>
+      (g, id, knuth(id), text.split(" ").length.toLong)
+    }.groupBy(_._1).flatMap { case (g, rs) =>
+      var acc = 0L
+      rs.sortBy(r => (r._3, r._2)).flatMap { case (gg, id, hv, n) =>
+        val keep = acc < 100L
+        val row = (gg, id, hv, n, acc)
+        acc += n
+        if (keep) Some(row) else None
+      }
+    }.toSet
+    assert(got.toSet === expected)
+    // budget property: tokens BEFORE every admitted doc < budget, and
+    // the admitted set is a prefix (every start value is tight cumsum)
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      assert(sorted.forall(_._5 < 100L))
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 + a._4 === b._5, s"gap in $g cumsum")
+        case _ =>
+      }
+    }
+    // pure function of the id set: layout-independent
+    val got2 = graft.ops.Splits.tokenBudgetSample(df.repartition(7), budget = 100L,
+      bucketSpan = 1L << 24).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("hv"), r.getAs[Long]("n_tok"), r.getAs[Long]("start")))
+    assert(got.toSet === got2.toSet)
+  }
+
   test("dot and sqdist return null on length-mismatched vectors") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
       (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
