@@ -245,6 +245,44 @@ object Dedup {
       .filter(col("jaccard_dist") <= maxJaccardDist)
   }
 
+  /** Incremental dedup FUNNEL: which batch documents to ADMIT against
+    * an existing survivor corpus — the daily-increment completion of
+    * [[incrementalMinhashPairs]] (pairs answer "what collides";
+    * this answers "what do I add"). Three layers, each batch-sized:
+    *
+    *   1. exact — min-id survivor per batch text
+    *      ([[dropExact]]), then drop any text already present in the
+    *      corpus (left_anti equi-join on the text; at 100 TB, join on
+    *      a stored xxhash64 fingerprint column instead — same shape);
+    *   2. cross near-dup — drop batch docs with any banded-MinHash
+    *      verified pair into the corpus (cost tracks batch size +
+    *      true cross pairs, never corpus²);
+    *   3. within-batch near-dup — all-pairs banding over the REMAINING
+    *      batch docs only, connected components, min-id survivor per
+    *      cluster (the batch is increment-sized, so the all-pairs
+    *      machinery that would be corpus-prohibitive is cheap here).
+    *
+    * Returns the admitted batch rows with their original columns.
+    * Deterministic: every layer is a pure function of (id, text). */
+  def incrementalDeduplicate(batch: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, maxJaccardDist: Double = 0.3): DataFrame = {
+    // cached: feeds the cross-pair banding AND the anti-join spine
+    // (same retained-past-call contract as deduplicate's `exact`)
+    val exactBatch = dropExact(batch, textCol, idCol)
+      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+      .cache()
+    val crossDropped = incrementalMinhashPairs(exactBatch, corpus,
+        idCol, textCol, shingleSize, maxJaccardDist = maxJaccardDist)
+      .select(col("new_id").as(idCol)).distinct()
+    val kept = exactBatch.join(crossDropped, Seq(idCol), "left_anti").cache()
+    val pairs = minhashPairs(kept, idCol, textCol,
+      shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
+    val clusterDropped = connectedComponents(pairs)
+      .filter(col("cluster") < col("id")).select(col("id").as(idCol))
+    kept.join(clusterDropped, Seq(idCol), "left_anti")
+  }
+
   /** Per-document minhash signatures (k longs) — the input to
     * group-level sketching via [[MinHashMerge]]. Same hash family and
     * defaults as [[minhashPairs]]. */

@@ -106,8 +106,80 @@ object Round10 {
       |WHERE start < 2000
       |ORDER BY lang, start""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Incremental dedup funnel ([[graft.ops.Dedup
+    * .incrementalDeduplicate]]): the batch docs actually ADMITTED
+    * against the corpus — exact layer, cross near-dup layer, then
+    * within-batch clustering with min-id survivors. Oracle: DuckDB
+    * replays all three layers exactly (exact anti-join, all
+    * batch×corpus pairs, all within-batch pairs + recursive-CTE
+    * connected components — the q55 pattern on the increment). Same
+    * recall-1 banding argument as q31/q84. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    Dedup.incrementalDeduplicate(batch, corpus, maxJaccardDist = 0.4)
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  private val q87Sql =
+    """WITH RECURSIVE batch AS (
+      |  SELECT * FROM documents WHERE doc_id % 10 = 0
+      |),
+      |corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+      |ex AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM batch
+      |  WHERE text NOT IN (SELECT text FROM corpus)
+      |  GROUP BY text
+      |),
+      |kept1 AS (SELECT b.doc_id, b.lang, b.text FROM batch b JOIN ex ON b.doc_id = ex.doc_id),
+      |bgrams AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM kept1)
+      |  WHERE len(t) >= 3
+      |),
+      |cgrams AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2),
+      |    i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM corpus)
+      |  WHERE len(t) >= 3
+      |),
+      |crossdrop AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM bgrams a, cgrams b
+      |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+      |),
+      |kept2 AS (
+      |  SELECT doc_id, lang FROM kept1
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM crossdrop)
+      |),
+      |k2g AS (SELECT g.doc_id, g.g FROM bgrams g JOIN kept2 k ON g.doc_id = k.doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM k2g a JOIN k2g b ON a.doc_id < b.doc_id
+      |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+      |),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach AS (
+      |  SELECT DISTINCT s AS id, s AS lab FROM edges
+      |  UNION
+      |  SELECT e.d AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+      |),
+      |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id)
+      |SELECT doc_id, lang FROM kept2
+      |WHERE doc_id NOT IN (SELECT id FROM comp WHERE cluster < id)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q84_incremental_neardup", q84, Some(q84Sql)),
     QueryDef("q85_eval_sample", q85, Some(q85Sql)),
-    QueryDef("q86_token_budget_sample", q86, Some(q86Sql)))
+    QueryDef("q86_token_budget_sample", q86, Some(q86Sql)),
+    QueryDef("q87_incremental_dedup", q87, Some(q87Sql)))
 }

@@ -145,6 +145,36 @@ class OpsSpec extends AnyFunSuite {
     assert(overlap.nonEmpty)
   }
 
+  test("incrementalDeduplicate: exact/cross/within layers admit the right batch docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),       // exact dup of corpus 1
+      (12L, "one two three four five six EIGHT"),          // near-dup of corpus 3
+      (14L, "completely different text about something"),  // fresh
+      (16L, "completely different text about something"),  // exact dup of 14 → dropped
+      (18L, "completely different text about something else here"), // near-dup of 14 → clustered
+      (20L, "unrelated totally novel document content"))   // fresh
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val admitted = graft.ops.Dedup.incrementalDeduplicate(batch, corpus,
+        shingleSize = 2, maxJaccardDist = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(admitted === Array(14L, 20L),
+      s"expected 14 (cluster survivor) and 20 (fresh), got ${admitted.mkString(",")}")
+    // metamorphic: with an EMPTY corpus the funnel must equal the
+    // batch-only full dedup funnel
+    val emptyCorpus = corpus.filter(lit(false))
+    val incAlone = graft.ops.Dedup.incrementalDeduplicate(batch, emptyCorpus,
+        shingleSize = 2, maxJaccardDist = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fullAlone = graft.ops.Dedup.deduplicate(batch,
+        shingleSize = 2, maxJaccardDist = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incAlone === fullAlone)
+  }
+
   test("band-bucket skew guard: 1k identical docs emit a star, not a clique") {
     // the stop-shingle flood: every document identical → every band
     // bucket holds all 1000 ids. Without the cap the candidate join
