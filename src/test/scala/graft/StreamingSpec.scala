@@ -263,4 +263,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.count() > 0L)
     } finally q.stop()
   }
+
+  test("streaming incremental dedup admits exactly what the batch funnel admits") {
+    import graft.engine.Tables
+    val docs = Tables.documents(spark, dir)
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // landing zone: the increment arrives as a parquet drop
+    val landing = java.nio.file.Files.createTempDirectory("graft-docs-landing")
+    batchDocs.coalesce(1).write.mode("overwrite").parquet(s"$landing/inc1")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-docs-ckpt")
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stream = graft.streaming.DocsStream.readDocs(spark, landing.toString, docs)
+    assert(stream.isStreaming)
+    val q = graft.streaming.DocsStream.incrementalDedupStream(
+      stream, corpus, ckpt.toString,
+      sink = df => df.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0))),
+      maxJaccardDist = 0.4)
+    try {
+      q.awaitTermination(120000)
+      val streamed = admitted.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      val batch = graft.ops.Dedup.incrementalDeduplicate(batchDocs, corpus,
+          maxJaccardDist = 0.4)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(streamed.length > 0 && streamed.sameElements(batch),
+        s"stream admitted ${streamed.length} vs batch ${batch.length}")
+      // exactly-once across restart: a second AvailableNow run over the
+      // same checkpoint reprocesses nothing
+      val q2 = graft.streaming.DocsStream.incrementalDedupStream(
+        graft.streaming.DocsStream.readDocs(spark, landing.toString, docs),
+        corpus, ckpt.toString,
+        sink = df => df.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0))),
+        maxJaccardDist = 0.4)
+      try q2.awaitTermination(120000) finally q2.stop()
+      assert(admitted.size === streamed.length, "restart reprocessed already-seen files")
+    } finally q.stop()
+  }
 }
