@@ -252,6 +252,39 @@ object Bench {
       } else truncated = true
     }
 
-    s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"points":[${points.mkString(",")}],"pagerank":[${prPoints.mkString(",")}],"packing":[${packPoints.mkString(",")}]}"""
+    // incremental vs full dedup: the batch slice stays FIXED while the
+    // corpus side grows x1/x10 — the incremental funnel's claim is
+    // that admitting a daily increment costs batch-sized work plus a
+    // corpus-LINEAR banding pass, while re-running the full funnel
+    // over corpus+batch re-pays the corpus's own near-dup clustering
+    // every day; the gap between inc_sec and full_sec growth is that
+    // claim, measured
+    val incPoints = scala.collection.mutable.ListBuffer.empty[String]
+    val batchSlice = base.filter(col("doc_id") % 10 === 0)
+    val corpusSlice = base.filter(col("doc_id") % 10 =!= 0)
+    def corpusX(n: Int) = corpusSlice
+      .withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
+      .select((col("doc_id") * n + col("__r")).as("doc_id"),
+        concat_ws(" ", col("text"),
+          when(col("__r") >= 1,
+            concat_ws(" ", transform(sequence(lit(1), col("__r")),
+              i => concat(lit("uq"), col("doc_id").cast("string"),
+                lit("x"), i.cast("string")))))).as("text"),
+        col("lang"))
+    Seq(1, 10).foreach { x =>
+      if (elapsed < budgetSec) {
+        val c = if (x == 1) corpusSlice else corpusX(x)
+        val nCorpus = c.count()
+        val (adm, ti) = timed(graft.ops.Dedup.incrementalDeduplicate(
+          batchSlice, c, maxJaccardDist = 0.4).count())
+        cleanup()
+        val (surv, tf) = timed(graft.ops.Dedup.deduplicate(
+          c.unionByName(batchSlice), maxJaccardDist = 0.4).count())
+        cleanup()
+        incPoints += f"""{"x":$x,"corpus":$nCorpus,"admitted":$adm,"inc_sec":$ti%.2f,"full_survivors":$surv,"full_sec":$tf%.2f}"""
+      } else truncated = true
+    }
+
+    s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"points":[${points.mkString(",")}],"pagerank":[${prPoints.mkString(",")}],"packing":[${packPoints.mkString(",")}],"incremental_dedup":[${incPoints.mkString(",")}]}"""
   }
 }

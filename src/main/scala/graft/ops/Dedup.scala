@@ -99,9 +99,18 @@ object Dedup {
     val banded = bandRows(shingled, idCol, coefs, bands, rowsPerBand, p)
       .cache()
 
-    // bucket sizes + representative in one map-side-combinable pass;
-    // the (band, key) exchange is then shared with the self-join, so
-    // routing costs one aggregate, not an extra shuffle of `banded`
+    val candidates = selfBandCandidates(banded, idCol, maxBandBucket)
+    jaccardVerify(candidates, shingled, shingled, idCol,
+      "doc_a", "doc_b", maxJaccardDist)
+  }
+
+  /** Self-join band candidates with the clique→star skew guard:
+    * (doc_a < doc_b) pairs colliding in any band, distinct. Bucket
+    * sizes + representative come from one map-side-combinable pass
+    * whose (band, key) exchange is then shared with the self-join, so
+    * routing costs one aggregate, not an extra shuffle. */
+  private def selfBandCandidates(banded: DataFrame, idCol: String,
+      maxBandBucket: Int): DataFrame = {
     val stats = banded.groupBy("band", "key")
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("rep"))
     val routed = banded.join(stats, Seq("band", "key"))
@@ -115,15 +124,43 @@ object Dedup {
     val hotStars = routed.filter(col("cnt") > maxBandBucket)
       .filter(col(idCol) =!= col("rep"))
       .select(col("rep").as("doc_a"), col(idCol).as("doc_b"))
-    val candidates = coldPairs.union(hotStars).distinct()
+    coldPairs.union(hotStars).distinct()
+  }
 
-    // exact verify on the (small) candidate set, over hashed sets
-    val ga = shingled.select(col(idCol).as("doc_a"), col("hs").as("ga"))
-    val gb = shingled.select(col(idCol).as("doc_b"), col("hs").as("gb"))
+  /** Cross-set band candidates: (new_id, corpus_id) pairs colliding in
+    * any band; corpus-side buckets above `maxBandBucket` collapse to
+    * their min+max-id representatives (see
+    * [[incrementalMinhashPairs]] for the contract). Self-pairs
+    * excluded. */
+  private def crossBandCandidates(bandNew: DataFrame, bandCorpus: DataFrame,
+      idCol: String, maxBandBucket: Int): DataFrame = {
+    val stats = bandCorpus.groupBy("band", "key")
+      .agg(count(lit(1)).as("cnt"),
+        min(col(idCol)).as("rep"), max(col(idCol)).as("rep2"))
+    val routedC = bandCorpus.join(stats, Seq("band", "key"))
+    val coldC = routedC.filter(col("cnt") <= maxBandBucket)
+      .select(col(idCol).as("corpus_id"), col("band"), col("key"))
+    val hotC = routedC.filter(col("cnt") > maxBandBucket)
+      .select(explode(array(col("rep"), col("rep2"))).as("corpus_id"),
+        col("band"), col("key")).distinct()
+    bandNew.select(col(idCol).as("new_id"), col("band"), col("key"))
+      .join(coldC.union(hotC), Seq("band", "key"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id").distinct()
+  }
+
+  /** Exact-Jaccard verify of candidate (aCol, bCol) id pairs over the
+    * hashed shingle sets of each side; keeps pairs with
+    * jaccard_dist <= maxJaccardDist. */
+  private def jaccardVerify(candidates: DataFrame, shA: DataFrame,
+      shB: DataFrame, idCol: String, aCol: String, bCol: String,
+      maxJaccardDist: Double): DataFrame = {
+    val ga = shA.select(col(idCol).as(aCol), col("hs").as("ga"))
+    val gb = shB.select(col(idCol).as(bCol), col("hs").as("gb"))
     val nInter = size(array_intersect(col("ga"), col("gb"))).cast(DoubleType)
     val nUnion = (size(col("ga")) + size(col("gb"))).cast(DoubleType) - nInter
-    candidates.join(ga, "doc_a").join(gb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+    candidates.join(ga, aCol).join(gb, bCol)
+      .select(col(aCol), col(bCol),
         (lit(1.0) - nInter / nUnion).as("jaccard_dist"))
       .filter(col("jaccard_dist") <= maxJaccardDist)
   }
@@ -219,30 +256,10 @@ object Dedup {
     val shB = hashedShingles(batch, idCol, textCol, shingleSize, p).cache()
     val shC = hashedShingles(corpus, idCol, textCol, shingleSize, p).cache()
     val bandB = bandRows(shB, idCol, coefs, bands, rowsPerBand, p)
-      .select(col(idCol).as("new_id"), col("band"), col("key"))
     val bandC = bandRows(shC, idCol, coefs, bands, rowsPerBand, p)
-
-    val stats = bandC.groupBy("band", "key")
-      .agg(count(lit(1)).as("cnt"),
-        min(col(idCol)).as("rep"), max(col(idCol)).as("rep2"))
-    val routedC = bandC.join(stats, Seq("band", "key"))
-    val coldC = routedC.filter(col("cnt") <= maxBandBucket)
-      .select(col(idCol).as("corpus_id"), col("band"), col("key"))
-    val hotC = routedC.filter(col("cnt") > maxBandBucket)
-      .select(explode(array(col("rep"), col("rep2"))).as("corpus_id"),
-        col("band"), col("key")).distinct()
-    val candidates = bandB.join(coldC.union(hotC), Seq("band", "key"))
-      .filter(col("new_id") =!= col("corpus_id"))
-      .select("new_id", "corpus_id").distinct()
-
-    val ga = shB.select(col(idCol).as("new_id"), col("hs").as("ga"))
-    val gb = shC.select(col(idCol).as("corpus_id"), col("hs").as("gb"))
-    val nInter = size(array_intersect(col("ga"), col("gb"))).cast(DoubleType)
-    val nUnion = (size(col("ga")) + size(col("gb"))).cast(DoubleType) - nInter
-    candidates.join(ga, "new_id").join(gb, "corpus_id")
-      .select(col("new_id"), col("corpus_id"),
-        (lit(1.0) - nInter / nUnion).as("jaccard_dist"))
-      .filter(col("jaccard_dist") <= maxJaccardDist)
+    val candidates = crossBandCandidates(bandB, bandC, idCol, maxBandBucket)
+    jaccardVerify(candidates, shB, shC, idCol,
+      "new_id", "corpus_id", maxJaccardDist)
   }
 
   /** Incremental dedup FUNNEL: which batch documents to ADMIT against
@@ -266,18 +283,36 @@ object Dedup {
     * Deterministic: every layer is a pure function of (id, text). */
   def incrementalDeduplicate(batch: DataFrame, corpus: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      shingleSize: Int = 3, maxJaccardDist: Double = 0.3): DataFrame = {
+      shingleSize: Int = 3, maxJaccardDist: Double = 0.3,
+      bands: Int = 10, rowsPerBand: Int = 5, seed: Long = 42L,
+      maxBandBucket: Int = 256): DataFrame = {
+    val p = 2147483647L
+    val coefs = minhashCoefs(bands * rowsPerBand, seed, p)
     // cached: feeds the cross-pair banding AND the anti-join spine
     // (same retained-past-call contract as deduplicate's `exact`)
     val exactBatch = dropExact(batch, textCol, idCol)
       .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
       .cache()
-    val crossDropped = incrementalMinhashPairs(exactBatch, corpus,
-        idCol, textCol, shingleSize, maxJaccardDist = maxJaccardDist)
+    // the batch side is shingled and banded ONCE — layers 2 and 3
+    // both consume the same cached band rows (banding is per-doc, so
+    // restricting the self-candidates to post-cross survivors by
+    // semi-join gives the same pairs as re-banding the survivors,
+    // minus a second signature pipeline)
+    val shB = hashedShingles(exactBatch, idCol, textCol, shingleSize, p).cache()
+    val bandB = bandRows(shB, idCol, coefs, bands, rowsPerBand, p).cache()
+    val shC = hashedShingles(corpus, idCol, textCol, shingleSize, p).cache()
+    val bandC = bandRows(shC, idCol, coefs, bands, rowsPerBand, p)
+    val crossDropped = jaccardVerify(
+        crossBandCandidates(bandB, bandC, idCol, maxBandBucket),
+        shB, shC, idCol, "new_id", "corpus_id", maxJaccardDist)
       .select(col("new_id").as(idCol)).distinct()
     val kept = exactBatch.join(crossDropped, Seq(idCol), "left_anti").cache()
-    val pairs = minhashPairs(kept, idCol, textCol,
-      shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
+    val keptIds = kept.select(col(idCol))
+    val selfCands = selfBandCandidates(bandB, idCol, maxBandBucket)
+      .join(keptIds.select(col(idCol).as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(keptIds.select(col(idCol).as("doc_b")), Seq("doc_b"), "left_semi")
+    val pairs = jaccardVerify(selfCands, shB, shB, idCol,
+      "doc_a", "doc_b", maxJaccardDist)
     val clusterDropped = connectedComponents(pairs)
       .filter(col("cluster") < col("id")).select(col("id").as(idCol))
     kept.join(clusterDropped, Seq(idCol), "left_anti")
