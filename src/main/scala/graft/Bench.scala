@@ -253,12 +253,14 @@ object Bench {
     }
 
     // incremental vs full dedup: the batch slice stays FIXED while the
-    // corpus side grows x1/x10 — the incremental funnel's claim is
-    // that admitting a daily increment costs batch-sized work plus a
-    // corpus-LINEAR banding pass, while re-running the full funnel
-    // over corpus+batch re-pays the corpus's own near-dup clustering
-    // every day; the gap between inc_sec and full_sec growth is that
-    // claim, measured
+    // corpus side grows x1/x10. The corpus index (shingle sets + band
+    // rows + texts) is built and materialized FIRST and its cost
+    // reported separately — in production it is stored and amortized
+    // across increments, so the per-increment claim is inc_sec:
+    // batch-sized hashing plus joins against the index. full_sec
+    // re-runs the whole funnel over corpus+batch — what a
+    // non-incremental pipeline would pay per day; the gap between
+    // inc_sec and full_sec growth is the operator's claim, measured.
     val incPoints = scala.collection.mutable.ListBuffer.empty[String]
     val batchSlice = base.filter(col("doc_id") % 10 === 0)
     val corpusSlice = base.filter(col("doc_id") % 10 =!= 0)
@@ -275,13 +277,18 @@ object Bench {
       if (elapsed < budgetSec) {
         val c = if (x == 1) corpusSlice else corpusX(x)
         val nCorpus = c.count()
-        val (adm, ti) = timed(graft.ops.Dedup.incrementalDeduplicate(
-          batchSlice, c, maxJaccardDist = 0.4).count())
+        var idx: graft.ops.Dedup.CorpusDedupIndex = null
+        val (_, tIdx) = timed {
+          idx = graft.ops.Dedup.indexCorpus(c)
+          idx.bandRows.count() + idx.shingles.count() + idx.texts.count()
+        }
+        val (adm, ti) = timed(graft.ops.Dedup.incrementalDeduplicateIndexed(
+          batchSlice, idx, maxJaccardDist = 0.4).count())
         cleanup()
         val (surv, tf) = timed(graft.ops.Dedup.deduplicate(
           c.unionByName(batchSlice), maxJaccardDist = 0.4).count())
         cleanup()
-        incPoints += f"""{"x":$x,"corpus":$nCorpus,"admitted":$adm,"inc_sec":$ti%.2f,"full_survivors":$surv,"full_sec":$tf%.2f}"""
+        incPoints += f"""{"x":$x,"corpus":$nCorpus,"index_sec":$tIdx%.2f,"admitted":$adm,"inc_sec":$ti%.2f,"full_survivors":$surv,"full_sec":$tf%.2f}"""
       } else truncated = true
     }
 

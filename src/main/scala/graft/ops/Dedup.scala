@@ -285,13 +285,53 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, maxJaccardDist: Double = 0.3,
       bands: Int = 10, rowsPerBand: Int = 5, seed: Long = 42L,
+      maxBandBucket: Int = 256): DataFrame =
+    incrementalDeduplicateIndexed(batch,
+      indexCorpus(corpus, idCol, textCol, shingleSize, bands, rowsPerBand, seed),
+      idCol, textCol, shingleSize, maxJaccardDist,
+      bands, rowsPerBand, seed, maxBandBucket)
+
+  /** The corpus-side artifacts every increment needs: hashed shingle
+    * sets (for the exact-Jaccard verify), band rows (for candidate
+    * generation) and the distinct text set (for the exact layer). In
+    * production these are computed ONCE when the corpus changes and
+    * STORED (parquet, band rows bucketed by (band, key) so the
+    * increment's candidate join is co-located) — each daily increment
+    * then reads them instead of re-hashing the corpus, which is the
+    * whole point of incremental dedup: re-banding N corpus documents
+    * per increment would make the increment corpus-sized. Here the
+    * frames are cached; [[incrementalDeduplicate]] builds a transient
+    * one per call for convenience. */
+  final case class CorpusDedupIndex(
+      shingles: DataFrame, bandRows: DataFrame, texts: DataFrame)
+
+  def indexCorpus(corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, bands: Int = 10, rowsPerBand: Int = 5,
+      seed: Long = 42L): CorpusDedupIndex = {
+    val p = 2147483647L
+    val coefs = minhashCoefs(bands * rowsPerBand, seed, p)
+    val shC = hashedShingles(corpus, idCol, textCol, shingleSize, p).cache()
+    CorpusDedupIndex(shC,
+      bandRows(shC, idCol, coefs, bands, rowsPerBand, p).cache(),
+      corpus.select(col(textCol)).distinct().cache())
+  }
+
+  /** [[incrementalDeduplicate]] against a prebuilt (stored or cached)
+    * corpus index — the amortized production path: per-increment work
+    * is batch-sized hashing plus joins against the index. The batch's
+    * own hash family must match the index's (same seed/bands/rows). */
+  def incrementalDeduplicateIndexed(batch: DataFrame, index: CorpusDedupIndex,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, maxJaccardDist: Double = 0.3,
+      bands: Int = 10, rowsPerBand: Int = 5, seed: Long = 42L,
       maxBandBucket: Int = 256): DataFrame = {
     val p = 2147483647L
     val coefs = minhashCoefs(bands * rowsPerBand, seed, p)
     // cached: feeds the cross-pair banding AND the anti-join spine
     // (same retained-past-call contract as deduplicate's `exact`)
     val exactBatch = dropExact(batch, textCol, idCol)
-      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+      .join(index.texts, Seq(textCol), "left_anti")
       .cache()
     // the batch side is shingled and banded ONCE — layers 2 and 3
     // both consume the same cached band rows (banding is per-doc, so
@@ -300,11 +340,9 @@ object Dedup {
     // minus a second signature pipeline)
     val shB = hashedShingles(exactBatch, idCol, textCol, shingleSize, p).cache()
     val bandB = bandRows(shB, idCol, coefs, bands, rowsPerBand, p).cache()
-    val shC = hashedShingles(corpus, idCol, textCol, shingleSize, p).cache()
-    val bandC = bandRows(shC, idCol, coefs, bands, rowsPerBand, p)
     val crossDropped = jaccardVerify(
-        crossBandCandidates(bandB, bandC, idCol, maxBandBucket),
-        shB, shC, idCol, "new_id", "corpus_id", maxJaccardDist)
+        crossBandCandidates(bandB, index.bandRows, idCol, maxBandBucket),
+        shB, index.shingles, idCol, "new_id", "corpus_id", maxJaccardDist)
       .select(col("new_id").as(idCol)).distinct()
     val kept = exactBatch.join(crossDropped, Seq(idCol), "left_anti").cache()
     val keptIds = kept.select(col(idCol))
