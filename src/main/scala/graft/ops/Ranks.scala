@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics for a BOUNDED score: the
+  * per-group rank of every row by (value desc, id asc), computed
+  * without ever sorting a whole group in one task — the missing piece
+  * between a bounded-heap top-k ([[TopKAgg]]: k rows, not ranks) and
+  * approximate percentiles (q35: estimates, not positions). Use it
+  * for exact quality-percentile gates ("keep the top 30% per
+  * language") where the approx path's rank error is not acceptable.
+  *
+  * The idiomatic window spelling — `row_number() over (partition by g
+  * order by v desc)` — shuffles every row of a group into ONE task
+  * and sorts the whole group there; at corpus scale a single language
+  * is billions of rows. Instead, radix ranking on the value's
+  * [0, 1] range: quantize v into two nested cell levels (c1 =
+  * ⌊v·cells⌋, c2 on the remainder), count rows per cell
+  * (map-side-combinable), turn counts into DESCENDING cumulative
+  * offsets with two windows whose partitions hold ≤ `cells` rows
+  * each (never corpus-sized), and row_number only WITHIN a
+  * (group, c1, c2) cell. rank = off1 + off2 + in-cell row_number —
+  * exact, deterministic, partitioning-independent, because the cell
+  * decomposition is order-consistent with v (u = v·cells is monotone
+  * and (c1 desc, c2 desc, v desc, id) is the global (v desc, id)
+  * order).
+  *
+  * The only skew exposure is a cell holding many IDENTICAL values
+  * (e.g. a constant-score corpus): those rows share (c1, c2) and meet
+  * in one in-cell window partition. With cells=4096 the two levels
+  * separate any values differing by ≥ 1/16M; exact duplicates are
+  * ranked by id and can be sub-bucketed by a third id-range level if
+  * a degenerate corpus ever needs it.
+  *
+  * `value` must be in [0, 1] (clamped cells guard the v = 1.0 edge);
+  * rank is 1-based.
+  */
+object Ranks {
+
+  def exactGroupRank(df: DataFrame, groupCol: String, idCol: String,
+      value: Column, cells: Int = 4096): DataFrame = {
+    require(cells > 1)
+    val u = value * lit(cells.toDouble)
+    val c1 = least(floor(u), lit((cells - 1).toDouble)).cast("long")
+    val c2 = least(floor((u - c1) * lit(cells.toDouble)),
+      lit((cells - 1).toDouble)).cast("long")
+    val frame = df.select(col(groupCol), col(idCol), value.as("__v"),
+      c1.as("__c1"), c2.as("__c2"))
+    // level 1: rows per coarse cell; cumulative over cells DESC within
+    // the group — ≤ `cells` rows per window partition
+    val cnt1 = frame.groupBy(groupCol, "__c1").agg(count(lit(1)).as("n1"))
+    val over1 = Window.partitionBy(groupCol).orderBy(col("__c1").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off1 = cnt1
+      .withColumn("__off1", coalesce(sum(col("n1")).over(over1), lit(0L)))
+      .select(col(groupCol), col("__c1"), col("__off1"))
+    // level 2: rows per fine cell; cumulative over fine cells DESC
+    // within (group, coarse cell) — again ≤ `cells` rows per partition
+    val cnt2 = frame.groupBy(groupCol, "__c1", "__c2").agg(count(lit(1)).as("n2"))
+    val over2 = Window.partitionBy(groupCol, "__c1").orderBy(col("__c2").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off2 = cnt2
+      .withColumn("__off2", coalesce(sum(col("n2")).over(over2), lit(0L)))
+      .select(col(groupCol), col("__c1"), col("__c2"), col("__off2"))
+    // in-cell rank: partitions are single fine cells
+    val inCell = Window.partitionBy(groupCol, "__c1", "__c2")
+      .orderBy(col("__v").desc, col(idCol))
+    frame
+      .join(off1, Seq(groupCol, "__c1"))
+      .join(off2, Seq(groupCol, "__c1", "__c2"))
+      .withColumn("rnk",
+        col("__off1") + col("__off2") + row_number().over(inCell).cast("long"))
+      .select(col(groupCol), col(idCol), col("__v").as("value"), col("rnk"))
+  }
+
+  /** Attach the quantile bucket (0-based, `buckets` of them) each
+    * ranked row falls in: bucket = ⌊buckets·(rank−1)/n_group⌋ — the
+    * exact-percentile gate ("decile ≤ 2" = top 30%). Group sizes are
+    * a tiny broadcast aggregate. */
+  def withQuantileBucket(ranked: DataFrame, groupCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val sizes = ranked.groupBy(groupCol).agg(count(lit(1)).as("__ng"))
+    ranked.join(broadcast(sizes), groupCol)
+      .withColumn("bucket", expr(s"($buckets * (rnk - 1)) div __ng"))
+      .drop("__ng")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.{Dedup, Splits}
+import graft.ops.{Dedup, Ranks, Splits, TextStats}
 
 /** Round-10 battery additions. */
 object Round10 {
@@ -177,9 +177,53 @@ object Round10 {
       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE cluster < id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Exact per-language quality deciles ([[graft.ops.Ranks]]): every
+    * document's exact rank by (quality desc, doc_id) and its decile —
+    * the exact-percentile curation gate ("top 30% per language").
+    * The engine computes the rank by two-level radix counting on the
+    * bounded score (no corpus-sized window partition, unlike the
+    * oracle's spelling); DuckDB's plain window row_number is the
+    * independent ground truth, so the two formulations cross-check —
+    * exact agreement REQUIRES the quality doubles to be
+    * bit-identical on both sides, which q17's hash-match already
+    * establishes. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Ranks.exactGroupRank(
+      Tables.documents(s, dir), "lang", "doc_id",
+      TextStats.qualityScore(col("text")))
+    Ranks.withQuantileBucket(ranked, "lang", buckets = 10)
+      .select(col("lang"), col("doc_id"), col("rnk"),
+        col("bucket").as("decile"))
+      .orderBy("lang", "rnk")
+  }
+
+  private val q88Sql = {
+    val stops = TextStats.miniStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT lang, doc_id,
+       |    (least(CAST(len(regexp_split_to_array(text,'\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |     + least(CAST(len(list_filter(regexp_split_to_array(text,'\\s+'), t -> list_contains($stops, t))) AS DOUBLE) / CAST(len(regexp_split_to_array(text,'\\s+')) AS DOUBLE) * 5.0, 1.0) * 0.3
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1) AS q
+       |  FROM documents
+       |),
+       |n AS (SELECT lang, COUNT(*) AS ng FROM scored GROUP BY lang),
+       |r AS (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM scored
+       |)
+       |SELECT r.lang, r.doc_id, r.rnk,
+       |  CAST((10 * (r.rnk - 1)) // n.ng AS BIGINT) AS decile
+       |FROM r JOIN n ON r.lang = n.lang
+       |ORDER BY r.lang, r.rnk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q84_incremental_neardup", q84, Some(q84Sql)),
     QueryDef("q85_eval_sample", q85, Some(q85Sql)),
     QueryDef("q86_token_budget_sample", q86, Some(q86Sql)),
-    QueryDef("q87_incremental_dedup", q87, Some(q87Sql)))
+    QueryDef("q87_incremental_dedup", q87, Some(q87Sql)),
+    QueryDef("q88_quality_deciles", q88, Some(q88Sql)))
 }

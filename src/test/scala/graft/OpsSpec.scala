@@ -795,6 +795,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSet === got2.toSet)
   }
 
+  test("exactGroupRank equals the window spelling on ties, boundaries and cell edges") {
+    val rnd = new scala.util.Random(7)
+    // values engineered to stress the radix decomposition: exact 0.0
+    // and 1.0, duplicated values (id tie-breaks), values straddling
+    // coarse-cell boundaries (k/16 with cells=16), plus random fill
+    val rows =
+      Seq((0L, "a", 0.0), (1L, "a", 1.0), (2L, "a", 0.5), (3L, "a", 0.5),
+        (4L, "a", 0.5 + 1e-12), (5L, "a", 3.0 / 16.0), (6L, "a", 3.0 / 16.0 - 1e-15),
+        (7L, "b", 1.0), (8L, "b", 1.0), (9L, "b", 0.0625)) ++
+        (100L until 400L).map(i => (i, if (i % 3 == 0) "a" else "b", rnd.nextDouble()))
+    val df = rows.toDF("doc_id", "lang", "v")
+    val got = graft.ops.Ranks.exactGroupRank(df, "lang", "doc_id", col("v"), cells = 16)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("rnk")).toMap
+    // naive reference: in-memory sort per group
+    val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.sortBy { case (id, _, v) => (-v, id) }.zipWithIndex
+        .map { case ((id, _, _), i) => (g, id) -> (i + 1L) }
+    }
+    assert(got === expected)
+    // partitioning independence
+    val got2 = graft.ops.Ranks.exactGroupRank(df.repartition(7), "lang", "doc_id",
+      col("v"), cells = 16)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("rnk")).toMap
+    assert(got2 === expected)
+    // quantile buckets: 0-based, ~equal-sized, monotone in rank
+    val bucketed = graft.ops.Ranks.withQuantileBucket(
+      graft.ops.Ranks.exactGroupRank(df, "lang", "doc_id", col("v")), "lang", 4)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("rnk"), r.getAs[Long]("bucket")))
+    bucketed.groupBy(_._1).foreach { case (g, rs) =>
+      val n = rs.length
+      rs.foreach { case (_, rnk, b) => assert(b === (4 * (rnk - 1)) / n, s"group $g rank $rnk") }
+    }
+  }
+
   test("dot and sqdist return null on length-mismatched vectors") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)),
       (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
