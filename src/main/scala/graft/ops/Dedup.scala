@@ -335,8 +335,8 @@ object Dedup {
       .cache()
     // the batch side is shingled and banded ONCE — layers 2 and 3
     // both consume the same cached band rows (banding is per-doc, so
-    // restricting the self-candidates to post-cross survivors by
-    // semi-join gives the same pairs as re-banding the survivors,
+    // semi-joining the band ROWS to the post-cross survivors gives
+    // exactly the band rows re-banding the survivors would produce,
     // minus a second signature pipeline)
     val shB = hashedShingles(exactBatch, idCol, textCol, shingleSize, p).cache()
     val bandB = bandRows(shB, idCol, coefs, bands, rowsPerBand, p).cache()
@@ -346,9 +346,14 @@ object Dedup {
       .select(col("new_id").as(idCol)).distinct()
     val kept = exactBatch.join(crossDropped, Seq(idCol), "left_anti").cache()
     val keptIds = kept.select(col(idCol))
-    val selfCands = selfBandCandidates(bandB, idCol, maxBandBucket)
-      .join(keptIds.select(col(idCol).as("doc_a")), Seq("doc_a"), "left_semi")
-      .join(keptIds.select(col(idCol).as("doc_b")), Seq("doc_b"), "left_semi")
+    // survivors are restricted BEFORE candidate generation so the hot-
+    // bucket star representative is chosen among survivors — identical
+    // to re-banding the kept docs (banding is per-doc). Filtering the
+    // candidate pairs AFTER generation instead would silently drop an
+    // entire hot bucket's star edges whenever its pre-drop rep was
+    // removed by the cross layer, admitting within-batch near-dups.
+    val bandKept = bandB.join(keptIds, Seq(idCol), "left_semi")
+    val selfCands = selfBandCandidates(bandKept, idCol, maxBandBucket)
     val pairs = jaccardVerify(selfCands, shB, shB, idCol,
       "doc_a", "doc_b", maxJaccardDist)
     val clusterDropped = connectedComponents(pairs)

@@ -175,6 +175,34 @@ class OpsSpec extends AnyFunSuite {
     assert(incAlone === fullAlone)
   }
 
+  test("incremental funnel: hot-bucket star rep is chosen among cross-layer survivors") {
+    // regression: when band rows were semi-joined to kept ids only
+    // AFTER candidate generation, a hot bucket's star representative
+    // could be a doc the cross layer had already dropped — its star
+    // edges then died in the filter and the bucket's surviving
+    // near-dups were admitted as duplicates. Construction: docs 1/2/3
+    // share one hot band bucket (maxBandBucket=2 < 3 members, star rep
+    // = min id = 1); doc 1 is token-identical to the corpus doc (dist
+    // 0 → cross-dropped) while 2/3 sit one shingle away (dist 1/19 ≈
+    // 0.053 > 0.03 → kept); 2 and 3 are token-identical to each other
+    // (whitespace-only text difference), so 3 must be dropped as 2's
+    // within-batch near-dup.
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val baseGapped = (1 to 20).map(i => s"w$i").mkString("  ") // same tokens, distinct text
+    val corpus = Seq((100L, s"$baseGapped zz9")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, s"$base zz9"), // token-identical to corpus doc → cross-dropped
+      (2L, base),         // one shingle short of the corpus doc → kept
+      (3L, baseGapped)    // token-identical to 2 → the pair that must be caught
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalDeduplicate(batch, corpus,
+        shingleSize = 3, maxJaccardDist = 0.03,
+        bands = 5, rowsPerBand = 1, maxBandBucket = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(admitted === Array(2L),
+      s"expected only doc 2 (1 is in the corpus, 3 is 2's near-dup), got ${admitted.mkString(",")}")
+  }
+
   test("band-bucket skew guard: 1k identical docs emit a star, not a clique") {
     // the stop-shingle flood: every document identical → every band
     // bucket holds all 1000 ids. Without the cap the candidate join
