@@ -23,9 +23,10 @@ object Bench {
     * RDD-level persists from localCheckpoint survive it). Returns the
     * swept count so bench.json can NAME the leaker instead of only
     * reporting a battery-wide leak total. */
-  private def sweepPersistentRdds(spark: SparkSession): Int = {
+  private def sweepPersistentRdds(spark: SparkSession,
+                                  blocking: Boolean = false): Int = {
     val leftover = spark.sparkContext.getPersistentRDDs
-    leftover.values.foreach(_.unpersist(blocking = false))
+    leftover.values.foreach(_.unpersist(blocking = blocking))
     leftover.size
   }
 
@@ -42,7 +43,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR (not WARN): the final stdout line must be the headline JSON,
+    // and async WARN chatter (e.g. MapPartitionsRDD localCheckpoint
+    // notes from non-blocking unpersists) raced past the println in
+    // rounds 7/9/10 and truncated the driver's tail capture
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up codegen/JIT + FS metadata so the first timed query
     // doesn't absorb session fixed costs
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -103,6 +108,9 @@ object Bench {
     // persisted; nonzero here means a leak the sweep itself missed
     spark.catalog.clearCache()
     val leakedAfterBattery = spark.sparkContext.getPersistentRDDs.size
+    // blocking: all unpersist chatter must complete BEFORE the headline
+    // prints, so no async log line can land after it in the tail capture
+    sweepPersistentRdds(spark, blocking = true)
     val ok = selected.collect {
       case (k, _) if times(k).nonEmpty && !failures.contains(k) => k -> times(k).toSeq
     }
@@ -144,13 +152,17 @@ object Bench {
     System.err.println(f"[bench] peak storage ${peakStorageBytes / 1048576} MB; persistent RDDs after battery: $leakedAfterBattery; swept: $sweptJson")
 
     // the headline is the LAST stdout line and stays SHORT (top-5
-    // query costs only; the full per-query map lives in bench.json):
-    // the driver tail-captures sbt output, and rounds 7 and 9 proved a
-    // multi-KB line gets head-truncated into "parsed": null
+    // query costs only, marked truncated; the full per-query map lives
+    // in bench.json): the driver tail-captures sbt output, and rounds 7
+    // and 9 proved a multi-KB line gets head-truncated into
+    // "parsed": null. Printed AFTER spark.stop() returns so no Spark
+    // log line — sync or async — can follow it (the round-10 loss:
+    // non-blocking unpersist WARNs landed after the println).
     val top5 = meds.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"failed":${failures.size},"leaked_cached_rdds":$leakedAfterBattery,"queries":$top5,"sf":"$sfDir"}""")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"failed":${failures.size},"leaked_cached_rdds":$leakedAfterBattery,"queries":$top5,"queries_truncated":true,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 
   /** Scaling measurements, each under one shared wall-clock budget so
