@@ -52,9 +52,14 @@ object Bench {
     // doesn't absorb session fixed costs
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    // optional args = query-name subset, for single-query iteration
+    // optional args = query-name subset, for single-query iteration;
+    // SPARK_GRAFT_SCALING_ONLY=1 skips the battery and runs just the
+    // scaling harness (for iterating on a scaling curve without paying
+    // 88 queries × 3 passes)
+    val scalingOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("1")
     val selected =
-      (if (args.isEmpty) SparkEntry.queries
+      (if (scalingOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+       else if (args.isEmpty) SparkEntry.queries
        else SparkEntry.queries.filter { case (k, _) => args.contains(k) })
         .toSeq.sortBy(_._1)
     val failures = scala.collection.mutable.ListBuffer.empty[String]
@@ -182,6 +187,11 @@ object Bench {
   private def scalingJson(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "900").toDouble
+    // SPARK_GRAFT_SCALING_SECTIONS=inc,pagerank,... runs only the named
+    // sections (default: all) — for iterating on one curve
+    val sections = sys.env.get("SPARK_GRAFT_SCALING_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+    def sectionOn(name: String): Boolean = sections.forall(_.contains(name))
     val base = graft.engine.Tables.documents(spark, sfDir)
       .select("doc_id", "text", "lang")
     // replica r of a doc appends r replica-distinct tokens, so the
@@ -210,10 +220,15 @@ object Bench {
     val tStart = System.nanoTime()
     def elapsed = (System.nanoTime() - tStart) / 1e9
 
+    // every scaling point records the 1-min loadavg sampled at its
+    // start, exactly like the battery iterations — so a swing on a
+    // replicated point (r10: PageRank x10 at 33 s vs 13.5 s committed)
+    // is attributable to box contention from the artifact alone
     val points = scala.collection.mutable.ListBuffer.empty[String]
     var truncated = false
     Seq(1, 10, 30).foreach { x =>
-      if (elapsed < budgetSec) {
+      if (sectionOn("dedup") && elapsed < budgetSec) {
+        val la = loadAvg()
         val df = if (x == 1) base else replicate(x)
         val nDocs = df.count()
         val (p, tp) = timed(graft.ops.Dedup.minhashPairs(df, shingleSize = 3,
@@ -222,8 +237,8 @@ object Bench {
         val (f, tf) = timed(graft.ops.Dedup.deduplicate(df, maxJaccardDist = 0.4).count())
         cleanup()
         val perK = if (p > 0) tp / (p / 1000.0) else 0.0
-        points += f"""{"x":$x,"docs":$nDocs,"q31_pairs":$p,"q31_sec":$tp%.2f,"q31_sec_per_1k_pairs":$perK%.3f,"q55_survivors":$f,"q55_sec":$tf%.2f}"""
-      } else truncated = true
+        points += f"""{"x":$x,"docs":$nDocs,"q31_pairs":$p,"q31_sec":$tp%.2f,"q31_sec_per_1k_pairs":$perK%.3f,"q55_survivors":$f,"q55_sec":$tf%.2f,"load":$la%.1f}"""
+      } else if (sectionOn("dedup")) truncated = true
     }
 
     // PageRank: q73's customer⇄supplier bipartite graph, then 10
@@ -242,26 +257,28 @@ object Bench {
       .select((col("src") + col("__r") * 10000000L).as("src"),
         (col("dst") + col("__r") * 10000000L).as("dst"))
     Seq(1, 10).foreach { x =>
-      if (elapsed < budgetSec) {
+      if (sectionOn("pagerank") && elapsed < budgetSec) {
+        val la = loadAvg()
         val e = if (x == 1) edges1 else edgesX(x)
         val nEdges = e.count()
         val (v, t) = timed(graft.ops.PageRank.ranks(e, iterations = 5).count())
         cleanup()
-        prPoints += f"""{"x":$x,"edges":$nEdges,"vertices":$v,"sec":$t%.2f}"""
-      } else truncated = true
+        prPoints += f"""{"x":$x,"edges":$nEdges,"vertices":$v,"sec":$t%.2f,"load":$la%.1f}"""
+      } else if (sectionOn("pagerank")) truncated = true
     }
 
     // packing: concat-and-cut over the replicated corpus (perturbation
     // tokens shift counts slightly — irrelevant, only volume matters)
     val packPoints = scala.collection.mutable.ListBuffer.empty[String]
     Seq(1, 10).foreach { x =>
-      if (elapsed < budgetSec) {
+      if (sectionOn("packing") && elapsed < budgetSec) {
+        val la = loadAvg()
         val df = if (x == 1) base else replicate(x)
         val nDocs = df.count()
         val (spans, t) = timed(graft.ops.Packing.packSequences(df, budget = 256L).count())
         cleanup()
-        packPoints += f"""{"x":$x,"docs":$nDocs,"span_rows":$spans,"sec":$t%.2f}"""
-      } else truncated = true
+        packPoints += f"""{"x":$x,"docs":$nDocs,"span_rows":$spans,"sec":$t%.2f,"load":$la%.1f}"""
+      } else if (sectionOn("packing")) truncated = true
     }
 
     // incremental vs full dedup: the batch slice stays FIXED while the
@@ -286,7 +303,8 @@ object Bench {
                 lit("x"), i.cast("string")))))).as("text"),
         col("lang"))
     Seq(1, 10).foreach { x =>
-      if (elapsed < budgetSec) {
+      if (sectionOn("inc") && elapsed < budgetSec) {
+        val la = loadAvg()
         val c = if (x == 1) corpusSlice else corpusX(x)
         val nCorpus = c.count()
         var idx: graft.ops.Dedup.CorpusDedupIndex = null
@@ -300,8 +318,8 @@ object Bench {
         val (surv, tf) = timed(graft.ops.Dedup.deduplicate(
           c.unionByName(batchSlice), maxJaccardDist = 0.4).count())
         cleanup()
-        incPoints += f"""{"x":$x,"corpus":$nCorpus,"index_sec":$tIdx%.2f,"admitted":$adm,"inc_sec":$ti%.2f,"full_survivors":$surv,"full_sec":$tf%.2f}"""
-      } else truncated = true
+        incPoints += f"""{"x":$x,"corpus":$nCorpus,"index_sec":$tIdx%.2f,"admitted":$adm,"inc_sec":$ti%.2f,"full_survivors":$surv,"full_sec":$tf%.2f,"load":$la%.1f}"""
+      } else if (sectionOn("inc")) truncated = true
     }
 
     s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"points":[${points.mkString(",")}],"pagerank":[${prPoints.mkString(",")}],"packing":[${packPoints.mkString(",")}],"incremental_dedup":[${incPoints.mkString(",")}]}"""

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH, MinHashLSHModel}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -127,13 +127,16 @@ object Dedup {
     coldPairs.union(hotStars).distinct()
   }
 
-  /** Cross-set band candidates: (new_id, corpus_id) pairs colliding in
-    * any band; corpus-side buckets above `maxBandBucket` collapse to
-    * their min+max-id representatives (see
-    * [[incrementalMinhashPairs]] for the contract). Self-pairs
-    * excluded. */
-  private def crossBandCandidates(bandNew: DataFrame, bandCorpus: DataFrame,
-      idCol: String, maxBandBucket: Int): DataFrame = {
+  /** Route a corpus-side band table through the skew guard ONCE:
+    * buckets above `maxBandBucket` collapse to their min+max-id
+    * representatives (see [[incrementalMinhashPairs]] for the
+    * contract), cold buckets keep every member. Output is the
+    * (corpus_id, band, key) candidate side an increment joins
+    * against — in production this is what gets STORED (bucketed by
+    * (band, key)), so no increment ever re-aggregates corpus bucket
+    * stats. */
+  private def routeBands(bandCorpus: DataFrame, idCol: String,
+      maxBandBucket: Int): DataFrame = {
     val stats = bandCorpus.groupBy("band", "key")
       .agg(count(lit(1)).as("cnt"),
         min(col(idCol)).as("rep"), max(col(idCol)).as("rep2"))
@@ -143,11 +146,19 @@ object Dedup {
     val hotC = routedC.filter(col("cnt") > maxBandBucket)
       .select(explode(array(col("rep"), col("rep2"))).as("corpus_id"),
         col("band"), col("key")).distinct()
+    coldC.union(hotC)
+  }
+
+  /** Cross-set band candidates against an already-routed corpus side:
+    * (new_id, corpus_id) pairs colliding in any band, self-pairs
+    * excluded. One equi-join + distinct — all the routing work lives
+    * in [[routeBands]]. */
+  private def crossBandCandidates(bandNew: DataFrame, routedCorpus: DataFrame,
+      idCol: String): DataFrame =
     bandNew.select(col(idCol).as("new_id"), col("band"), col("key"))
-      .join(coldC.union(hotC), Seq("band", "key"))
+      .join(routedCorpus, Seq("band", "key"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id").distinct()
-  }
 
   /** Exact-Jaccard verify of candidate (aCol, bCol) id pairs over the
     * hashed shingle sets of each side; keeps pairs with
@@ -257,7 +268,8 @@ object Dedup {
     val shC = hashedShingles(corpus, idCol, textCol, shingleSize, p).cache()
     val bandB = bandRows(shB, idCol, coefs, bands, rowsPerBand, p)
     val bandC = bandRows(shC, idCol, coefs, bands, rowsPerBand, p)
-    val candidates = crossBandCandidates(bandB, bandC, idCol, maxBandBucket)
+    val candidates = crossBandCandidates(bandB,
+      routeBands(bandC, idCol, maxBandBucket), idCol)
     jaccardVerify(candidates, shB, shC, idCol,
       "new_id", "corpus_id", maxJaccardDist)
   }
@@ -287,64 +299,108 @@ object Dedup {
       bands: Int = 10, rowsPerBand: Int = 5, seed: Long = 42L,
       maxBandBucket: Int = 256): DataFrame =
     incrementalDeduplicateIndexed(batch,
-      indexCorpus(corpus, idCol, textCol, shingleSize, bands, rowsPerBand, seed),
+      indexCorpus(corpus, idCol, textCol, shingleSize, bands, rowsPerBand,
+        seed, maxBandBucket),
       idCol, textCol, shingleSize, maxJaccardDist,
       bands, rowsPerBand, seed, maxBandBucket)
 
   /** The corpus-side artifacts every increment needs: hashed shingle
-    * sets (for the exact-Jaccard verify), band rows (for candidate
-    * generation) and the distinct text set (for the exact layer). In
-    * production these are computed ONCE when the corpus changes and
-    * STORED (parquet, band rows bucketed by (band, key) so the
-    * increment's candidate join is co-located) — each daily increment
-    * then reads them instead of re-hashing the corpus, which is the
-    * whole point of incremental dedup: re-banding N corpus documents
-    * per increment would make the increment corpus-sized. Here the
-    * frames are cached; [[incrementalDeduplicate]] builds a transient
-    * one per call for convenience. */
+    * sets (for the exact-Jaccard verify), PRE-ROUTED band rows (the
+    * skew-guarded candidate side — corpus bucket stats are aggregated
+    * once here, never per increment) and the distinct text set (for
+    * the exact layer). In production these are computed ONCE when the
+    * corpus changes and STORED (parquet, band rows bucketed by
+    * (band, key) so the increment's candidate join is co-located) —
+    * each daily increment then reads them instead of re-hashing the
+    * corpus, which is the whole point of incremental dedup: re-banding
+    * N corpus documents per increment would make the increment
+    * corpus-sized. Here the frames are cached;
+    * [[incrementalDeduplicate]] builds a transient one per call for
+    * convenience.
+    *
+    * `bandRows` columns: (corpus_id, band, key) — hot buckets already
+    * collapsed to their min+max-id representatives under the
+    * `maxBandBucket` the index was built with. */
   final case class CorpusDedupIndex(
-      shingles: DataFrame, bandRows: DataFrame, texts: DataFrame)
+      shingles: DataFrame, bandRows: DataFrame, texts: DataFrame,
+      maxBandBucket: Int) {
+    /** Release the index's caches — for transient per-call/per-batch
+      * indexes (e.g. a streaming foreachBatch) that must not
+      * accumulate cached frames across invocations. */
+    def unpersistAll(blocking: Boolean = false): Unit = {
+      shingles.unpersist(blocking)
+      bandRows.unpersist(blocking)
+      texts.unpersist(blocking)
+    }
+  }
 
   def indexCorpus(corpus: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, bands: Int = 10, rowsPerBand: Int = 5,
-      seed: Long = 42L): CorpusDedupIndex = {
+      seed: Long = 42L, maxBandBucket: Int = 256): CorpusDedupIndex = {
     val p = 2147483647L
     val coefs = minhashCoefs(bands * rowsPerBand, seed, p)
     val shC = hashedShingles(corpus, idCol, textCol, shingleSize, p).cache()
     CorpusDedupIndex(shC,
-      bandRows(shC, idCol, coefs, bands, rowsPerBand, p).cache(),
-      corpus.select(col(textCol)).distinct().cache())
+      routeBands(bandRows(shC, idCol, coefs, bands, rowsPerBand, p),
+        idCol, maxBandBucket).cache(),
+      corpus.select(col(textCol)).distinct().cache(),
+      maxBandBucket)
   }
 
   /** [[incrementalDeduplicate]] against a prebuilt (stored or cached)
     * corpus index — the amortized production path: per-increment work
     * is batch-sized hashing plus joins against the index. The batch's
-    * own hash family must match the index's (same seed/bands/rows). */
+    * own hash family must match the index's (same seed/bands/rows).
+    * `maxBandBucket` here governs only the WITHIN-batch skew guard;
+    * the corpus side was routed when the index was built. */
   def incrementalDeduplicateIndexed(batch: DataFrame, index: CorpusDedupIndex,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, maxJaccardDist: Double = 0.3,
       bands: Int = 10, rowsPerBand: Int = 5, seed: Long = 42L,
       maxBandBucket: Int = 256): DataFrame = {
+    // GRAFT_FUNNEL_DEBUG=1: force-materialize each layer and print its
+    // wall time — the profiling hook behind the layer-cost numbers in
+    // the scaladoc. Forcing changes the execution (caches fill layer by
+    // layer instead of inside one DAG), so it is debug-only.
+    val dbg = sys.env.contains("GRAFT_FUNNEL_DEBUG")
+    def phase[T](name: String)(body: => T): T =
+      if (!dbg) body else {
+        val t0 = System.nanoTime()
+        val r = body
+        r match { case d: Dataset[_] => d.count(); case _ => () }
+        println(f"FUNNEL $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     val p = 2147483647L
     val coefs = minhashCoefs(bands * rowsPerBand, seed, p)
     // cached: feeds the cross-pair banding AND the anti-join spine
     // (same retained-past-call contract as deduplicate's `exact`)
-    val exactBatch = dropExact(batch, textCol, idCol)
+    val exactBatch = phase("exact")(dropExact(batch, textCol, idCol)
       .join(index.texts, Seq(textCol), "left_anti")
-      .cache()
-    // the batch side is shingled and banded ONCE — layers 2 and 3
-    // both consume the same cached band rows (banding is per-doc, so
-    // semi-joining the band ROWS to the post-cross survivors gives
-    // exactly the band rows re-banding the survivors would produce,
-    // minus a second signature pipeline)
-    val shB = hashedShingles(exactBatch, idCol, textCol, shingleSize, p).cache()
-    val bandB = bandRows(shB, idCol, coefs, bands, rowsPerBand, p).cache()
-    val crossDropped = jaccardVerify(
-        crossBandCandidates(bandB, index.bandRows, idCol, maxBandBucket),
+      .cache())
+    // the batch side is shingled and banded ONCE, from the RAW batch —
+    // not from the exact layer's survivors — so the per-doc hash
+    // pipeline runs CONCURRENTLY with the exact layer's window +
+    // anti-join instead of behind them (independent stages of one job
+    // schedule in parallel). Exact-dropped docs contribute a few extra
+    // candidate rows that die in the kept/semi joins; semantics are
+    // unchanged because every downstream consumer filters through
+    // keptIds (and a dropped doc's surviving exact-twin has the same
+    // shingle set, hence identical cross verdicts). Layers 2 and 3
+    // both consume the same cached band rows: semi-joining the band
+    // ROWS to the post-cross survivors gives exactly the band rows
+    // re-banding the survivors would produce, minus a second
+    // signature pipeline.
+    val shB = phase("shingle")(hashedShingles(batch, idCol, textCol, shingleSize, p).cache())
+    val bandB = phase("band")(bandRows(shB, idCol, coefs, bands, rowsPerBand, p).cache())
+    // no distinct on the dropped-id side: the left_anti join below
+    // dedups inherently, so the extra exchange would be pure latency
+    val crossDropped = phase("cross")(jaccardVerify(
+        crossBandCandidates(bandB, index.bandRows, idCol),
         shB, index.shingles, idCol, "new_id", "corpus_id", maxJaccardDist)
-      .select(col("new_id").as(idCol)).distinct()
-    val kept = exactBatch.join(crossDropped, Seq(idCol), "left_anti").cache()
+      .select(col("new_id").as(idCol)))
+    val kept = phase("kept")(exactBatch.join(crossDropped, Seq(idCol), "left_anti").cache())
     val keptIds = kept.select(col(idCol))
     // survivors are restricted BEFORE candidate generation so the hot-
     // bucket star representative is chosen among survivors — identical
@@ -354,10 +410,10 @@ object Dedup {
     // removed by the cross layer, admitting within-batch near-dups.
     val bandKept = bandB.join(keptIds, Seq(idCol), "left_semi")
     val selfCands = selfBandCandidates(bandKept, idCol, maxBandBucket)
-    val pairs = jaccardVerify(selfCands, shB, shB, idCol,
-      "doc_a", "doc_b", maxJaccardDist)
-    val clusterDropped = connectedComponents(pairs)
-      .filter(col("cluster") < col("id")).select(col("id").as(idCol))
+    val pairs = phase("selfpairs")(jaccardVerify(selfCands, shB, shB, idCol,
+      "doc_a", "doc_b", maxJaccardDist))
+    val clusterDropped = phase("cc")(connectedComponents(pairs)
+      .filter(col("cluster") < col("id")).select(col("id").as(idCol)))
     kept.join(clusterDropped, Seq(idCol), "left_anti")
   }
 
@@ -514,10 +570,54 @@ object Dedup {
     * shuffles (vertex, label) longs only.
     * Returns (id, cluster) where cluster = min id in the component. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIter: Int = 10): DataFrame = {
+      bCol: String = "doc_b", maxIter: Int = 10,
+      smallGraphThreshold: Int = 100000): DataFrame = {
+    // localCheckpoint, NOT cache: the per-round join re-aliases the
+    // edge side during analysis, which defeats cache LOOKUP — measured
+    // in q87's funnel, every round's `neighborMin` recomputed the whole
+    // upstream verify pipeline (~1.5 s/round on a 5-edge graph) while
+    // the "cached" edges frame sat unused. An eager localCheckpoint
+    // cuts the lineage instead, so every round plans against the
+    // materialized blocks no matter how the analyzer aliases them.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
+    // Small-graph fast path: near-dup edge sets are usually tiny
+    // relative to the corpus (pairs track true similarity, not corpus
+    // size), and the iterative loop below costs ~5 fixed
+    // materializations even for a 5-edge graph. Below the threshold —
+    // a hard runtime gate, so the collect is bounded by contract at
+    // 2×threshold longs (~1.6 MB at the default) — run min-label
+    // union-find on the driver instead. Long-typed ids only; anything
+    // else falls through to the distributed loop.
+    val integral = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integral && edges.count() <= smallGraphThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.collect().foreach { row =>
+        val a = row.get(0) match { case l: Long => l; case i: Int => i.toLong }
+        val b = row.get(1) match { case l: Long => l; case i: Int => i.toLong }
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by VALUE: the smaller root stays root, so every
+        // component's final root is its min id — same contract as the
+        // distributed loop
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labeled = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      edges.unpersist()
+      return labeled.toDF("id", "cluster")
+    }
     val vertices = edges.select(col("src").as("id")).distinct()
     // Every round's result is EAGERLY materialized with its lineage
     // cut (localCheckpoint): each subsequent round then plans against
@@ -533,7 +633,16 @@ object Dedup {
     // materialized local blocks, so no recompute): bounded-loss
     // restart data on a real cluster, where localCheckpoint blocks
     // die with their executor.
-    var labels = vertices.withColumn("cluster", col("id")).localCheckpoint()
+    val ccDbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def ccPhase[T](name: String)(body: => T): T =
+      if (!ccDbg) body else {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"CC_PHASE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    var labels = ccPhase("init")(
+      vertices.withColumn("cluster", col("id")).localCheckpoint())
     var converged = false
     var iter = 0
     val sc = pairs.sparkSession.sparkContext
@@ -543,22 +652,22 @@ object Dedup {
         .groupBy(col("src").as("id2")).agg(min(col("cluster")).as("nbr_min"))
       // carry the old label through the update so convergence detection
       // is a filter on the same materialized frame, not a second join
-      val tentative = labels
+      val tentative = ccPhase(s"tentative$iter")(labels
         .join(neighborMin, labels("id") === neighborMin("id2"), "left")
         .select(col("id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint())
       // pointer halving: also adopt the label OF the tentative label.
       // Labels only ever decrease toward the component min, so the
       // extra hop is always safe — and it is what turns path-shaped
       // components from O(diameter) rounds into O(log diameter).
       val parents = tentative
         .select(col("id").as("pid"), col("cluster").as("pcluster"))
-      val updatedLocal = tentative
+      val updatedLocal = ccPhase(s"halve$iter")(tentative
         .join(parents, tentative("cluster") === parents("pid"), "left")
         .select(col("id"), col("prev"),
           least(col("cluster"), coalesce(col("pcluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint())
       val updated =
         if (iter % 3 == 2 && sc.getCheckpointDir.isDefined) updatedLocal.checkpoint()
         else updatedLocal
@@ -570,6 +679,10 @@ object Dedup {
       converged = changes == 0
       iter += 1
     }
+    // best-effort: drops the catalog entry; the checkpoint's RDD-level
+    // persist is reclaimed by ContextCleaner once unreachable (and the
+    // bench harness sweeps sc.getPersistentRDDs after every query, so
+    // a long-lived session never accumulates them)
     edges.unpersist()
     labels
   }

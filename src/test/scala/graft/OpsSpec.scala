@@ -254,11 +254,29 @@ class OpsSpec extends AnyFunSuite {
     // terminate UNCONVERGED here — only the pointer-halving update
     // (O(log diameter) rounds) can label the whole chain correctly
     val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(chain)
+    // smallGraphThreshold = 0 forces the DISTRIBUTED loop (the default
+    // gate would route a 100-edge graph to the driver fast path)
+    val labels = Dedup.connectedComponents(chain, smallGraphThreshold = 0)
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
     assert(labels.size === 101)
     assert(labels.values.forall(_ == 0L),
       "every vertex of the chain must reach the min label 0")
+  }
+
+  test("connected components: driver fast path equals the distributed loop") {
+    // random-ish fixed graph with chains, triangles, isolated pairs
+    val pairs = Seq(
+      (5L, 9L), (9L, 2L), (2L, 14L),       // chain, min 2
+      (30L, 31L), (31L, 32L), (30L, 32L),  // triangle, min 30
+      (100L, 7L),                          // pair, min 7
+      (50L, 51L)
+    ).toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, smallGraphThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist, s"fast=$fast dist=$dist")
+    assert(fast(14L) === 2L && fast(32L) === 30L && fast(100L) === 7L)
   }
 
   test("connected components: chains and triangles collapse to min-id clusters") {
