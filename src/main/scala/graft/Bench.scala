@@ -281,6 +281,29 @@ object Bench {
       } else if (sectionOn("packing")) truncated = true
     }
 
+    // exact radix rank/deciles (q88) at x1/x10 replicated docs: the
+    // claim under test is "no corpus-sized window partition" — the
+    // two-level radix counting should grow ~linearly with docs where
+    // the naive per-language window would hit a single-task sort.
+    // Replica perturbation tokens shift scores slightly; only volume
+    // matters here, and repeated scores land in the same radix cell
+    // (the tie path is exercised by construction).
+    val rankPoints = scala.collection.mutable.ListBuffer.empty[String]
+    Seq(1, 10).foreach { x =>
+      if (sectionOn("rank") && elapsed < budgetSec) {
+        val la = loadAvg()
+        val df = if (x == 1) base else replicate(x)
+        val nDocs = df.count()
+        val (rows, t) = timed {
+          val ranked = graft.ops.Ranks.exactGroupRank(df, "lang", "doc_id",
+            graft.ops.TextStats.qualityScore(col("text")))
+          graft.ops.Ranks.withQuantileBucket(ranked, "lang", buckets = 10).count()
+        }
+        cleanup()
+        rankPoints += f"""{"x":$x,"docs":$nDocs,"rows":$rows,"sec":$t%.2f,"load":$la%.1f}"""
+      } else if (sectionOn("rank")) truncated = true
+    }
+
     // incremental vs full dedup: the batch slice stays FIXED while the
     // corpus side grows x1/x10. The corpus index (shingle sets + band
     // rows + texts) is built and materialized FIRST and its cost
@@ -322,6 +345,6 @@ object Bench {
       } else if (sectionOn("inc")) truncated = true
     }
 
-    s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"points":[${points.mkString(",")}],"pagerank":[${prPoints.mkString(",")}],"packing":[${packPoints.mkString(",")}],"incremental_dedup":[${incPoints.mkString(",")}]}"""
+    s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"points":[${points.mkString(",")}],"pagerank":[${prPoints.mkString(",")}],"packing":[${packPoints.mkString(",")}],"rank":[${rankPoints.mkString(",")}],"incremental_dedup":[${incPoints.mkString(",")}]}"""
   }
 }
