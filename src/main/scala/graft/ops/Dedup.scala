@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH, MinHashLSHModel
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Deduplication operators for training-data pipelines, from exact to
   * fuzzy, each with an explicit scale path:
@@ -820,6 +820,70 @@ object Dedup {
       .join(refGrams, "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Span-level decontamination scores: the contiguous-run structure
+    * of each corpus document's token n-grams that also appear in the
+    * reference (benchmark) set — the GPT-3-style "13-gram overlap"
+    * rule at SPAN granularity, where [[contaminationScores]] only
+    * counts distinct shared grams. A run of k consecutive matched
+    * n-grams is a verbatim leaked span of k+n−1 tokens, so
+    * `max_span_tokens` is what a "drop docs leaking ≥50 contiguous
+    * benchmark tokens" policy filters on. Returns one row per
+    * contaminated document:
+    * (id, n_matched_grams, n_runs, max_run_grams, max_span_tokens).
+    *
+    * Scale shape: corpus-side gram rows are (id, pos, hash64) — three
+    * longs regardless of document size; a bloom built from the
+    * reference grams is embedded as a plan literal (same
+    * inject-after-build shape as [[bloomContaminationScores]]) and
+    * prefilters the corpus stream BEFORE the exact equi-join, so join
+    * input tracks true matches + the bloom's false-positive rate, not
+    * corpus size. The islands window partitions by document over
+    * MATCHED positions only — bounded by tokens-per-document, never
+    * corpus-sized. Gram matching compares xxhash64 of the gram text
+    * (the established ~1e-10 collision tradeoff documented at
+    * [[hashedShingles]]). */
+  def spanContaminationScores(corpus: DataFrame, ref: DataFrame,
+      shingleSize: Int = 13, idCol: String = "doc_id",
+      textCol: String = "text", numBits: Int = 1 << 22,
+      numHashes: Int = 5): DataFrame = {
+    require(shingleSize >= 1)
+    // (id, pos, gram-hash) WITH positions and duplicates — unlike
+    // wordNgrams, which dedups (sets are what Jaccard wants; runs are
+    // positional)
+    def posGramHashes(df: DataFrame): DataFrame = df
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= shingleSize)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - shingleSize),
+          i => xxhash64(concat_ws(" ",
+            (0 until shingleSize).map(j =>
+              element_at(col("__toks"), i + j + 1)): _*)))))
+      .select(col(idCol), col("pos"), col("col").as("__g"))
+    val refGrams = posGramHashes(ref).select("__g").distinct()
+      .localCheckpoint(true)
+    val blob = refGrams
+      .agg(BloomFns.bloomAgg(col("__g"), numBits, numHashes))
+      .head.getAs[Array[Byte]](0)
+    val matched = posGramHashes(corpus)
+      .filter(BloomFns.bloomContains(lit(blob), col("__g")))
+      .join(refGrams, "__g")
+      .select(col(idCol), col("pos")).distinct()
+    // gaps-and-islands: consecutive matched positions share
+    // pos − row_number(), so one groupBy per (doc, island) yields run
+    // lengths without any self-join
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    matched
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__run")).cast(LongType).as("n_matched_grams"),
+        count(lit(1)).as("n_runs"),
+        max(col("__run")).as("max_run_grams"))
+      .withColumn("max_span_tokens",
+        col("max_run_grams") + lit(shingleSize - 1L))
   }
 
   /** Drop corpus documents sharing at least `minOverlap` distinct

@@ -224,6 +224,43 @@ class OpsSpec extends AnyFunSuite {
     assert(clusters.length === 1)
   }
 
+  test("spanContaminationScores: planted verbatim spans yield exact run structure") {
+    // benchmark doc: 30 tokens b1..b30. Corpus doc 1 embeds a verbatim
+    // 13-token benchmark span (b1..b13) inside its own filler — exactly
+    // ONE matching 13-gram → run of 1, span 13 tokens. Corpus doc 2
+    // embeds b1..b20 → 8 consecutive matching grams → span 20 tokens.
+    // Corpus doc 3 shares nothing.
+    val bench = (1 to 30).map(i => s"b$i").mkString(" ")
+    val span13 = (1 to 13).map(i => s"b$i").mkString(" ")
+    val span20 = (1 to 20).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 15).map(i => s"f$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$filler $span13 $filler"),
+      (2L, s"$filler $span20"),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, bench)).toDF("doc_id", "text")
+    val got = Dedup.spanContaminationScores(corpus, ref, shingleSize = 13)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_matched_grams"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("max_run_grams"),
+        r.getAs[Long]("max_span_tokens")))
+    assert(got === Array(
+      (1L, 1L, 1L, 1L, 13L),
+      (2L, 8L, 1L, 8L, 20L)),
+      s"got ${got.mkString(";")}")
+    // two disjoint leaked spans in one doc → two islands
+    val twoSpans = Seq(
+      (7L, s"$span13 $filler $span13")).toDF("doc_id", "text")
+    val rows = Dedup.spanContaminationScores(twoSpans, ref, shingleSize = 13)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_runs") === 2L)
+    assert(r.getAs[Long]("max_run_grams") === 1L)
+    assert(r.getAs[Long]("max_span_tokens") === 13L)
+  }
+
   test("deduplicate defaults a reliable checkpoint dir in local mode") {
     val sc = spark.sparkContext
     val prior = sc.getCheckpointDir
