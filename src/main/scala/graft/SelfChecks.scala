@@ -32,7 +32,8 @@ object SelfChecks {
       "q33_ann_lsh" -> guard(annDistances(spark, sfDir, outDir)),
       "q43_lsh_neardup" -> guard(neardupCosines(spark, sfDir, outDir)),
       "q35_sketches" -> guard(sketchesVsExact(spark, sfDir, outDir)),
-      "q54_corpus_sketch" -> guard(corpusSketchVsExact(spark, sfDir, outDir)))
+      "q54_corpus_sketch" -> guard(corpusSketchVsExact(spark, sfDir, outDir)),
+      "q84_incremental_neardup" -> guard(bandBucketsUnderCap(spark, sfDir)))
   }
 
   def toJson(results: Seq[(String, (Boolean, String))]): String = {
@@ -119,21 +120,37 @@ object SelfChecks {
       else errs.mkString("; "))
   }
 
-  /** q43: canonical-order/distinct/threshold invariants PLUS exact
-    * re-derivation of every emitted cosine (bounded: skipped above
-    * 100k pairs — the DuckDB semi-oracle still covers the metric). */
+  /** q43: canonical-order/distinct/threshold invariants (checked
+    * DISTRIBUTED over every pair at any scale) PLUS exact
+    * re-derivation of the emitted cosines — all of them up to 100k
+    * pairs, and above that a deterministic hash-ordered 1000-pair
+    * sample, so the metric check never silently degrades to
+    * structural-only at scale. */
   private def neardupCosines(spark: SparkSession, sfDir: String,
       outDir: String): (Boolean, String) = {
-    val pairCount = out(spark, outDir, "q43_lsh_neardup").count()
-    if (pairCount > 100000L)
-      return (true, s"$pairCount pairs: exact re-derivation skipped (bounded collect), metric covered by semi-oracle")
-    val rows = out(spark, outDir, "q43_lsh_neardup").select("vec_a", "vec_b", "cosine")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val full = out(spark, outDir, "q43_lsh_neardup")
     val errs = ListBuffer.empty[String]
-    if (rows.isEmpty) errs += "no pairs emitted (RP config should find candidates at this sf)"
-    if (rows.exists(r => r._1 >= r._2)) errs += "pair not in canonical vec_a < vec_b order"
-    if (rows.map(r => (r._1, r._2)).distinct.length != rows.length) errs += "duplicate pairs"
-    if (rows.exists(_._3 < 0.395)) errs += "cosine below declared threshold 0.395"
+    // structural invariants as one distributed aggregate — no collect
+    val s = full.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("vec_a") >= col("vec_b"), 1L).otherwise(0L)).as("bad_order"),
+      min(col("cosine")).as("min_cos")).collect().head
+    val pairCount = s.getAs[Long]("n")
+    if (pairCount == 0L) errs += "no pairs emitted (RP config should find candidates at this sf)"
+    if (s.getAs[Long]("bad_order") != 0L) errs += "pair not in canonical vec_a < vec_b order"
+    if (pairCount > 0 && s.getAs[Double]("min_cos") < 0.395) errs += "cosine below declared threshold 0.395"
+    if (full.select("vec_a", "vec_b").distinct().count() != pairCount) errs += "duplicate pairs"
+    // metric re-derivation subset: everything when small; a
+    // deterministic hash-ordered sample when large (the hash order is
+    // a pure function of the pair ids, so the same dump always samples
+    // the same 1000 pairs)
+    val sampled = pairCount > 100000L
+    val subset =
+      if (!sampled) full
+      else full.orderBy(xxhash64(col("vec_a"), col("vec_b")), col("vec_a"), col("vec_b"))
+        .limit(1000)
+    val rows = subset.select("vec_a", "vec_b", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val ids = rows.flatMap(r => Seq(r._1, r._2)).distinct
     val vecs = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id").isin(ids: _*))
@@ -147,9 +164,30 @@ object SelfChecks {
     val maxErr = rows.map { case (a, b, c) => math.abs(c - cosine(vecs(a), vecs(b))) }
       .foldLeft(0.0)(math.max)
     if (maxErr > 1e-9) errs += f"cosine re-derivation off by $maxErr%.3g"
+    val how = if (sampled) s"a deterministic 1000-pair hash-ordered sample of $pairCount"
+      else s"all ${rows.length}"
     (errs.isEmpty,
-      if (errs.isEmpty) f"${rows.length} canonical distinct pairs >= 0.395; every cosine re-derives exactly (max err $maxErr%.3g)"
+      if (errs.isEmpty) f"$pairCount canonical distinct pairs >= 0.395; cosines of $how re-derive exactly (max err $maxErr%.3g)"
       else errs.mkString("; "))
+  }
+
+  /** q84: assert no corpus-side band bucket exceeded the skew guard's
+    * cap during the run. When this holds the routed candidate set is
+    * exactly the un-guarded one, so a q84 oracle divergence is
+    * attributable to banding recall / verify arithmetic — never to a
+    * silent min+max-rep collapse of a flooded bucket (the guard's
+    * documented probabilistic tradeoff, which the exact all-pairs
+    * DuckDB oracle cannot see). */
+  private def bandBucketsUnderCap(spark: SparkSession, sfDir: String): (Boolean, String) = {
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 =!= 0)
+    val maxBucket = graft.ops.Dedup.maxBandBucketSize(corpus,
+      shingleSize = 3, bands = 10, rowsPerBand = 5)
+    val cap = 256L
+    (maxBucket <= cap,
+      if (maxBucket <= cap)
+        s"largest corpus band bucket $maxBucket <= cap $cap: no rep collapse occurred; oracle divergences would be attributable"
+      else
+        s"corpus band bucket of $maxBucket exceeds cap $cap: hot-bucket rep collapse active, q84 oracle comparison no longer recall-exact")
   }
 
   /** q35: bound each sketch estimate against its exact twin —

@@ -417,6 +417,27 @@ object Dedup {
     kept.join(clusterDropped, Seq(idCol), "left_anti")
   }
 
+  /** Diagnostic: the largest (band, key) bucket size the given docs
+    * produce under the banding parameters — the quantity the
+    * hot-bucket skew guard keys on. Exposed so verify-time self-checks
+    * can assert a tested corpus stayed below `maxBandBucket`: when
+    * that holds, the banded candidate set is exactly the un-guarded
+    * one, so an oracle divergence on a pairs query is attributable to
+    * banding recall or verify arithmetic, never to silent rep
+    * collapse. */
+  def maxBandBucketSize(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3,
+      bands: Int = 10, rowsPerBand: Int = 5, seed: Long = 42L): Long = {
+    val p = 2147483647L
+    val coefs = minhashCoefs(bands * rowsPerBand, seed, p)
+    val banded = bandRows(
+      hashedShingles(docs, idCol, textCol, shingleSize, p),
+      idCol, coefs, bands, rowsPerBand, p)
+    banded.groupBy("band", "key").agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+  }
+
   /** Per-document minhash signatures (k longs) — the input to
     * group-level sketching via [[MinHashMerge]]. Same hash family and
     * defaults as [[minhashPairs]]. */

@@ -2,8 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Drives [[SelfChecks]] exactly as Verify does — dump the six
-  * checked queries to parquet, run the checks against the dump — so a
+/** Drives [[SelfChecks]] exactly as Verify does — dump the checked
+  * queries to parquet, run the checks against the dump — so a
   * broken check (schema drift, a crashed re-derivation) fails here in
   * the suite instead of surfacing as a silent `pass:false` in the
   * driver's round artifact. */
@@ -21,7 +21,8 @@ class SelfChecksSpec extends AnyFunSuite {
     }
     val results = SelfChecks.run(spark, dir, out)
     assert(results.map(_._1) === Seq("q30_doc_recommend", "q67_recommend_hashed",
-      "q33_ann_lsh", "q43_lsh_neardup", "q35_sketches", "q54_corpus_sketch"))
+      "q33_ann_lsh", "q43_lsh_neardup", "q35_sketches", "q54_corpus_sketch",
+      "q84_incremental_neardup"))
     results.foreach { case (name, (pass, detail)) =>
       assert(pass, s"$name self-check failed: $detail")
     }
@@ -31,7 +32,7 @@ class SelfChecksSpec extends AnyFunSuite {
     import spark.implicits._
     val parsed = spark.read.json(Seq(json).toDS()).collect()
     assert(parsed.length === 1)
-    assert(parsed.head.schema.fieldNames.length === 6)
+    assert(parsed.head.schema.fieldNames.length === 7)
   }
 
   test("a violated invariant turns into pass=false, not an exception") {

@@ -274,6 +274,13 @@ class StreamingSpec extends AnyFunSuite {
     batchDocs.coalesce(1).write.mode("overwrite").parquet(s"$landing/inc1")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-docs-ckpt")
     val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // the batch-funnel expectation runs FIRST (its own transient index
+    // and funnel caches are not the stream's), so the cache-hygiene
+    // delta below measures only what the two streaming runs leave
+    val batch = graft.ops.Dedup.incrementalDeduplicate(batchDocs, corpus,
+        maxJaccardDist = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
     val stream = graft.streaming.DocsStream.readDocs(spark, landing.toString, docs)
     assert(stream.isStreaming)
     val q = graft.streaming.DocsStream.incrementalDedupStream(
@@ -283,9 +290,6 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.awaitTermination(120000)
       val streamed = admitted.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
-      val batch = graft.ops.Dedup.incrementalDeduplicate(batchDocs, corpus,
-          maxJaccardDist = 0.4)
-        .select("doc_id").collect().map(_.getLong(0)).sorted
       assert(streamed.length > 0 && streamed.sameElements(batch),
         s"stream admitted ${streamed.length} vs batch ${batch.length}")
       // exactly-once across restart: a second AvailableNow run over the
@@ -297,6 +301,13 @@ class StreamingSpec extends AnyFunSuite {
         maxJaccardDist = 0.4)
       try q2.awaitTermination(120000) finally q2.stop()
       assert(admitted.size === streamed.length, "restart reprocessed already-seen files")
+      // cache hygiene: each foreachBatch invocation sweeps the RDDs it
+      // persisted, so only the two runs' corpus indexes (3 cached
+      // frames each) may remain — the funnel's per-batch caches and CC
+      // checkpoints must not survive the invocation
+      val leftover = spark.sparkContext.getPersistentRDDs.size - rddsBefore
+      assert(leftover <= 6,
+        s"$leftover cached RDDs outlived the stream (expected <= 6 index frames)")
     } finally q.stop()
   }
 }
