@@ -348,6 +348,40 @@ object Dedup {
       maxBandBucket)
   }
 
+  /** Persist a corpus dedup index to storage — the production shape
+    * where the index is computed once per corpus refresh and every
+    * increment READS it instead of re-hashing the corpus. Band rows
+    * are written BUCKETED by (band, key) (an external parquet-backed
+    * table, the only write path Spark exposes bucketing through):
+    * an increment's candidate join against them then needs no exchange
+    * on the corpus side — only the batch's own 3-long band rows
+    * shuffle, which is the 100 TB contract stated on
+    * [[CorpusDedupIndex]], here made real rather than argued. */
+  def saveIndex(spark: SparkSession, index: CorpusDedupIndex, dir: String,
+      table: String = "graft_dedup_band_rows", buckets: Int = 32): Unit = {
+    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    index.texts.write.mode("overwrite").parquet(s"$dir/texts")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    index.bandRows.write.mode("overwrite")
+      .bucketBy(buckets, "band", "key").sortBy("band", "key")
+      .option("path", s"$dir/band_rows").format("parquet").saveAsTable(table)
+  }
+
+  /** Load a stored corpus dedup index. Frames are storage-backed, not
+    * cached — the point of the stored index is that increments read
+    * it; the band-row table keeps its bucketing, so the candidate join
+    * plans with no corpus-side exchange. `maxBandBucket` must match
+    * the value the index was BUILT with (it documents the routing
+    * already baked into the stored band rows; it is not re-applied). */
+  def loadIndex(spark: SparkSession, dir: String,
+      table: String = "graft_dedup_band_rows",
+      maxBandBucket: Int = 256): CorpusDedupIndex =
+    CorpusDedupIndex(
+      spark.read.parquet(s"$dir/shingles"),
+      spark.table(table),
+      spark.read.parquet(s"$dir/texts"),
+      maxBandBucket)
+
   /** [[incrementalDeduplicate]] against a prebuilt (stored or cached)
     * corpus index — the amortized production path: per-increment work
     * is batch-sized hashing plus joins against the index. The batch's

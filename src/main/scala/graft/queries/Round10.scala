@@ -123,6 +123,10 @@ object Round10 {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
+  /** Shared with q90 (stored-index variant): the storage round-trip
+    * must be semantically invisible, so both compare to one replay. */
+  private[queries] def q87SqlForStoredIndex: String = q87Sql
+
   private val q87Sql =
     """WITH RECURSIVE batch AS (
       |  SELECT * FROM documents WHERE doc_id % 10 = 0

@@ -261,6 +261,43 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_span_tokens") === 13L)
   }
 
+  test("stored corpus index: parquet round-trip preserves admissions, band scan keeps bucketing") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (5L, "some other corpus text entirely different here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "one two three four five six EIGHT"),  // near-dup of corpus 3
+      (20L, "unrelated totally novel document content words")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    val built = Dedup.indexCorpus(docs)
+    Dedup.saveIndex(spark, built, dir, table = "graft_test_band_rows")
+    val stored = Dedup.loadIndex(spark, dir, table = "graft_test_band_rows")
+    val fresh = Dedup.incrementalDeduplicateIndexed(batch, built, maxJaccardDist = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val viaStore = Dedup.incrementalDeduplicateIndexed(batch, stored, maxJaccardDist = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(viaStore.sameElements(fresh), s"stored ${viaStore.mkString(",")} vs fresh ${fresh.mkString(",")}")
+    assert(viaStore === Array(20L))
+    built.unpersistAll()
+    // the stored band-row table must keep its bucketing: a (band, key)
+    // equi-join against it plans with an exchange ONLY on the probe
+    // side (broadcast disabled so the join can't sidestep the check) —
+    // the corpus scan itself reads its buckets with no shuffle
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Seq((0, 1L, 99L)).toDF("band", "key", "probe_id")
+      val plan = probe.join(spark.table("graft_test_band_rows"), Seq("band", "key"))
+        .queryExecution.executedPlan.toString
+      val nExchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+      assert(nExchanges === 1,
+        s"expected only the probe side to shuffle against the bucketed band table:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+  }
+
   test("deduplicate defaults a reliable checkpoint dir in local mode") {
     val sc = spark.sparkContext
     val prior = sc.getCheckpointDir
