@@ -159,4 +159,38 @@ object TextStats {
         ((total - distinctN).cast(DoubleType) / total.cast(DoubleType)).as("dup_gram_frac"))
   }
 
+  /** Corpus-statistics document scoring — the integer-exact stand-in
+    * for perplexity filtering (the KenLM gate of C4/CCNet-style
+    * pipelines): a document whose token occurrences are all
+    * corpus-frequent reads like the corpus; one dominated by hapax
+    * tokens is gibberish, OCR noise, or another language. Per
+    * document: token count, `familiarity` = Σ corpus-frequency over
+    * token OCCURRENCES, `n_rare` = occurrences whose token appears at
+    * most `rareAtMost` times corpus-wide, and the rarest token's
+    * count. All BIGINT — deterministic at any partitioning, no
+    * float-sum ordering hazards.
+    *
+    * Shape: one groupBy(token) for the frequency table, one
+    * token-keyed equi-join back (every probe row emits exactly one
+    * row — the build side is 1 row/token — so a hot token like "the"
+    * skews partition SIZE only, which AQE's skew-join splitting
+    * handles; there is no row explosion), one groupBy(doc). This is
+    * the two-aggregate shape that survives a vocabulary too large to
+    * broadcast; when the vocabulary DOES fit, Spark's AQE broadcasts
+    * the frequency side at runtime and the join collapses to
+    * map-side. */
+  def unigramFamiliarity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", rareAtMost: Long = 2): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    toks.join(freq, "__tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("__cnt")).as("familiarity"),
+        sum(when(col("__cnt") <= rareAtMost, 1L).otherwise(0L)).as("n_rare"),
+        min(col("__cnt")).as("min_count"))
+  }
+
 }

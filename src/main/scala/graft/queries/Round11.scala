@@ -81,7 +81,95 @@ object Round11 {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q91
+  /** Corpus-statistics document scoring ([[graft.ops.TextStats
+    * .unigramFamiliarity]]): the integer-exact stand-in for the
+    * KenLM-perplexity gate of C4/CCNet-style pipelines — per document,
+    * how corpus-frequent its token occurrences are, plus its
+    * rare-token mass. Two aggregates and one token-keyed join; every
+    * value BIGINT, so the oracle hash-matches at any partitioning. */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.unigramFamiliarity(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val q91Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |  FROM documents
+      |),
+      |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_tok,
+      |  CAST(SUM(cnt) AS BIGINT) AS familiarity,
+      |  CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST(MIN(cnt) AS BIGINT) AS min_count
+      |FROM toks JOIN freq USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** Per-(source, lang) corpus audit: document counts, exact-dup
+    * structure, token volume, and span-contamination rollup (via
+    * [[graft.ops.Dedup.spanContaminationScores]] against the q89
+    * benchmark slice) — the "which feeds are dirty" dashboard a
+    * curation pipeline gates releases on. Exercises the documents
+    * table's `source` column. Integer-only aggregates. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    val spans = Dedup.spanContaminationScores(corpus, ref, shingleSize = 13)
+      .select(col("doc_id"), col("max_span_tokens"))
+    corpus
+      .join(spans, Seq("doc_id"), "left")
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        sum(graft.ops.TextStats.tokenCount(col("text"))).as("total_tokens"),
+        sum(when(col("max_span_tokens").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        coalesce(max(col("max_span_tokens")), lit(0L)).as("worst_leak_tokens"))
+      .orderBy("source", "lang")
+  }
+
+  private val q92Sql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 5 <> 0
+      |),
+      |ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |ct AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM corpus),
+      |rt AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM ref),
+      |cg AS (
+      |  SELECT ct.doc_id, i AS pos, array_to_string(t[i+1:i+13], ' ') AS g
+      |  FROM ct, UNNEST(range(greatest(len(t) - 12, 0))) AS u(i)
+      |),
+      |rg AS (
+      |  SELECT DISTINCT array_to_string(t[i+1:i+13], ' ') AS g
+      |  FROM rt, UNNEST(range(greatest(len(t) - 12, 0))) AS u(i)
+      |),
+      |m AS (SELECT DISTINCT cg.doc_id, cg.pos FROM cg JOIN rg USING (g)),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM m
+      |),
+      |runs AS (SELECT doc_id, grp, COUNT(*) AS run_len FROM r GROUP BY doc_id, grp),
+      |per_doc AS (
+      |  SELECT doc_id, MAX(run_len) + 12 AS max_span FROM runs GROUP BY doc_id
+      |)
+      |SELECT c.source, c.lang,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT c.text) AS n_distinct_texts,
+      |  CAST(SUM(len(regexp_split_to_array(c.text, '\s+'))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(COALESCE(MAX(p.max_span), 0) AS BIGINT) AS worst_leak_tokens
+      |FROM corpus c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+      |GROUP BY c.source, c.lang
+      |ORDER BY c.source, c.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q89_span_decontaminate", q89, Some(q89Sql)),
-    QueryDef("q90_stored_index_dedup", q90, Some(Round10.q87SqlForStoredIndex)))
+    QueryDef("q90_stored_index_dedup", q90, Some(Round10.q87SqlForStoredIndex)),
+    QueryDef("q91_unigram_familiarity", q91, Some(q91Sql)),
+    QueryDef("q92_source_audit", q92, Some(q92Sql)))
 }

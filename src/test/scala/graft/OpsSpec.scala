@@ -298,6 +298,24 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
   }
 
+  test("unigramFamiliarity: hand-computed corpus frequencies") {
+    // corpus: "a" appears 4 times, "b" 2, "c" 1, "d" 1
+    val df = Seq(
+      (1L, "a a b"),   // freqs 4,4,2 → fam 10, rare(≤2): b → 1, min 2
+      (2L, "a b c"),   // freqs 4,2,1 → fam 7, rare: b,c → 2, min 1
+      (3L, "a d")      // freqs 4,1 → fam 5, rare: d → 1, min 1
+    ).toDF("doc_id", "text")
+    val got = TextStats.unigramFamiliarity(df)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("familiarity"), r.getAs[Long]("n_rare"),
+        r.getAs[Long]("min_count")))
+    assert(got === Array(
+      (1L, 3L, 10L, 1L, 2L),
+      (2L, 3L, 7L, 2L, 1L),
+      (3L, 2L, 5L, 1L, 1L)), got.mkString(";"))
+  }
+
   test("deduplicate defaults a reliable checkpoint dir in local mode") {
     val sc = spark.sparkContext
     val prior = sc.getCheckpointDir
