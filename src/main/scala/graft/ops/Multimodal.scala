@@ -89,6 +89,40 @@ object Multimodal {
       }
   }
 
+  final case class AssetHash(asset_id: Long, phash: Long)
+
+  /** Perceptual hash over binary payloads — the image-near-dup bridge
+    * of a multimodal pipeline (real systems: pHash/dHash over decoded
+    * pixels; here the same DIFFERENCE-HASH construction over the stub
+    * byte histogram, so the distributed shape and the dedup semantics
+    * are real while the decode stays a stub). Bit i of the `dim`-bit
+    * signature is 1 iff bin i's count exceeds its cyclic neighbor's —
+    * pure integer comparisons, invariant to payload length
+    * normalization, deterministic at any partitioning. Assets sharing
+    * a signature are dedup candidates (grouping on the hash is the
+    * 64-bit-key analog of the text funnel's fingerprint layer). */
+  def perceptualHash(spark: SparkSession, assets: DataFrame,
+      dim: Int = 16): Dataset[AssetHash] = {
+    require(dim >= 2 && dim <= 64, s"dim must be in [2, 64], got $dim")
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val hist = new Array[Long](dim)
+          var i = 0
+          while (i < payload.length) {
+            hist((payload(i) & 0xff) % dim) += 1; i += 1
+          }
+          var ph = 0L; var b = 0
+          while (b < dim) {
+            if (hist(b) > hist((b + 1) % dim)) ph |= 1L << b
+            b += 1
+          }
+          AssetHash(id, ph)
+        }
+      }
+  }
+
   /** STUB resize: truncate payload to the target byte budget and
     * update metadata — the map shape of a real thumbnailer. */
   def resizeStub(assets: DataFrame, maxBytes: Int): DataFrame =

@@ -167,9 +167,60 @@ object Round11 {
       |GROUP BY c.source, c.lang
       |ORDER BY c.source, c.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Multimodal perceptual-hash dup groups ([[graft.ops.Multimodal
+    * .perceptualHash]]): difference-hash signatures over the binary
+    * payloads, grouped to dedup candidates (signature, multiplicity,
+    * min-id representative) — the image near-dup layer a multimodal
+    * curation pipeline runs where the text funnel runs fingerprints.
+    * Oracle: DuckDB rebuilds the byte histogram from hex nibbles (the
+    * q44 technique — `% 16` IS the low nibble) and replays the
+    * neighbor-comparison bit construction integer-exactly. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val assets = graft.ops.Multimodal.packAsAssets(Tables.documents(s, dir))
+    graft.ops.Multimodal.perceptualHash(s, assets).toDF()
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_assets"), min("asset_id").as("keep_id"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("phash")
+  }
+
+  private val q93Sql =
+    """WITH h AS (
+      |  SELECT doc_id AS asset_id, lower(to_hex(encode(text))) AS hx,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |counts AS (
+      |  SELECT asset_id,
+      |         strpos('0123456789abcdef', substr(hx, CAST(2*i AS INTEGER), 1)) - 1 AS bin,
+      |         COUNT(*) AS c
+      |  FROM (SELECT asset_id, hx, unnest(range(1, n + 1)) AS i FROM h) u
+      |  GROUP BY 1, 2
+      |),
+      |bins AS (
+      |  SELECT h.asset_id, g.bin, COALESCE(c.c, 0) AS c
+      |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS bin) g
+      |  LEFT JOIN counts c ON c.asset_id = h.asset_id AND c.bin = g.bin
+      |),
+      |bits AS (
+      |  SELECT a.asset_id, a.bin, CASE WHEN a.c > b.c THEN 1 ELSE 0 END AS bit
+      |  FROM bins a JOIN bins b
+      |    ON a.asset_id = b.asset_id AND b.bin = (a.bin + 1) % 16
+      |),
+      |ph AS (
+      |  SELECT asset_id,
+      |    CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(bin AS INTEGER))) AS BIGINT) AS phash
+      |  FROM bits GROUP BY asset_id
+      |)
+      |SELECT phash, COUNT(*) AS n_assets, MIN(asset_id) AS keep_id
+      |FROM ph GROUP BY phash HAVING COUNT(*) >= 2
+      |ORDER BY phash""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q89_span_decontaminate", q89, Some(q89Sql)),
     QueryDef("q90_stored_index_dedup", q90, Some(Round10.q87SqlForStoredIndex)),
     QueryDef("q91_unigram_familiarity", q91, Some(q91Sql)),
-    QueryDef("q92_source_audit", q92, Some(q92Sql)))
+    QueryDef("q92_source_audit", q92, Some(q92Sql)),
+    QueryDef("q93_phash_groups", q93, Some(q93Sql)))
 }

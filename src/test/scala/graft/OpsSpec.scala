@@ -316,6 +316,22 @@ class OpsSpec extends AnyFunSuite {
       (3L, 2L, 5L, 1L, 1L)), got.mkString(";"))
   }
 
+  test("perceptualHash: hand-computed difference hash; identical payloads collide") {
+    // payload "aab": bytes 97,97,98 → bins 1 (×2), 2 (×1); dim 4 →
+    // hist [0,2,1,0]; bits: b0: 0>2 no, b1: 2>1 yes, b2: 1>0 yes,
+    // b3: 0>0 no → phash 0b0110 = 6
+    val assets = Seq(
+      (1L, "aab".getBytes("UTF-8")),
+      (2L, "aab".getBytes("UTF-8")),   // identical → same hash
+      (3L, "zzzz".getBytes("UTF-8")))  // different histogram
+      .toDF("asset_id", "payload")
+    val got = graft.ops.Multimodal.perceptualHash(spark, assets, dim = 4)
+      .collect().map(h => h.asset_id -> h.phash).toMap
+    assert(got(1L) === 6L, s"got ${got(1L)}")
+    assert(got(1L) === got(2L))
+    assert(got(1L) !== got(3L))
+  }
+
   test("deduplicate defaults a reliable checkpoint dir in local mode") {
     val sc = spark.sparkContext
     val prior = sc.getCheckpointDir
