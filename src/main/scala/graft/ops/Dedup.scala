@@ -348,6 +348,36 @@ object Dedup {
       maxBandBucket)
   }
 
+  /** Extend a corpus index with newly ADMITTED documents WITHOUT
+    * re-indexing the corpus — the post-admission step that closes the
+    * increment loop: admit batch N against the index, append the
+    * admitted docs, admit batch N+1, … Each append costs hashing the
+    * admitted docs only. The appended band rows are NOT re-routed: a
+    * bucket that turns hot purely through appends stays clique-shaped
+    * until the next full re-index (the compaction every production
+    * index runs anyway) — that affects only the fan-out guard, never
+    * which pairs are semantically near-dups, so admissions equal those
+    * against a freshly built index of corpus+admitted as long as no
+    * appended bucket crosses `maxBandBucket` (assert with
+    * [[maxBandBucketSize]] when in doubt). Callers should materialize
+    * `admitted` (cache/checkpoint/storage) first — a lazy admitted
+    * frame would re-run its whole funnel on every index use. */
+  def appendToIndex(index: CorpusDedupIndex, admitted: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, bands: Int = 10, rowsPerBand: Int = 5,
+      seed: Long = 42L): CorpusDedupIndex = {
+    val p = 2147483647L
+    val coefs = minhashCoefs(bands * rowsPerBand, seed, p)
+    val shA = hashedShingles(admitted, idCol, textCol, shingleSize, p)
+    CorpusDedupIndex(
+      index.shingles.unionByName(shA),
+      index.bandRows.unionByName(
+        bandRows(shA, idCol, coefs, bands, rowsPerBand, p)
+          .select(col(idCol).as("corpus_id"), col("band"), col("key"))),
+      index.texts.unionByName(admitted.select(col(textCol)).distinct()),
+      index.maxBandBucket)
+  }
+
   /** Persist a corpus dedup index to storage — the production shape
     * where the index is computed once per corpus refresh and every
     * increment READS it instead of re-hashing the corpus. Band rows

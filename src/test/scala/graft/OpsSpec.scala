@@ -298,6 +298,35 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
   }
 
+  test("appendToIndex: chained increments equal re-indexing the grown corpus") {
+    val corpus0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "brand new content about distributed engines today"),
+      (12L, "one two three four five six EIGHT"))       // near-dup of corpus 3
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "brand new content about distributed engines TONIGHT"), // near-dup of ADMITTED 10
+      (22L, "and a completely fresh topic nobody wrote before"))
+      .toDF("doc_id", "text")
+    val idx0 = Dedup.indexCorpus(corpus0)
+    val adm1 = Dedup.incrementalDeduplicateIndexed(batch1, idx0, maxJaccardDist = 0.5)
+      .localCheckpoint(true)
+    assert(adm1.select("doc_id").collect().map(_.getLong(0)).sorted === Array(10L))
+    val idx1 = Dedup.appendToIndex(idx0, adm1)
+    val adm2 = Dedup.incrementalDeduplicateIndexed(batch2, idx1, maxJaccardDist = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 20 must be rejected against the GROWN index (its only near-dup
+    // is an appended doc, invisible to idx0) — equal to re-indexing
+    val viaReindex = Dedup.incrementalDeduplicate(batch2,
+        corpus0.unionByName(adm1.select("doc_id", "text")), maxJaccardDist = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(adm2 === Array(22L), s"got ${adm2.mkString(",")}")
+    assert(adm2 === viaReindex)
+    idx0.unpersistAll()
+  }
+
   test("unigramFamiliarity: hand-computed corpus frequencies") {
     // corpus: "a" appears 4 times, "b" 2, "c" 1, "d" 1
     val df = Seq(

@@ -310,4 +310,42 @@ class StreamingSpec extends AnyFunSuite {
         s"$leftover cached RDDs outlived the stream (expected <= 6 index frames)")
     } finally q.stop()
   }
+
+  test("growing-index stream dedups later micro-batches against earlier admissions") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    // two files → two micro-batches (maxFilesPerTrigger = 1). File 2's
+    // doc 20 is a near-dup of file 1's ADMITTED doc 10 — with a static
+    // index it would be admitted twice; the grown index must reject it.
+    val inc1 = Seq(
+      (10L, "brand new content about distributed engines today"),
+      (12L, "one two three four five six EIGHT"))          // near-dup of corpus 3
+      .toDF("doc_id", "text")
+    val inc2 = Seq(
+      (20L, "brand new content about distributed engines TONIGHT"), // near-dup of admitted 10
+      (22L, "and a completely fresh topic nobody wrote before"))
+      .toDF("doc_id", "text")
+    val landing = java.nio.file.Files.createTempDirectory("graft-grow-landing")
+    inc1.coalesce(1).write.mode("overwrite").parquet(s"$landing/inc1")
+    Thread.sleep(1100) // distinct modification times → deterministic batch order
+    inc2.coalesce(1).write.mode("overwrite").parquet(s"$landing/inc2")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-grow-ckpt")
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val idx = graft.ops.Dedup.indexCorpus(corpus)
+    val q = graft.streaming.DocsStream.incrementalDedupStream(
+      graft.streaming.DocsStream.readDocs(spark, landing.toString, corpus,
+        maxFilesPerTrigger = Some(1)),
+      idx, ckpt.toString,
+      sink = df => df.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0))),
+      shingleSize = 3, maxJaccardDist = 0.5, growIndex = true)
+    try {
+      q.awaitTermination(120000)
+      val got = admitted.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      assert(got === Array(10L, 22L),
+        s"expected 10 (batch 1) and 22 (batch 2; 12 near-dups corpus, 20 near-dups admitted 10), got ${got.mkString(",")}")
+    } finally { q.stop(); idx.unpersistAll() }
+  }
 }
