@@ -39,6 +39,49 @@ object Chunking {
           .as("n_chunk_tokens")) ++ carry: _*)
   }
 
+  /** CCNet-style boilerplate removal at chunk granularity: split every
+    * document into aligned `chunkTokens`-token chunks, count each
+    * distinct chunk text's document frequency across the corpus, drop
+    * chunks appearing in more than `maxDocFreq` documents, and
+    * reassemble the surviving chunks in order. This is the
+    * within-document cousin of exact dedup — repeated headers,
+    * licenses, and navigation boilerplate shared by many pages get cut
+    * while the unique prose stays. Emits one row per document:
+    * (id, n_chunks, n_removed, clean_text) — clean_text is '' when
+    * everything was boilerplate.
+    *
+    * Scale shape: chunking is the same map-only generator as
+    * [[chunkByTokens]]; document frequency is one hash-partitioned
+    * groupBy with map-side combine; the boilerplate set (df >
+    * threshold) is orders of magnitude smaller than the corpus, so
+    * AQE turns the anti-join into a broadcast probe; reassembly
+    * aggregates per document — collect_list is bounded by
+    * tokens-per-document, never corpus-sized. */
+  def removeFrequentChunks(docs: DataFrame, chunkTokens: Int = 20,
+      maxDocFreq: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1 && maxDocFreq >= 1)
+    val chunks = chunkByTokens(docs, chunkSize = chunkTokens, overlap = 0,
+        idCol = idCol, textCol = textCol)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"))
+    val boilerplate = chunks.groupBy("chunk_text")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("chunk_text")
+    val kept = chunks.join(boilerplate, Seq("chunk_text"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          e => e("chunk_text"))).as("clean_text"))
+    chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Masking helpers: deterministic regex scrubbing (emails, URLs,
     * digit runs) with per-doc match counts — the shape of PII
     * redaction in a cleaning pipeline. */

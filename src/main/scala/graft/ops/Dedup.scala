@@ -934,24 +934,13 @@ object Dedup {
       textCol: String = "text", numBits: Int = 1 << 22,
       numHashes: Int = 5): DataFrame = {
     require(shingleSize >= 1)
-    // (id, pos, gram-hash) WITH positions and duplicates — unlike
-    // wordNgrams, which dedups (sets are what Jaccard wants; runs are
-    // positional)
-    def posGramHashes(df: DataFrame): DataFrame = df
-      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= shingleSize)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("__toks")) - shingleSize),
-          i => xxhash64(concat_ws(" ",
-            (0 until shingleSize).map(j =>
-              element_at(col("__toks"), i + j + 1)): _*)))))
-      .select(col(idCol), col("pos"), col("col").as("__g"))
-    val refGrams = posGramHashes(ref).select("__g").distinct()
+    val refGrams = posGramHashes(ref, shingleSize, idCol, textCol)
+      .select("__g").distinct()
       .localCheckpoint(true)
     val blob = refGrams
       .agg(BloomFns.bloomAgg(col("__g"), numBits, numHashes))
       .head.getAs[Array[Byte]](0)
-    val matched = posGramHashes(corpus)
+    val matched = posGramHashes(corpus, shingleSize, idCol, textCol)
       .filter(BloomFns.bloomContains(lit(blob), col("__g")))
       .join(refGrams, "__g")
       .select(col(idCol), col("pos")).distinct()
@@ -969,6 +958,78 @@ object Dedup {
         max(col("__run")).as("max_run_grams"))
       .withColumn("max_span_tokens",
         col("max_run_grams") + lit(shingleSize - 1L))
+  }
+
+  /** (id, pos, gram-hash) positional n-grams WITH duplicates — unlike
+    * wordNgrams, which dedups (sets are what Jaccard wants; runs and
+    * coverage are positional). Shared by [[spanContaminationScores]]
+    * and [[duplicatedSpanFraction]]. */
+  private def posGramHashes(df: DataFrame, shingleSize: Int,
+      idCol: String, textCol: String): DataFrame = df
+    .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+    .filter(size(col("__toks")) >= shingleSize)
+    .select(col(idCol), posexplode(
+      transform(sequence(lit(0), size(col("__toks")) - shingleSize),
+        i => xxhash64(concat_ws(" ",
+          (0 until shingleSize).map(j =>
+            element_at(col("__toks"), i + j + 1)): _*)))))
+    .select(col(idCol), col("pos"), col("col").as("__g"))
+
+  /** Corpus-INTERNAL duplicated-text measurement (the Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"
+    * substring metric at n-gram resolution): for every document, the
+    * fraction of its token positions covered by at least one
+    * `shingleSize`-gram that occurs ≥ `minOccurrences` times in the
+    * whole corpus (within-document repeats count — a doc that repeats
+    * its own boilerplate is duplicated text too). Where q16/q31/q55
+    * decide per-DOCUMENT keep/drop, this scores the repeated-substring
+    * structure INSIDE kept documents — the signal a "trim boilerplate
+    * before training" pass thresholds on. Returns one row per document
+    * (docs shorter than one shingle score zero):
+    * (id, n_tokens, dup_tokens, n_dup_spans, dup_fraction).
+    *
+    * Scale shape: gram rows are three longs; the occurrence count is
+    * one hash-partitioned groupBy with map-side combine (never
+    * doc-sized partitions); the membership join back to positions is
+    * gram-keyed. Interval union runs per document over MATCHED
+    * positions only — a prefix-max window bounded by
+    * tokens-per-document. dup_fraction is one IEEE double division
+    * dup_tokens/n_tokens, exactly replayable. */
+  def duplicatedSpanFraction(docs: DataFrame, shingleSize: Int = 13,
+      minOccurrences: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(shingleSize >= 1 && minOccurrences >= 2)
+    val grams = posGramHashes(docs, shingleSize, idCol, textCol)
+    val hot = grams.groupBy("__g")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= minOccurrences)
+      .select("__g")
+    // each matched position covers tokens [pos, pos+n−1]; union the
+    // intervals per doc: an island breaks where pos exceeds the
+    // prefix-max of previous interval ends + 1
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("__end")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = grams.join(hot, "__g")
+      .select(col(idCol), col("pos")).distinct()
+      .withColumn("__end", col("pos") + lit(shingleSize - 1))
+      .withColumn("__newIsland",
+        when(col("pos") > coalesce(prevEnd, lit(Long.MinValue)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__newIsland")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg((max(col("__end")) - min(col("pos")) + 1).as("__covered"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__covered")).cast(LongType).as("dup_tokens"),
+        count(lit(1)).as("n_dup_spans"))
+    docs.select(col(idCol), TextStats.tokenCount(col(textCol)).as("n_tokens"))
+      .join(islands, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_fraction",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
   /** Drop corpus documents sharing at least `minOverlap` distinct

@@ -529,4 +529,62 @@ object Similarity {
       .orderBy("distance", idCol)
       .limit(k)
   }
+
+  /** SemDeDup-style semantic deduplication: partition the corpus into
+    * `nClusters` Voronoi cells around hash-sampled seed points, then
+    * mark as a duplicate every vector whose cosine to a LOWER-id vector
+    * in the SAME cell reaches `minCosine` (greedy lowest-id-survives —
+    * the star convention the MinHash funnel's skew guard uses).
+    * Returns one row per input vector: (idCol, cluster, kept, dup_of)
+    * where dup_of is the smallest qualifying lower id (null ⇔ kept).
+    *
+    * Clustering is the SemDeDup recall tradeoff made explicit:
+    * cross-cell near-dups are never compared, in exchange for the
+    * all-pairs stage being cell-local — candidate volume is
+    * Σ|cell|²/2 instead of n²/2, and the only wide exchange is the
+    * self-join keyed on (cluster). At 100 TB, scale `nClusters` ∝ n
+    * so cells hold ~10³-10⁴ vectors and each join task stays bounded;
+    * assignment itself is a map-only codegen pass (the centroid matrix
+    * is embedded as literals — [[assignLists]]).
+    *
+    * Seeds are the `nClusters` lowest full-32-bit Knuth id-hashes
+    * ([[graft.ops.Splits.hashBucketN]], ties by id) rather than
+    * [[fitCentroids]]'s xxhash64 draw, and Lloyd refinement is skipped:
+    * both choices keep every arithmetic step (seed draw, squared
+    * distances, unit-normalization, cosines — all documented
+    * left-to-right folds) bit-replayable in the DuckDB oracle, which a
+    * decimal-avg Lloyd pass is not (Spark's decimal `avg` rounding has
+    * no DuckDB twin). The Lloyd-refined assignment path is exercised
+    * and oracle-checked by q42's exact-IVF equivalence instead. */
+  def semanticDeduplicate(embeddings: DataFrame, nClusters: Int = 16,
+      minCosine: Double = 0.4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val asDouble = embeddings
+      .select(col(idCol), col(vecCol),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("__v"),
+        Splits.hashBucketN(col(idCol), 1L << 32).as("__h"))
+    val cents: IndexedSeq[Seq[Double]] = asDouble
+      .orderBy(col("__h"), col(idCol)).limit(nClusters)
+      .select("__v").collect().map(_.getSeq[Double](0)).toIndexedSeq
+    // norm as an attribute first (see rpNearDupPairs): unitᵢ = xᵢ/√Σxᵢ²
+    // with the fold order the q43 oracle already replays bit-exactly
+    val assigned = assignLists(asDouble, "__v", cents)
+      .select(col(idCol), col("list").as("cluster"),
+        l2Norm(col(vecCol)).as("__nrm"), col(vecCol))
+      .select(col(idCol), col("cluster"),
+        transform(col(vecCol), x => x.cast(DoubleType) / col("__nrm")).as("__u"))
+    val a = assigned.select(col("cluster"), col(idCol).as("__ida"),
+      col("__u").as("__ua"))
+    val b = assigned.select(col("cluster"), col(idCol).as("__idb"),
+      col("__u").as("__ub"))
+    val dupOf = a.join(b,
+        a("cluster") === b("cluster") && col("__ida") < col("__idb"))
+      .filter(dot(col("__ua"), col("__ub")) >= minCosine)
+      .groupBy(col("__idb").as(idCol))
+      .agg(min(col("__ida")).as("dup_of"))
+    assigned.select(col(idCol), col("cluster"))
+      .join(dupOf, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
 }

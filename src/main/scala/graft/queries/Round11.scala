@@ -217,10 +217,176 @@ object Round11 {
       |FROM ph GROUP BY phash HAVING COUNT(*) >= 2
       |ORDER BY phash""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** SemDeDup-style semantic deduplication ([[graft.ops.Similarity
+    * .semanticDeduplicate]]): Voronoi-cell clustering around
+    * Knuth-hash-sampled seeds, then greedy lowest-id-survives over
+    * within-cell cosine ≥ 0.395 pairs (the q43 demo threshold — the
+    * corpus has no true dups, so the loose cut exercises the path).
+    * Unlike q22/q43's pair emission, this is the full curation
+    * decision: every vector gets a (cluster, kept, dup_of) verdict.
+    * Oracle: DuckDB replays the ENTIRE decision bit-for-bit — the
+    * HUGEINT Knuth seed draw (q85's technique), the left-to-right
+    * squared-distance argmin with (d, cluster) tie order, and the
+    * unit-normalize + dot cosine (q43's verified fragment) — so
+    * cluster assignment AND the dup verdicts are hash-compared, not
+    * just sampled. */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.semanticDeduplicate(
+        Tables.embeddings(s, dir), nClusters = 16, minCosine = 0.395)
+      .orderBy("vec_id")
+
+  private val q94Sql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |         ((CAST(vec_id AS HUGEINT) % 4294967296) * 2654435761)
+      |           % 4294967296 AS hv
+      |  FROM embeddings
+      |),
+      |seeds AS (
+      |  SELECT v AS c, ROW_NUMBER() OVER (ORDER BY hv, vec_id) - 1 AS cl
+      |  FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY hv, vec_id) <= 16
+      |),
+      |d AS (
+      |  SELECT v.vec_id, s.cl,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(len(v.v)), i ->
+      |        (v.v[CAST(i+1 AS INTEGER)] - s.c[CAST(i+1 AS INTEGER)]) *
+      |        (v.v[CAST(i+1 AS INTEGER)] - s.c[CAST(i+1 AS INTEGER)]))),
+      |      (acc, e) -> acc + e) AS dist
+      |  FROM v CROSS JOIN seeds s
+      |),
+      |assign AS (
+      |  SELECT vec_id, cl AS cluster
+      |  FROM d QUALIFY ROW_NUMBER() OVER (
+      |    PARTITION BY vec_id ORDER BY dist, cl) = 1
+      |),
+      |u AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+      |        (acc, e) -> acc + e))) AS unit
+      |  FROM embeddings
+      |),
+      |dup AS (
+      |  SELECT bb.vec_id, MIN(aa.vec_id) AS dup_of
+      |  FROM assign aa JOIN assign bb
+      |    ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+      |  JOIN u ua ON ua.vec_id = aa.vec_id
+      |  JOIN u ub ON ub.vec_id = bb.vec_id
+      |  WHERE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(len(ua.unit)), i ->
+      |        ua.unit[CAST(i+1 AS INTEGER)] * ub.unit[CAST(i+1 AS INTEGER)])),
+      |      (acc, e) -> acc + e) >= 0.395
+      |  GROUP BY bb.vec_id
+      |)
+      |SELECT a.vec_id, a.cluster, dup.dup_of IS NULL AS kept, dup.dup_of
+      |FROM assign a LEFT JOIN dup ON a.vec_id = dup.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q95
+  /** Corpus-internal duplicated-text fraction ([[graft.ops.Dedup
+    * .duplicatedSpanFraction]]): per document, the fraction of token
+    * positions covered by a 13-gram occurring ≥2 times corpus-wide —
+    * the Lee et al. repeated-substring metric that scores boilerplate
+    * INSIDE kept documents, where q16/q31/q55 only decide whole-doc
+    * keep/drop and q89 needs an external benchmark set. Oracle: DuckDB
+    * rebuilds positional grams (raw gram text vs the engine's xxhash64
+    * — the documented collision tradeoff, same stance as q89) and
+    * replays the interval-union island construction and the one double
+    * division exactly. */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpanFraction(Tables.documents(s, dir),
+        shingleSize = 13, minOccurrences = 2)
+      .orderBy("doc_id")
+
+  private val q95Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      |gr AS (
+      |  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+13], ' ') AS g
+      |  FROM t, UNNEST(range(greatest(len(t) - 12, 0))) AS u(i)
+      |),
+      |hot AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= 2),
+      |m AS (SELECT DISTINCT doc_id, pos FROM gr JOIN hot USING (g)),
+      |isl AS (
+      |  SELECT doc_id, pos, pos + 12 AS e,
+      |    CASE WHEN pos > COALESCE(MAX(pos + 12) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -9223372036854775807) + 1
+      |    THEN 1 ELSE 0 END AS ni
+      |  FROM m
+      |),
+      |isl2 AS (
+      |  SELECT doc_id, pos, e, SUM(ni) OVER (
+      |    PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl
+      |),
+      |cov AS (
+      |  SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS covered
+      |  FROM isl2 GROUP BY doc_id, island
+      |),
+      |per AS (
+      |  SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+      |    COUNT(*) AS n_dup_spans
+      |  FROM cov GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tokens,
+      |  COALESCE(p.dup_tokens, 0) AS dup_tokens,
+      |  COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+      |  CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) /
+      |    CAST(len(regexp_split_to_array(d.text, '\s+')) AS DOUBLE) AS dup_fraction
+      |FROM documents d LEFT JOIN per p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** CCNet-style frequent-chunk boilerplate removal ([[graft.ops
+    * .Chunking.removeFrequentChunks]]): aligned 20-token chunks, drop
+    * any chunk text appearing in more than 2 distinct documents,
+    * reassemble the survivors — the within-document cleaning pass that
+    * cuts shared headers/licenses while whole-doc dedup (q16) keeps or
+    * drops entire documents. Oracle: DuckDB rebuilds the aligned
+    * chunking ((len+19)//20 chunks, inclusive-slice join), the
+    * distinct-doc frequency, and the ordered string_agg reassembly. */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.removeFrequentChunks(Tables.documents(s, dir),
+        chunkTokens = 20, maxDocFreq = 2)
+      .orderBy("doc_id")
+
+  private val q96Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      |c AS (
+      |  SELECT doc_id, i AS cidx,
+      |    array_to_string(t[CAST(i*20+1 AS INTEGER):CAST(i*20+20 AS INTEGER)], ' ') AS chunk
+      |  FROM t, UNNEST(range(greatest((len(t)+19)//20, 1))) AS u(i)
+      |),
+      |fdf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM c GROUP BY chunk),
+      |kept AS (
+      |  SELECT c.doc_id, c.cidx, c.chunk
+      |  FROM c JOIN fdf USING (chunk) WHERE fdf.df <= 2
+      |),
+      |re AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(chunk, ' ' ORDER BY cidx) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id)
+      |SELECT tot.doc_id, tot.n_chunks,
+      |  tot.n_chunks - COALESCE(re.n_kept, 0) AS n_removed,
+      |  COALESCE(re.clean_text, '') AS clean_text
+      |FROM tot LEFT JOIN re USING (doc_id)
+      |ORDER BY tot.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q89_span_decontaminate", q89, Some(q89Sql)),
     QueryDef("q90_stored_index_dedup", q90, Some(Round10.q87SqlForStoredIndex)),
     QueryDef("q91_unigram_familiarity", q91, Some(q91Sql)),
     QueryDef("q92_source_audit", q92, Some(q92Sql)),
-    QueryDef("q93_phash_groups", q93, Some(q93Sql)))
+    QueryDef("q93_phash_groups", q93, Some(q93Sql)),
+    QueryDef("q94_semantic_dedup", q94, Some(q94Sql)),
+    QueryDef("q95_dup_span_fraction", q95, Some(q95Sql)),
+    QueryDef("q96_boilerplate_chunks", q96, Some(q96Sql)))
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Dedup, Multimodal, Similarity, SimHash, TextStats}
+import graft.ops.{Chunking, Dedup, Multimodal, Similarity, SimHash, TextStats}
 
 class OpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -1037,6 +1037,94 @@ class OpsSpec extends AnyFunSuite {
     assert(got.isNullAt(1), "null element must null the squared distance")
     assert(got.getDouble(2) === 11.0)
     assert(got.isNullAt(3), "the HOF form we claim bit-compat with also nulls")
+  }
+
+  test("duplicatedSpanFraction: planted repeats yield exact coverage, spans merge when adjacent") {
+    val g = (1 to 13).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      // the 13-gram sits at pos 2 of 16 tokens → covered [2,14] = 13
+      (0L, s"x1 x2 $g y1"),
+      // same gram at pos 0 of 15 tokens → covered [0,12] = 13
+      (1L, s"$g z1 z2"),
+      (2L, "too short to shingle"),
+      // gram twice back-to-back: islands [0,12] and [13,25] are
+      // adjacent → ONE merged span covering all 26 tokens
+      (3L, s"$g $g"),
+      // gram twice with a separator: [0,12] and [14,26] → two spans
+      (4L, s"$g sep $g")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanFraction(docs, shingleSize = 13, minOccurrences = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("n_dup_spans"), r.getAs[Double]("dup_fraction")))).toMap
+    assert(got(0L) === ((16L, 13L, 1L, 13.0 / 16.0)))
+    assert(got(1L) === ((15L, 13L, 1L, 13.0 / 15.0)))
+    assert(got(2L) === ((4L, 0L, 0L, 0.0)))
+    assert(got(3L) === ((26L, 26L, 1L, 1.0)))
+    assert(got(4L) === ((27L, 26L, 2L, 26.0 / 27.0)))
+  }
+
+  test("removeFrequentChunks: boilerplate chunks cut, unique prose reassembled in order") {
+    // 4-token chunks for a compact fixture; "hh1..hh4" is the header
+    // chunk shared by three docs (df=3 > maxDocFreq=2 → boilerplate),
+    // each doc's tail chunks are unique
+    val header = "hh1 hh2 hh3 hh4"
+    val docs = Seq(
+      (0L, s"$header a1 a2 a3 a4 a5"),          // header + 2 unique chunks
+      (1L, s"$header b1 b2 b3 b4"),             // header + 1 unique chunk
+      (2L, s"$header c1 c2"),                   // header + short tail
+      (3L, "d1 d2 d3 d4 d5 d6")                 // untouched
+    ).toDF("doc_id", "text")
+    val got = Chunking.removeFrequentChunks(docs, chunkTokens = 4, maxDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(0L) === ((3L, 1L, "a1 a2 a3 a4 a5")))
+    assert(got(1L) === ((2L, 1L, "b1 b2 b3 b4")))
+    assert(got(2L) === ((2L, 1L, "c1 c2")))
+    assert(got(3L) === ((2L, 0L, "d1 d2 d3 d4 d5 d6")))
+    // everything-boilerplate doc → empty clean_text, all chunks removed
+    val all = Seq((0L, header), (1L, header), (2L, header)).toDF("doc_id", "text")
+    val wiped = Chunking.removeFrequentChunks(all, chunkTokens = 4, maxDocFreq = 2)
+      .collect().map(r => (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
+    assert(wiped.forall(_ == ((1L, ""))))
+  }
+
+  test("semanticDeduplicate: verdicts equal brute-force within-cluster recomputation") {
+    // two tight bundles far apart plus a loner; ids chosen arbitrarily —
+    // the property check below re-derives every verdict from scratch,
+    // so it holds whatever cells the Knuth seed draw produces
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.14f, 0.0f, 0.0f)),   // near-dup of 0
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),     // exact dup of 0
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.14f, 0.99f, 0.0f)),   // near-dup of 3
+      (5L, Seq(0.0f, 0.5f, 0.0f, 0.87f))     // loner
+    ).toDF("vec_id", "embedding")
+    val tau = 0.95
+    val out = Similarity.semanticDeduplicate(emb, nClusters = 2, minCosine = tau)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cluster"), r.getAs[Boolean]("kept"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    assert(out.size === 6, "one verdict row per input vector")
+    val raw = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def n(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x / n(a) * (y / n(b)) }.sum
+    }
+    out.foreach { case (id, (cl, kept, dupOf)) =>
+      val lowerSameCell = out.collect {
+        case (o, (c, _, _)) if c == cl && o < id && cos(raw(o), raw(id)) >= tau - 1e-9 => o
+      }
+      val expected = if (lowerSameCell.isEmpty) None else Some(lowerSameCell.min)
+      assert(dupOf === expected, s"vec $id: dup_of $dupOf vs brute $expected")
+      assert(kept === expected.isEmpty, s"vec $id: kept flag inconsistent")
+    }
+    // the two exact dups of vector 0 must collapse whatever the cells
+    // did (identical vectors always share a cell)
+    assert(out(2L)._3 === Some(0L))
   }
 
 }
