@@ -975,6 +975,60 @@ object Dedup {
             element_at(col("__toks"), i + j + 1)): _*)))))
     .select(col(idCol), col("pos"), col("col").as("__g"))
 
+  /** Span-level contamination EXCISION: where [[spanContaminationScores]]
+    * scores the leaked spans and [[decontaminate]] drops whole
+    * documents, this removes exactly the leaked tokens and keeps the
+    * rest — the surgical middle ground a curation pipeline wants when
+    * a 50-token benchmark quote sits inside an otherwise-valuable
+    * document. Every token position covered by any matched
+    * `shingleSize`-gram is excised; the survivors are reassembled in
+    * order. Returns one row per corpus document:
+    * (id, n_tokens, removed_tokens, clean_text) — clean_text rebuilt
+    * with single spaces (the established `\s+` normalization).
+    *
+    * Scale shape: matching is [[spanContaminationScores]]'s bloom
+    * prefilter + exact gram join (corpus-side rows are three longs,
+    * join input tracks true matches + bloom FP rate); coverage
+    * expansion is ≤ shingleSize rows per matched gram, bounded by
+    * tokens-per-document after the distinct; excision is one
+    * (id, pos)-keyed anti-join over posexploded tokens — linear in
+    * corpus tokens, hash-partitioned, with reassembly per document
+    * (collect_list bounded by document size). */
+  def exciseContaminatedSpans(corpus: DataFrame, ref: DataFrame,
+      shingleSize: Int = 13, idCol: String = "doc_id",
+      textCol: String = "text", numBits: Int = 1 << 22,
+      numHashes: Int = 5): DataFrame = {
+    require(shingleSize >= 1)
+    val refGrams = posGramHashes(ref, shingleSize, idCol, textCol)
+      .select("__g").distinct()
+      .localCheckpoint(true)
+    val blob = refGrams
+      .agg(BloomFns.bloomAgg(col("__g"), numBits, numHashes))
+      .head.getAs[Array[Byte]](0)
+    val covered = posGramHashes(corpus, shingleSize, idCol, textCol)
+      .filter(BloomFns.bloomContains(lit(blob), col("__g")))
+      .join(refGrams, "__g")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(shingleSize - 1)))
+          .as("__tpos"))
+      .distinct()
+    val toks = corpus
+      .select(col(idCol), posexplode(TextStats.tokens(col(textCol)))
+        .as(Seq("__tpos", "__tok")))
+    val kept = toks.join(covered, Seq(idCol, "__tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
+        e => e("__tok"))).as("clean_text"),
+        count(lit(1)).as("__n_kept"))
+    corpus.select(col(idCol), TextStats.tokenCount(col(textCol)).as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Corpus-INTERNAL duplicated-text measurement (the Lee et al.
     * "Deduplicating Training Data Makes Language Models Better"
     * substring metric at n-gram resolution): for every document, the

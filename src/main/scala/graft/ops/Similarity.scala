@@ -530,6 +530,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist a fitted IVF index as a stored artifact: the assigned
+    * vectors land under `dir/lists` PARTITIONED BY ivf_list — one
+    * directory per inverted list — and the model (centroids + triangle
+    * radii) under `dir/model` as one tiny parquet. This is the ANN
+    * twin of the dedup side's `saveIndex`/`loadIndex` (q90): fit once,
+    * store, and every later query session probes the stored index
+    * without re-clustering the corpus.
+    *
+    * The layout IS the scale story: [[exactIvfKnn]]'s probe filter
+    * `ivf_list IN (…)` becomes a partition-pruning predicate on the
+    * reloaded frame, so a 4-probe query against a 1000-list corpus
+    * reads 4 directories — the scan is bounded by the lists probed,
+    * not corpus size (plan-asserted in the spec). */
+  def saveIvf(indexed: DataFrame, model: IvfModel, dir: String): Unit = {
+    val spark = indexed.sparkSession
+    indexed.write.mode("overwrite").partitionBy("ivf_list")
+      .parquet(s"$dir/lists")
+    val rows = model.centroids.zipWithIndex.map { case (c, i) =>
+      (i, c, model.radii.get(i))
+    }
+    spark.createDataFrame(rows).toDF("list", "centroid", "radius")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** Reload an index written by [[saveIvf]]. The returned frame reads
+    * the partitioned list directories lazily — callers probing it
+    * repeatedly may cache() it, but a single pruned probe should NOT
+    * (caching materializes every list and defeats the pruning). */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, IvfModel) = {
+    val m = spark.read.parquet(s"$dir/model")
+      .select("list", "centroid", "radius").collect()
+      .map { r =>
+        (r.getInt(0), r.getSeq[Double](1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      }.sortBy(_._1)
+    val cents = m.map(_._2.toSeq).toIndexedSeq
+    val radii = m.collect { case (i, _, Some(rad)) => i -> rad }.toMap
+    (spark.read.parquet(s"$dir/lists"), IvfModel(cents, radii))
+  }
+
   /** SemDeDup-style semantic deduplication: partition the corpus into
     * `nClusters` Voronoi cells around hash-sampled seed points, then
     * mark as a duplicate every vector whose cosine to a LOWER-id vector

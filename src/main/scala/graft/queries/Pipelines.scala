@@ -262,7 +262,9 @@ object Pipelines {
   // same oracle shape as q21 (ranks + ids; float32 rationale there):
   // exactIvfKnn == bruteForceKnn structurally, so the brute-force SQL
   // is the ground truth for the IVF path too
-  private val q42Sql =
+  // shared with Round11's q97 (stored-index round trip runs the same
+  // exact-IVF probe, so the brute-force ground truth is identical)
+  private[queries] val q42Sql =
     """SELECT rk, vec_id FROM (
       |  SELECT vec_id, ROW_NUMBER() OVER (
       |    ORDER BY list_cosine_similarity(embedding,

@@ -1090,6 +1090,59 @@ class OpsSpec extends AnyFunSuite {
     assert(wiped.forall(_ == ((1L, ""))))
   }
 
+  test("exciseContaminatedSpans: leaked tokens cut exactly, clean docs untouched") {
+    val leak = (1 to 13).map(i => s"b$i").mkString(" ")
+    val ref = Seq((100L, s"$leak b14")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // leak in the middle: prefix and suffix survive. The ref doc has
+      // 14 tokens → TWO overlapping 13-grams, and this doc contains
+      // both → 14 covered positions [2,15]
+      (0L, s"p1 p2 $leak b14 s1 s2"),
+      // leak at the start, only the 13-gram itself
+      (1L, s"$leak t1 t2"),
+      (2L, "totally clean document with none of those words at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseContaminatedSpans(corpus, ref, shingleSize = 13)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("removed_tokens"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(0L) === ((18L, 14L, "p1 p2 s1 s2")))
+    assert(got(1L) === ((15L, 13L, "t1 t2")))
+    assert(got(2L) === ((10L, 0L,
+      "totally clean document with none of those words at all")))
+  }
+
+  test("saveIvf/loadIvf: stored index round-trips the model and knn exactly, probes prune partitions") {
+    // four well-separated direction bundles so the fit spreads lists
+    val emb = (0 until 40).map { i =>
+      val axis = i % 4
+      val base = Array(0.01f, 0.01f, 0.01f, 0.01f)
+      base(axis) = 1.0f + (i / 4) * 0.01f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val (indexed, model) = Similarity.fitIvf(emb, nLists = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.saveIvf(indexed, model, dir)
+    val (stored, storedModel) = Similarity.loadIvf(spark, dir)
+    assert(storedModel.centroids === model.centroids)
+    assert(storedModel.radii === model.radii)
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    def ranks(df: org.apache.spark.sql.DataFrame, m: Similarity.IvfModel) =
+      Similarity.exactIvfKnn(df, m, q, k = 5, nProbe0 = 2)
+        .select("rank", "vec_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(ranks(stored, storedModel) === ranks(indexed, model),
+      "the storage hop must be semantically invisible")
+    // the probe filter must reach the scan as a PARTITION filter on
+    // the list directories — reading a stored 1000-list corpus with 4
+    // probes must touch 4 directories, not the corpus
+    val plan = stored.filter(col("ivf_list").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      plan.replaceAll("#\\d+", "").contains("ivf_list IN (0,1)"),
+      s"probe filter did not become a partition filter:\n$plan")
+  }
+
   test("semanticDeduplicate: verdicts equal brute-force within-cluster recomputation") {
     // two tight bundles far apart plus a loner; ids chosen arbitrarily —
     // the property check below re-derives every verdict from scratch,
