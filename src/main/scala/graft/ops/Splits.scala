@@ -80,6 +80,49 @@ object Splits {
     df.filter(keep)
   }
 
+  /** Temperature-weighted mixture resampling: the multinomial
+    * source-reweighting LLM training blends use (sample source s with
+    * probability ∝ n_s^α, α < 1 flattening the natural distribution so
+    * small sources punch above their raw share). Given a document
+    * budget, each source's keep-fraction becomes
+    * min(1, budget·w_s / Σw / n_s) with w_s = n_s^α, and membership is
+    * the same pure-function-of-the-id hash-cell rule as
+    * [[mixtureSample]] — stable across clusters, reruns and appends.
+    * Unlike [[mixtureSample]], the weights are COMPUTED from corpus
+    * statistics, not hand-specced.
+    *
+    * Determinism contract (what makes this oracle-replayable): source
+    * weights fold left-to-right in SOURCE-NAME order driver-side
+    * (sources are few — the collect is bounded like a centroid fit);
+    * α = 0.5 uses `sqrt` (correctly rounded IEEE, so any engine
+    * reproduces it bit-for-bit — `pow`'s rounding is libm-dependent,
+    * documented caveat for other α); the per-source threshold is
+    * floor(frac·2³²) compared against the full-32-bit Knuth id hash.
+    * Scale shape: one tiny groupBy for counts, a broadcast
+    * (source → threshold) join, then a map-only filter. */
+  def temperatureMixtureSample(df: DataFrame, budgetDocs: Long,
+      alpha: Double = 0.5, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budgetDocs >= 0 && alpha > 0.0 && alpha <= 1.0)
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }
+    val thresholds = counts.map { case (s, n) =>
+      val frac = math.min(1.0, ((budgetDocs.toDouble * w(n)) / sumW) / n.toDouble)
+      (s, math.floor(frac * 4294967296.0).toLong)
+    }
+    val thDf = spark.createDataFrame(thresholds.toIndexedSeq)
+      .toDF(sourceCol, "__th")
+    df.join(org.apache.spark.sql.functions.broadcast(thDf), sourceCol)
+      .filter(hashBucketN(col(idCol), 1L << 32) < col("__th"))
+      .drop("__th")
+  }
+
   /** Token-budget sampling: admit each group's documents in
     * deterministic hash order (hv asc, id asc — the same stable
     * pseudorandom order as [[sampleKPerGroup]]) while the running

@@ -460,6 +460,44 @@ object Round11 {
       |FROM corpus c LEFT JOIN re USING (doc_id)
       |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Temperature-weighted mixture resampling ([[graft.ops.Splits
+    * .temperatureMixtureSample]]): keep-fractions computed from corpus
+    * statistics — source s keeps min(1, budget·√n_s / Σ√n / n_s) of
+    * its docs, the α=0.5 multinomial flattening training blends use —
+    * with the same pure-function-of-the-id hash-cell membership as
+    * q66. Oracle: DuckDB recomputes counts, folds √n in source-name
+    * order via list_reduce (matching the engine's driver-side
+    * left-to-right fold), replays the threshold arithmetic with
+    * identical parenthesization, and applies the HUGEINT Knuth-hash
+    * cell rule. */
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.temperatureMixtureSample(Tables.documents(s, dir),
+        budgetDocs = 250, alpha = 0.5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  private val q99Sql =
+    """WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM n),
+      |s AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(w ORDER BY source)), (acc, e) -> acc + e) AS sw
+      |  FROM w
+      |),
+      |th AS (
+      |  SELECT source,
+      |    CAST(floor(LEAST(1.0,
+      |      ((250.0 * w) / (SELECT sw FROM s)) / CAST(n AS DOUBLE))
+      |      * 4294967296.0) AS BIGINT) AS th
+      |  FROM w
+      |)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN th USING (source)
+      |WHERE ((CAST(d.doc_id AS HUGEINT) % 4294967296) * 2654435761)
+      |  % 4294967296 < th.th
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q89_span_decontaminate", q89, Some(q89Sql)),
     QueryDef("q90_stored_index_dedup", q90, Some(Round10.q87SqlForStoredIndex)),
@@ -470,5 +508,6 @@ object Round11 {
     QueryDef("q95_dup_span_fraction", q95, Some(q95Sql)),
     QueryDef("q96_boilerplate_chunks", q96, Some(q96Sql)),
     QueryDef("q97_stored_ivf_knn", q97, Some(Pipelines.q42Sql)),
-    QueryDef("q98_span_excision", q98, Some(q98Sql)))
+    QueryDef("q98_span_excision", q98, Some(q98Sql)),
+    QueryDef("q99_temperature_sample", q99, Some(q99Sql)))
 }

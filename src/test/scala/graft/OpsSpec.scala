@@ -1090,6 +1090,37 @@ class OpsSpec extends AnyFunSuite {
     assert(wiped.forall(_ == ((1L, ""))))
   }
 
+  test("temperatureMixtureSample: membership equals the replayed formula, small sources upsampled") {
+    // big:400 docs, mid:90, tiny:10 — α=0.5 flattens, so tiny keeps a
+    // LARGER fraction than big under a 250-doc budget
+    val docs = (0 until 500).map { i =>
+      val src = if (i < 400) "big" else if (i < 490) "mid" else "tiny"
+      (i.toLong, src)
+    }.toDF("doc_id", "source")
+    val kept = graft.ops.Splits.temperatureMixtureSample(docs, budgetDocs = 250)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+    // replay the contract from scratch: √n weights folded in
+    // source-name order, threshold = floor(frac·2³²), Knuth hash cell
+    val counts = Map("big" -> 400L, "mid" -> 90L, "tiny" -> 10L)
+    val sumW = counts.toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (a, (_, n)) => a + math.sqrt(n.toDouble) }
+    def th(n: Long): Long = math.floor(math.min(1.0,
+      ((250.0 * math.sqrt(n.toDouble)) / sumW) / n.toDouble) * 4294967296.0).toLong
+    def hv(id: Long): Long = {
+      val b = id & 0xFFFFFFFFL
+      ((b & 0xFFFFL) * 2654435761L + (((b >>> 16) * 2654435761L % 65536L) << 16)) % 4294967296L
+    }
+    val expected = (0 until 500).map { i =>
+      val src = if (i < 400) "big" else if (i < 490) "mid" else "tiny"
+      (i.toLong, src)
+    }.filter { case (id, src) => hv(id) < th(counts(src)) }
+    assert(kept.sortBy(_._1).toSeq === expected.sortBy(_._1))
+    // α=0.5 property: tiny's keep-RATE exceeds big's
+    val rate = kept.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    assert(rate("tiny") / 10.0 > rate("big") / 400.0,
+      s"temperature flattening should upsample tiny: $rate")
+  }
+
   test("exciseContaminatedSpans: leaked tokens cut exactly, clean docs untouched") {
     val leak = (1 to 13).map(i => s"b$i").mkString(" ")
     val ref = Seq((100L, s"$leak b14")).toDF("doc_id", "text")
