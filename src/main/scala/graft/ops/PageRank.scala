@@ -45,21 +45,23 @@ object PageRank {
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
-    // localCheckpoint, not cache, for the two frames every round
-    // joins: on non-checkpoint rounds the rank lineage still contains
-    // these plans, so the per-round join's relation dedup re-aliases
-    // them and a Dataset cache can silently miss (the
-    // connectedComponents lesson, measured there as a full upstream
-    // recompute per round); a checkpoint cuts the lineage instead, so
-    // every round scans materialized blocks regardless of aliasing
+    // cache(), not localCheckpoint, for the two frames every round
+    // joins: unlike connectedComponents (whose per-round join
+    // re-aliases the edge side and silently missed its cache), these
+    // joins reference the SAME Dataset objects each round, so the
+    // columnar cache hits — and an A/B at x10 edges (11.7M) measured
+    // the eager-checkpoint spelling ~45% SLOWER (22.2 s vs 15.3 s,
+    // isolated JVMs): a checkpoint materializes row-format blocks up
+    // front and every round scans them, where the cache serves the
+    // five rounds from compressed columnar batches
     val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("id"))).distinct().cache()
     // out-degree is static across rounds, so it is joined onto the
     // edge set ONCE here instead of once per round — each iteration
     // then does a single equi-join (ranks ⋈ weighted edges) rather
     // than two
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    val we = e.join(outdeg, "src").localCheckpoint(true)
+    val we = e.join(outdeg, "src").cache()
     // two driver scalars (vertex count for the teleport share), not data
     val n = verts.count()
     val tele = (Scale * (100 - dampingPct) / 100) / n
