@@ -975,6 +975,38 @@ object Dedup {
             element_at(col("__toks"), i + j + 1)): _*)))))
     .select(col(idCol), col("pos"), col("col").as("__g"))
 
+  /** Cross-source duplication matrix: the pairwise view of "which
+    * feeds copy which" — [[minhashPairs]] near-dups joined to each
+    * side's source and rolled up per canonical (src_lo ≤ src_hi)
+    * source pair with the pair count and the closest distance.
+    * Diagonal rows (src_lo = src_hi) measure within-feed duplication;
+    * off-diagonal rows are the mirror/syndication signal a curation
+    * pipeline uses to pick ONE feed of a syndicated pair before
+    * paying full dedup on the union. Complements the per-source q92
+    * audit (counts per feed) with the BETWEEN-feed structure.
+    *
+    * Scale shape: inherits [[minhashPairs]]'s banding (3-long band
+    * rows, hot buckets star-capped); the source attach is two
+    * id-keyed joins sized by emitted PAIRS, not the corpus; the final
+    * rollup is a #sources²-bounded aggregate. */
+  def crossSourceDupMatrix(docs: DataFrame, shingleSize: Int = 3,
+      bands: Int = 10, rowsPerBand: Int = 5, maxJaccardDist: Double = 0.4,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val pairs = minhashPairs(docs, idCol, textCol, shingleSize,
+      bands, rowsPerBand, maxJaccardDist)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("doc_a"), col(sourceCol).as("__sa")), "doc_a")
+      .join(src.select(col(idCol).as("doc_b"), col(sourceCol).as("__sb")), "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("src_lo"),
+        greatest(col("__sa"), col("__sb")).as("src_hi"),
+        col("jaccard_dist"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard_dist")).as("closest_dist"))
+  }
+
   /** Span-level contamination EXCISION: where [[spanContaminationScores]]
     * scores the leaked spans and [[decontaminate]] drops whole
     * documents, this removes exactly the leaked tokens and keeps the

@@ -498,6 +498,47 @@ object Round11 {
       |  % 4294967296 < th.th
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** Cross-source duplication matrix ([[graft.ops.Dedup
+    * .crossSourceDupMatrix]]): q31's near-dup pairs rolled up per
+    * canonical source pair — within-feed duplication on the diagonal,
+    * mirror/syndication signal off it. Oracle: q31's exact all-pairs
+    * Jaccard replay joined to each side's source, LEAST/GREATEST
+    * canonicalization, grouped; min(jaccard_dist) hash-matches
+    * because both sides aggregate the identical pair set with the
+    * identical replayed distances. */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceDupMatrix(Tables.documents(s, dir),
+        shingleSize = 3, bands = 10, rowsPerBand = 5, maxJaccardDist = 0.4)
+      .orderBy("src_lo", "src_hi")
+
+  private val q100Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) AS d
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+      |)
+      |SELECT LEAST(sa.source, sb.source) AS src_lo,
+      |  GREATEST(sa.source, sb.source) AS src_hi,
+      |  COUNT(*) AS n_pairs, MIN(d) AS closest_dist
+      |FROM p
+      |JOIN documents sa ON sa.doc_id = p.da
+      |JOIN documents sb ON sb.doc_id = p.db
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q89_span_decontaminate", q89, Some(q89Sql)),
     QueryDef("q90_stored_index_dedup", q90, Some(Round10.q87SqlForStoredIndex)),
@@ -509,5 +550,6 @@ object Round11 {
     QueryDef("q96_boilerplate_chunks", q96, Some(q96Sql)),
     QueryDef("q97_stored_ivf_knn", q97, Some(Pipelines.q42Sql)),
     QueryDef("q98_span_excision", q98, Some(q98Sql)),
-    QueryDef("q99_temperature_sample", q99, Some(q99Sql)))
+    QueryDef("q99_temperature_sample", q99, Some(q99Sql)),
+    QueryDef("q100_source_dup_matrix", q100, Some(q100Sql)))
 }

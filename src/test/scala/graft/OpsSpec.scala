@@ -1090,6 +1090,24 @@ class OpsSpec extends AnyFunSuite {
     assert(wiped.forall(_ == ((1L, ""))))
   }
 
+  test("crossSourceDupMatrix: within-feed and cross-feed dup pairs land on the right cells") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight", "feedA"),
+      (1L, "the quick brown fox jumps over the lazy dog today", "feedB"),   // near-dup of 0, cross-feed
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "feedA"), // exact dup of 0, within-feed
+      (3L, "completely unrelated text about spark catalyst engines here", "feedB")
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.crossSourceDupMatrix(docs, maxJaccardDist = 0.5)
+      .collect().map(r => (r.getAs[String]("src_lo"), r.getAs[String]("src_hi")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("closest_dist")))).toMap
+    // (0,2) within feedA at distance 0; (0,1) and (1,2) cross-feed
+    assert(m(("feedA", "feedA"))._1 === 1L)
+    assert(m(("feedA", "feedA"))._2 === 0.0)
+    assert(m(("feedA", "feedB"))._1 === 2L)
+    assert(m(("feedA", "feedB"))._2 > 0.0)
+    assert(!m.contains(("feedB", "feedB")), "doc 3 shares nothing with doc 1")
+  }
+
   test("temperatureMixtureSample: membership equals the replayed formula, small sources upsampled") {
     // big:400 docs, mid:90, tiny:10 — α=0.5 flattens, so tiny keeps a
     // LARGER fraction than big under a 250-doc budget
