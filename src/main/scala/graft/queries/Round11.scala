@@ -539,6 +539,115 @@ object Round11 {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** The composed curation VERDICT: one row per document with the
+    * keep/drop decision and the first failing rule — the Gopher-style
+    * policy gate a pipeline actually runs, built by composing the
+    * oracle-green signal operators (q15 token counts, q17 quality,
+    * q63 repetition, q95 duplicated-span fraction). Rule order is the
+    * contract: too_short → too_long → low_quality → repetitive →
+    * duplicated; `reason` is null iff kept. Every signal expression
+    * is already replayed bit-exactly by its own oracle, so the CASE
+    * precedence is the only new logic the q101 oracle adds. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextStats
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"),
+      TextStats.tokenCount(col("text")).as("n_tokens"),
+      TextStats.qualityScore(col("text")).as("quality"))
+    val rep = TextStats.repetitionStats(docs)
+      .select(col("doc_id"), col("dup_gram_frac"))
+    val dup = Dedup.duplicatedSpanFraction(docs)
+      .select(col("doc_id"), col("dup_fraction"))
+    base.join(rep, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        coalesce(col("dup_gram_frac"), lit(0.0)).as("dup_gram_frac"),
+        col("dup_fraction"))
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 1000, "too_long")
+          .when(col("quality") < 0.55, "low_quality")
+          .when(col("dup_gram_frac") > 0.10, "repetitive")
+          .when(col("dup_fraction") > 0.5, "duplicated"))
+      .withColumn("kept", col("reason").isNull)
+      .orderBy("doc_id")
+  }
+
+  private val q101Sql = {
+    val stops = graft.ops.TextStats.miniStopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    (least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |     + least(CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) * 5.0, 1.0) * 0.3
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1) AS quality
+       |  FROM t
+       |),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2]) AS gr
+       |  FROM t WHERE len(tk) >= 2
+       |),
+       |rep AS (
+       |  SELECT doc_id,
+       |    CAST(len(gr) - len(list_distinct(gr)) AS DOUBLE) / CAST(len(gr) AS DOUBLE) AS dup_gram_frac
+       |  FROM g
+       |),
+       |pg AS (
+       |  SELECT t.doc_id, i AS pos, array_to_string(tk[i+1:i+13], ' ') AS gm
+       |  FROM t, UNNEST(range(greatest(len(tk) - 12, 0))) AS u(i)
+       |),
+       |hot AS (SELECT gm FROM pg GROUP BY gm HAVING COUNT(*) >= 2),
+       |m AS (SELECT DISTINCT doc_id, pos FROM pg JOIN hot USING (gm)),
+       |isl AS (
+       |  SELECT doc_id, pos, pos + 12 AS e,
+       |    CASE WHEN pos > COALESCE(MAX(pos + 12) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -9223372036854775807) + 1
+       |    THEN 1 ELSE 0 END AS ni
+       |  FROM m
+       |),
+       |isl2 AS (
+       |  SELECT doc_id, pos, e, SUM(ni) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl
+       |),
+       |cov AS (
+       |  SELECT doc_id, island, MAX(e) - MIN(pos) + 1 AS covered
+       |  FROM isl2 GROUP BY doc_id, island
+       |),
+       |per AS (SELECT doc_id, SUM(covered) AS dup_tokens FROM cov GROUP BY doc_id),
+       |joined AS (
+       |  SELECT b.doc_id, b.n_tokens, b.quality,
+       |    COALESCE(rep.dup_gram_frac, 0.0) AS dup_gram_frac,
+       |    CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_fraction
+       |  FROM base b
+       |  LEFT JOIN rep ON b.doc_id = rep.doc_id
+       |  LEFT JOIN per ON b.doc_id = per.doc_id
+       |)
+       |SELECT doc_id, n_tokens, quality, dup_gram_frac, dup_fraction,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN n_tokens > 1000 THEN 'too_long'
+       |       WHEN quality < 0.55 THEN 'low_quality'
+       |       WHEN dup_gram_frac > 0.10 THEN 'repetitive'
+       |       WHEN dup_fraction > 0.5 THEN 'duplicated'
+       |  END AS reason,
+       |  (CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN n_tokens > 1000 THEN 'too_long'
+       |       WHEN quality < 0.55 THEN 'low_quality'
+       |       WHEN dup_gram_frac > 0.10 THEN 'repetitive'
+       |       WHEN dup_fraction > 0.5 THEN 'duplicated'
+       |  END) IS NULL AS kept
+       |FROM joined
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q89_span_decontaminate", q89, Some(q89Sql)),
     QueryDef("q90_stored_index_dedup", q90, Some(Round10.q87SqlForStoredIndex)),
@@ -551,5 +660,6 @@ object Round11 {
     QueryDef("q97_stored_ivf_knn", q97, Some(Pipelines.q42Sql)),
     QueryDef("q98_span_excision", q98, Some(q98Sql)),
     QueryDef("q99_temperature_sample", q99, Some(q99Sql)),
-    QueryDef("q100_source_dup_matrix", q100, Some(q100Sql)))
+    QueryDef("q100_source_dup_matrix", q100, Some(q100Sql)),
+    QueryDef("q101_curation_policy", q101, Some(q101Sql)))
 }

@@ -1090,6 +1090,39 @@ class OpsSpec extends AnyFunSuite {
     assert(wiped.forall(_ == ((1L, ""))))
   }
 
+  test("curation policy (q101): each rule fires on its planted doc, precedence respected") {
+    val spark2 = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-q101").toString
+    // stopword every other token, all unique bigrams → every gate passes
+    val good = (1 to 15).map(i =>
+      s"${Seq("the", "a", "and", "of", "to")(i % 5)} w$i").mkString(" ")
+    val rep13 = (1 to 13).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, good, "en", "s0", 1L),                                    // kept (30 tokens)
+      (1L, "too short here", "en", "s0", 1L),                        // too_short
+      (2L, ("zzz " * 30).trim, "en", "s0", 1L),                      // no stopwords → low_quality
+      // 30 tokens, all the same bigram → repetitive (dup_gram_frac ~1);
+      // stopword-rich so quality stays above the gate — also proves
+      // precedence: its dup_fraction is ~1 but 'repetitive' fires first
+      (3L, ("the a " * 15).trim, "en", "s0", 1L),
+      // a shared 13-token prefix + near-identical stopword-rich tails:
+      // shared 13-grams cover 24 of 26 tokens → 'duplicated'
+      (4L, s"$rep13 over the a and of to in is it that for fox dog", "en", "s0", 1L),
+      (5L, s"$rep13 over the a and of to in is it that for cat cow", "en", "s0", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Round11.defs.find(_.name == "q101_curation_policy").get
+      .fn(spark2, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[String]("reason")), r.getAs[Boolean]("kept")))).toMap
+    assert(out(0L) === ((None, true)))
+    assert(out(1L) === ((Some("too_short"), false)))
+    assert(out(2L) === ((Some("low_quality"), false)))
+    assert(out(3L) === ((Some("repetitive"), false)))
+    assert(out(4L)._1.contains("duplicated"))
+    assert(out(5L)._1.contains("duplicated"))
+  }
+
   test("crossSourceDupMatrix: within-feed and cross-feed dup pairs land on the right cells") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog tonight", "feedA"),
