@@ -193,4 +193,50 @@ object TextStats {
         min(col("__cnt")).as("min_count"))
   }
 
+  /** Corpus vocabulary: the `n` most frequent whitespace tokens with
+    * deterministic tie order (count desc, token asc). Returns
+    * (rank, token, count) — the frequency-cutoff vocabulary a
+    * tokenizer-training or OOV-analysis pass starts from.
+    *
+    * Scale shape: one hash-partitioned count with map-side combine,
+    * then the top-n via orderBy+limit — Spark plans that as
+    * TakeOrderedAndProject (a bounded heap per partition, k rows to
+    * the driver-side merge), NOT a global sort; the rank window runs
+    * over the already-bounded n rows. */
+  def vocabTopN(docs: DataFrame, n: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(n)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .select(col("rank"), col("token"), col("cnt"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the [[vocabTopN]]
+    * corpus vocabulary: (id, n_tokens, n_oov, oov_frac) where a token
+    * OCCURRENCE is OOV iff its text is outside the top-`n` vocab —
+    * the coverage metric that sizes a vocabulary (or flags
+    * out-of-domain documents against a fixed one).
+    *
+    * Scale shape: the vocab is n rows — broadcast to the token
+    * stream's anti-join side; the per-token pass is map-only plus one
+    * id-keyed count. */
+  def oovStats(docs: DataFrame, n: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val vocab = vocabTopN(docs, n, textCol).select(col("token"))
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val oov = toks.join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_oov"))
+    docs.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .join(oov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
 }

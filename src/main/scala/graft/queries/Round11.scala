@@ -648,6 +648,65 @@ object Round11 {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q102
+  /** Corpus vocabulary top-20 (the corpus has 31 distinct tokens — a 20-token vocab keeps OOV non-trivial) ([[graft.ops.TextStats.vocabTopN]]):
+    * most frequent tokens with deterministic (count desc, token asc)
+    * tie order — planned as TakeOrderedAndProject (bounded per-
+    * partition heaps), not a global sort. Oracle: the window
+    * spelling. */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.vocabTopN(Tables.documents(s, dir), n = 20)
+      .orderBy("rank")
+
+  private val q102Sql =
+    """WITH c AS (
+      |  SELECT tok AS token, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok
+      |)
+      |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank, token, cnt
+      |FROM c
+      |ORDER BY cnt DESC, token
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q103
+  /** Per-document OOV rate against the q102 vocabulary ([[graft.ops
+    * .TextStats.oovStats]]): the coverage metric that sizes a vocab or
+    * flags out-of-domain docs. The 100-row vocab broadcasts to the
+    * token stream's anti-join; one id-keyed count after. Oracle:
+    * vocab CTE + anti-join + per-doc rollup, one exact double
+    * division. */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.oovStats(Tables.documents(s, dir), n = 20)
+      .orderBy("doc_id")
+
+  private val q103Sql =
+    """WITH c AS (
+      |  SELECT tok AS token, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok
+      |),
+      |v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 20),
+      |tk AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+      |  FROM documents
+      |),
+      |oov AS (
+      |  SELECT tk.doc_id, COUNT(*) AS n_oov
+      |  FROM tk LEFT JOIN v ON tk.token = v.token
+      |  WHERE v.token IS NULL
+      |  GROUP BY tk.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tokens,
+      |  COALESCE(oov.n_oov, 0) AS n_oov,
+      |  CAST(COALESCE(oov.n_oov, 0) AS DOUBLE) /
+      |    CAST(len(regexp_split_to_array(d.text, '\s+')) AS DOUBLE) AS oov_frac
+      |FROM documents d LEFT JOIN oov ON d.doc_id = oov.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q89_span_decontaminate", q89, Some(q89Sql)),
     QueryDef("q90_stored_index_dedup", q90, Some(Round10.q87SqlForStoredIndex)),
@@ -661,5 +720,7 @@ object Round11 {
     QueryDef("q98_span_excision", q98, Some(q98Sql)),
     QueryDef("q99_temperature_sample", q99, Some(q99Sql)),
     QueryDef("q100_source_dup_matrix", q100, Some(q100Sql)),
-    QueryDef("q101_curation_policy", q101, Some(q101Sql)))
+    QueryDef("q101_curation_policy", q101, Some(q101Sql)),
+    QueryDef("q102_vocab_topn", q102, Some(q102Sql)),
+    QueryDef("q103_oov_rate", q103, Some(q103Sql)))
 }

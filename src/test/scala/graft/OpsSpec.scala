@@ -1090,6 +1090,27 @@ class OpsSpec extends AnyFunSuite {
     assert(wiped.forall(_ == ((1L, ""))))
   }
 
+  test("vocabTopN and oovStats: frequency vocab with deterministic ties, exact per-doc OOV") {
+    val docs = Seq(
+      (0L, "aa aa aa bb bb cc"),
+      (1L, "aa bb cc dd ee"),
+      (2L, "zz zz zz zz")
+    ).toDF("doc_id", "text")
+    // counts: aa=4, zz=4, bb=3, cc=2, dd=1, ee=1 → top-3 with ties
+    // (count desc, token asc): aa, zz, bb
+    val vocab = TextStats.vocabTopN(docs, n = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("cnt"))).toSeq
+    assert(vocab === Seq((1, "aa", 4L), (2, "zz", 4L), (3, "bb", 3L)))
+    val oov = TextStats.oovStats(docs, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_frac")))).toMap
+    assert(oov(0L) === ((6L, 1L, 1.0 / 6.0)))  // cc is OOV
+    assert(oov(1L) === ((5L, 3L, 3.0 / 5.0)))  // cc dd ee
+    assert(oov(2L) === ((4L, 0L, 0.0)))
+  }
+
   test("curation policy (q101): each rule fires on its planted doc, precedence respected") {
     val spark2 = spark
     val dir = java.nio.file.Files.createTempDirectory("graft-q101").toString
