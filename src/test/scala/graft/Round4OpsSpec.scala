@@ -208,4 +208,18 @@ class Round4OpsSpec extends AnyFunSuite {
     val b = PageRank.ranks(edges.repartition(13), 5).orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  test("pagerank checkpoint cadences are semantically invisible") {
+    val edges = (for {
+      i <- 0L until 30L
+      j <- Seq((i * 11 + 7) % 30, (i * 3 + 1) % 30) if j != i
+    } yield (i, j)).toDF("src", "dst")
+    // 10 rounds: every-other-round lineage cuts (default threshold 8)
+    // vs the single-action lazy DAG — bit-identical integer ranks
+    val cut = PageRank.ranks(edges, 10, midCheckpointAbove = 8)
+      .orderBy("id").collect().toSeq
+    val lazyDag = PageRank.ranks(edges, 10, midCheckpointAbove = 100)
+      .orderBy("id").collect().toSeq
+    assert(cut === lazyDag)
+  }
 }
