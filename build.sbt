@@ -1,4 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
+// The round driver parses the LAST line of `sbt runMain graft.Bench` output
+// as the bench headline JSON. Bench prints it after spark.stop(), so the only
+// remaining contaminant is sbt's own "[success] Total time: ..." banner —
+// suppress it so the headline really is the final line of the captured tail.
+Global / showSuccess := false
 ThisBuild / scalacOptions += "-deprecation"
 ThisBuild / version := "0.1.0"
 name := "movierecommendationetlspark"
@@ -12,6 +17,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through verbatim instead of routing
+// them through sbt's logger: the logger prefixes every line with "[info] "/
+// "[error] ", and a "[info] {json}" headline fails a strict json.loads on
+// the captured last line even with the success banner gone.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
