@@ -988,7 +988,20 @@ object Dedup {
     * Scale shape: inherits [[minhashPairs]]'s banding (3-long band
     * rows, hot buckets star-capped); the source attach is two
     * id-keyed joins sized by emitted PAIRS, not the corpus; the final
-    * rollup is a #sources²-bounded aggregate. */
+    * rollup is a #sources²-bounded aggregate.
+    *
+    * Count semantics: `n_pairs` is a LOWER BOUND on the true near-dup
+    * pair count, for two inherited reasons — banded MinHash recall
+    * (< 1 for pairs near the distance cutoff; recall-1 only for the
+    * near-identical pairs banding is tuned for) and the clique-to-star
+    * skew cap, which replaces a hot bucket's O(n²) pairs with n−1
+    * star edges. On boilerplate-heavy feeds (exactly where hot buckets
+    * form) per-cell counts therefore understate the duplication mass;
+    * `closest_dist` is unaffected (the star always touches the
+    * bucket's min-id row). The sf-scale oracle is exact all-pairs and
+    * agrees only while every test pair sits well inside the recall-1
+    * regime and no star-cap fires — the documented tradeoff, not an
+    * equivalence claim at every data distribution. */
   def crossSourceDupMatrix(docs: DataFrame, shingleSize: Int = 3,
       bands: Int = 10, rowsPerBand: Int = 5, maxJaccardDist: Double = 0.4,
       idCol: String = "doc_id", textCol: String = "text",

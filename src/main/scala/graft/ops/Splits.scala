@@ -105,10 +105,17 @@ object Splits {
       idCol: String = "doc_id"): DataFrame = {
     require(budgetDocs >= 0 && alpha > 0.0 && alpha <= 1.0)
     val spark = df.sparkSession
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    // fail fast on null sources: getString(0) would yield a null key
+    // whose sortBy comparison NPEs opaquely, and the inner threshold
+    // join below would silently drop any non-null rows of an unseen
+    // source — make the contract explicit instead
+    val rawCounts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)
+    require(rawCounts.forall(_._1 != null),
+      s"temperatureMixtureSample: null $sourceCol values are unsupported — " +
+        "filter them out or fill a sentinel source first")
+    val counts = rawCounts.sortBy(_._1)
     def w(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
     val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + w(n) }

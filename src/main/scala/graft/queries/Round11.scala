@@ -9,6 +9,33 @@ import graft.ops.Dedup
 /** Round-11 battery additions. */
 object Round11 {
 
+  /** Per-run unique scratch dir for the stored-index demos (q90/q97).
+    * A FIXED path under java.io.tmpdir let concurrent sessions on a
+    * shared host clobber each other's index mid-read (mode(overwrite)
+    * deletes the directory another session may be scanning); a unique
+    * dir per call removes the race. Deletion can't happen inside the
+    * query fn — the returned DataFrame reads the dir lazily, after fn
+    * returns — so cleanup is a one-time JVM shutdown hook over every
+    * dir this session minted. */
+  private val scratchDirs =
+    scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.synchronized(scratchDirs.foreach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      })))
+  private def freshScratchDir(prefix: String): String = {
+    cleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.synchronized(scratchDirs += p)
+    p.toString
+  }
+
   // ---------------------------------------------------------------- q89
   /** Span-level decontamination ([[graft.ops.Dedup
     * .spanContaminationScores]]): documents with doc_id % 5 = 0 play
@@ -72,7 +99,7 @@ object Round11 {
     val docs = Tables.documents(s, dir)
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q90_index"
+    val idxDir = freshScratchDir("graft_q90_index")
     val built = Dedup.indexCorpus(corpus)
     try Dedup.saveIndex(s, built, idxDir, table = "graft_q90_band_rows")
     finally built.unpersistAll()
@@ -396,7 +423,7 @@ object Round11 {
       .select("embedding").limit(1).collect()
       .head.getSeq[Float](0).map(_.toDouble)
     val (indexed, model) = graft.ops.Similarity.fitIvf(emb, nLists = 16)
-    val idxDir = s"${System.getProperty("java.io.tmpdir")}/graft_q97_ivf"
+    val idxDir = freshScratchDir("graft_q97_ivf")
     graft.ops.Similarity.saveIvf(indexed, model, idxDir)
     val (stored, storedModel) = graft.ops.Similarity.loadIvf(s, idxDir)
     graft.ops.Similarity.exactIvfKnn(stored, storedModel, qvec, k = 20,
