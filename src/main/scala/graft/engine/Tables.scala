@@ -24,15 +24,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and
-    * rebuild a microsecond TimestampType with exact integer division
-    * (`div`, not `/` — double division loses precision above 2^53).
+  /** `events.parquet`'s `ts` physical type has changed across testdata
+    * generations: TIMESTAMP(NANOS) through round 11 (which Spark's
+    * vectorized reader rejects — read nanos as long via the legacy
+    * conf, then rebuild a microsecond TimestampType with exact integer
+    * division: `div`, not `/`, since double division loses precision
+    * above 2^53), TIMESTAMP(MICROS) from round 12 (reads directly;
+    * only normalize NTZ → session-UTC TimestampType so downstream
+    * plans and parquet dumps keep the exact types the oracles expect).
+    * Dispatch on the READ schema, so either generation works.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

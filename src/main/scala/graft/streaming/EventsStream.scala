@@ -14,9 +14,14 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet carries TIMESTAMP(NANOS); the stream reads it as
-    * raw long nanos (legacy conf) and rebuilds a µs timestamp — same
-    * trick as the batch loader (graft.engine.Tables.events). */
+  /** events.parquet's `ts` physical type varies across testdata
+    * generations (TIMESTAMP(NANOS) through round 11 — which the
+    * vectorized reader only accepts as raw long nanos via the legacy
+    * conf — TIMESTAMP(MICROS) after). A file stream needs its schema
+    * UP FRONT, so probe the landing zone's current footer with a batch
+    * read (driver-side metadata only) and rebuild a session-UTC µs
+    * timestamp either way — same dispatch as the batch loader
+    * (graft.engine.Tables.events). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -27,10 +32,21 @@ object EventsStream {
 
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    tsType match {
+      case LongType =>
+        spark.readStream
+          .schema(rawSchema)
+          .parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        val schema = StructType(rawSchema.map(f =>
+          if (f.name == "ts") StructField("ts", tsType) else f))
+        spark.readStream
+          .schema(schema)
+          .parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour event-time aggregation with a watermark: late
