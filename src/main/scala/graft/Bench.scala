@@ -138,18 +138,37 @@ object Bench {
     val sweptJson = swept.toSeq.sortBy(-_._2)
       .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
 
-    // scaling curves (dedup funnel, pagerank, packing): guarded so a
-    // crash here can never eat the final headline line below. Skipped
-    // when a query subset was requested or SPARK_GRAFT_SCALING=0.
+    // q90's battery timing deliberately pays a full index SAVE per run
+    // (the demo — same stance as q75's bucketed write); record
+    // build+save vs load+increment as SEPARATE phases so the read
+    // path's true cost is visible round-over-round (r11 verdict ask #5)
+    val q90Phases =
+      if (scalingOnly || (args.nonEmpty && !args.contains("q90_stored_index_dedup"))) ""
+      else try {
+        val (sv, rd) = graft.queries.Round11.q90PhaseTimings(spark, sfDir)
+        spark.catalog.clearCache()
+        sweepPersistentRdds(spark)
+        f""","q90_save_sec":$sv%.3f,"q90_read_sec":$rd%.3f"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] q90 phase timing failed: ${e.getMessage}")
+        ""
+      }
+
+    // scaling curves — each section in a FRESH forked JVM (see
+    // Scaling.scala scaladoc: in-battery curves were contaminated by
+    // accumulated JVM state; r11's q88 x10 point swung 5.6× across
+    // identical-code runs). Guarded so a crash here can never eat the
+    // final headline line below. Skipped when a query subset was
+    // requested or SPARK_GRAFT_SCALING=0.
     val scaling =
       if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SCALING").contains("0")) ""
-      else try scalingJson(spark, sfDir) catch {
+      else try isolatedScalingJson(spark, sfDir) catch {
         case e: Throwable =>
           System.err.println(s"[bench] scaling harness failed: ${e.getMessage}")
           ""
       }
 
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"peak_storage_mb":${peakStorageBytes / 1048576},"leaked_cached_rdds":$leakedAfterBattery,"swept_rdds":$sweptJson,"queries":$qs,"stats":$stats,"failed":$failed,"sf":"$sfDir"$scaling}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"peak_storage_mb":${peakStorageBytes / 1048576},"leaked_cached_rdds":$leakedAfterBattery,"swept_rdds":$sweptJson,"queries":$qs,"stats":$stats,"failed":$failed$q90Phases,"sf":"$sfDir"$scaling}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -170,181 +189,107 @@ object Bench {
     System.out.flush()
   }
 
-  /** Scaling measurements, each under one shared wall-clock budget so
-    * a contended box degrades to fewer points instead of blowing the
-    * round:
-    *  - dedup funnel at x1/x10/x30 replicated docs (each doc becomes
-    *    an n-replica near-dup CLIQUE — the hard direction: emitted
-    *    pairs grow ~n²/2 per doc by construction, so wall-time is
-    *    expected to track OUTPUT size; sec-per-1k-pairs is the
-    *    scale-honest rate);
-    *  - PageRank at x1/x10 disjoint graph replicas (same structure,
-    *    10× edges — the round count is fixed, so wall-time should
-    *    scale ~linearly with edges);
-    *  - sequence packing at x1/x10 replicated docs (the two-phase
-    *    prefix sum is a fixed number of shuffles over (id,count)
-    *    longs, so ~linear in docs). */
-  private def scalingJson(spark: SparkSession, sfDir: String): String = {
-    import org.apache.spark.sql.functions._
+  /** Fork one FRESH JVM per scaling curve (`graft.ScalingChild`) and
+    * splice the fragments into bench.json's "scaling" object. Same
+    * classpath and JVM flags as this process (re-read from the running
+    * JVM, so sbt's add-opens/-Xmx carry over); sections run
+    * sequentially so children never contend with each other; the
+    * remaining wall budget is passed down so a slow box degrades to
+    * fewer points, exactly like the old in-process harness. A child
+    * failure falls back to running that section in THIS JVM (marked
+    * `isolated_jvms:false`) — a contaminated point beats a missing
+    * curve, and the marker keeps it honest. */
+  private def isolatedScalingJson(spark: SparkSession, sfDir: String): String = {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "900").toDouble
-    // SPARK_GRAFT_SCALING_SECTIONS=inc,pagerank,... runs only the named
-    // sections (default: all) — for iterating on one curve
     val sections = sys.env.get("SPARK_GRAFT_SCALING_SECTIONS")
-      .map(_.split(",").map(_.trim).toSet)
-    def sectionOn(name: String): Boolean = sections.forall(_.contains(name))
-    val base = graft.engine.Tables.documents(spark, sfDir)
-      .select("doc_id", "text", "lang")
-    // replica r of a doc appends r replica-distinct tokens, so the
-    // n replicas form a graded near-dup family (replica 0 is the
-    // original; sequence() guarded by when — an inverted range
-    // throws). concat_ws skips the null perturbation at r=0.
-    def replicate(n: Int) = base
-      .withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
-      .select(
-        (col("doc_id") * n + col("__r")).as("doc_id"),
-        concat_ws(" ", col("text"),
-          when(col("__r") >= 1,
-            concat_ws(" ", transform(sequence(lit(1), col("__r")),
-              i => concat(lit("uq"), col("doc_id").cast("string"),
-                lit("x"), i.cast("string")))))).as("text"),
-        col("lang"))
-    def timed(f: => Long): (Long, Double) = {
-      val t0 = System.nanoTime()
-      val n = f
-      (n, (System.nanoTime() - t0) / 1e9)
-    }
-    def cleanup(): Unit = {
-      spark.catalog.clearCache()
-      sweepPersistentRdds(spark)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Scaling.sectionNames)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // reconstruct the launch flags: --add-opens may be reported as two
+    // consecutive entries (flag, value) when passed space-separated
+    import scala.jdk.CollectionConverters._
+    val raw = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val flags = scala.collection.mutable.ListBuffer.empty[String]
+    var fi = 0
+    while (fi < raw.length) {
+      val a = raw(fi)
+      if ((a == "--add-opens" || a == "--add-exports") && fi + 1 < raw.length) {
+        flags += a += raw(fi + 1); fi += 2
+      } else if (a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+                 a.startsWith("-X") || a.startsWith("-D")) {
+        flags += a; fi += 1
+      } else fi += 1
     }
     val tStart = System.nanoTime()
-    def elapsed = (System.nanoTime() - tStart) / 1e9
-
-    // every scaling point records the 1-min loadavg sampled at its
-    // start, exactly like the battery iterations — so a swing on a
-    // replicated point (r10: PageRank x10 at 33 s vs 13.5 s committed)
-    // is attributable to box contention from the artifact alone
-    val points = scala.collection.mutable.ListBuffer.empty[String]
+    def remaining = budgetSec - (System.nanoTime() - tStart) / 1e9
     var truncated = false
-    Seq(1, 10, 30).foreach { x =>
-      if (sectionOn("dedup") && elapsed < budgetSec) {
-        val la = loadAvg()
-        val df = if (x == 1) base else replicate(x)
-        val nDocs = df.count()
-        val (p, tp) = timed(graft.ops.Dedup.minhashPairs(df, shingleSize = 3,
-          bands = 10, rowsPerBand = 5, maxJaccardDist = 0.4).count())
-        cleanup()
-        val (f, tf) = timed(graft.ops.Dedup.deduplicate(df, maxJaccardDist = 0.4).count())
-        cleanup()
-        val perK = if (p > 0) tp / (p / 1000.0) else 0.0
-        points += f"""{"x":$x,"docs":$nDocs,"q31_pairs":$p,"q31_sec":$tp%.2f,"q31_sec_per_1k_pairs":$perK%.3f,"q55_survivors":$f,"q55_sec":$tf%.2f,"load":$la%.1f}"""
-      } else if (sectionOn("dedup")) truncated = true
-    }
-
-    // PageRank: q73's customer⇄supplier bipartite graph, then 10
-    // DISJOINT copies (ids offset per replica — same per-component
-    // structure, 10× the edges and vertices)
-    val prPoints = scala.collection.mutable.ListBuffer.empty[String]
-    val o = graft.engine.Tables.orders(spark, sfDir)
-    val l = graft.engine.Tables.lineitem(spark, sfDir)
-    val ol = o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("sp"))
-      .distinct()
-    val edges1 = ol.select(col("c").as("src"), col("sp").as("dst"))
-      .union(ol.select(col("sp").as("src"), col("c").as("dst")))
-    def edgesX(n: Int) = edges1
-      .withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
-      .select((col("src") + col("__r") * 10000000L).as("src"),
-        (col("dst") + col("__r") * 10000000L).as("dst"))
-    Seq(1, 10).foreach { x =>
-      if (sectionOn("pagerank") && elapsed < budgetSec) {
-        val la = loadAvg()
-        val e = if (x == 1) edges1 else edgesX(x)
-        val nEdges = e.count()
-        val (v, t) = timed(graft.ops.PageRank.ranks(e, iterations = 5).count())
-        cleanup()
-        prPoints += f"""{"x":$x,"edges":$nEdges,"vertices":$v,"sec":$t%.2f,"load":$la%.1f}"""
-      } else if (sectionOn("pagerank")) truncated = true
-    }
-
-    // packing: concat-and-cut over the replicated corpus (perturbation
-    // tokens shift counts slightly — irrelevant, only volume matters)
-    val packPoints = scala.collection.mutable.ListBuffer.empty[String]
-    Seq(1, 10).foreach { x =>
-      if (sectionOn("packing") && elapsed < budgetSec) {
-        val la = loadAvg()
-        val df = if (x == 1) base else replicate(x)
-        val nDocs = df.count()
-        val (spans, t) = timed(graft.ops.Packing.packSequences(df, budget = 256L).count())
-        cleanup()
-        packPoints += f"""{"x":$x,"docs":$nDocs,"span_rows":$spans,"sec":$t%.2f,"load":$la%.1f}"""
-      } else if (sectionOn("packing")) truncated = true
-    }
-
-    // exact radix rank/deciles (q88) at x1/x10 replicated docs: the
-    // claim under test is "no corpus-sized window partition" — the
-    // two-level radix counting should grow ~linearly with docs where
-    // the naive per-language window would hit a single-task sort.
-    // Replica perturbation tokens shift scores slightly; only volume
-    // matters here, and repeated scores land in the same radix cell
-    // (the tie path is exercised by construction).
-    val rankPoints = scala.collection.mutable.ListBuffer.empty[String]
-    Seq(1, 10).foreach { x =>
-      if (sectionOn("rank") && elapsed < budgetSec) {
-        val la = loadAvg()
-        val df = if (x == 1) base else replicate(x)
-        val nDocs = df.count()
-        val (rows, t) = timed {
-          val ranked = graft.ops.Ranks.exactGroupRank(df, "lang", "doc_id",
-            graft.ops.TextStats.qualityScore(col("text")))
-          graft.ops.Ranks.withQuantileBucket(ranked, "lang", buckets = 10).count()
+    var isolatedAll = true
+    val frags = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    Scaling.sectionNames.foreach(s => frags(Scaling.jsonKey(s)) = "[]")
+    sections.foreach { sec =>
+      val rem = remaining
+      if (rem < 30) truncated = true
+      else {
+        val cmd = (Seq(javaBin) ++ flags ++ Seq("-cp", cp, "graft.ScalingChild", sec)).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_SCALING_BUDGET", f"$rem%.0f")
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val fragment: Option[(Boolean, String)] =
+          try {
+            val proc = pb.start()
+            val outBuf = new StringBuilder
+            val reader = new Thread(() => {
+              val src = scala.io.Source.fromInputStream(proc.getInputStream)
+              try src.getLines().foreach(l => outBuf.synchronized { outBuf.append(l).append('\n'); () })
+              finally src.close()
+            })
+            reader.setDaemon(true)
+            reader.start()
+            // hard stop: a hung child may not honor the soft budget —
+            // kill past budget + Spark-startup slack so the round survives
+            val done = proc.waitFor((rem + 180).toLong, java.util.concurrent.TimeUnit.SECONDS)
+            if (!done) {
+              proc.destroyForcibly()
+              System.err.println(s"[bench] scaling child $sec timed out")
+              None
+            } else {
+              reader.join(10000)
+              val line = outBuf.synchronized(outBuf.toString).linesIterator
+                .find(_.startsWith("GRAFT_SCALING_FRAGMENT "))
+              if (proc.exitValue() != 0 || line.isEmpty) {
+                System.err.println(s"[bench] scaling child $sec failed (exit ${proc.exitValue()})")
+                None
+              } else {
+                val parts = line.get.split(" ", 4)
+                Some((parts(2).toBoolean, parts(3)))
+              }
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] scaling child $sec fork failed: ${e.getMessage}")
+            None
+          }
+        fragment match {
+          case Some((tr, json)) =>
+            frags(Scaling.jsonKey(sec)) = json
+            if (tr) truncated = true
+          case None =>
+            // in-process fallback, honestly marked
+            isolatedAll = false
+            try {
+              val (json, tr) = Scaling.runSection(spark, sfDir, sec, remaining.max(0))
+              frags(Scaling.jsonKey(sec)) = json
+              if (tr) truncated = true
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] in-process fallback $sec failed: ${e.getMessage}")
+              truncated = true
+            }
         }
-        cleanup()
-        rankPoints += f"""{"x":$x,"docs":$nDocs,"rows":$rows,"sec":$t%.2f,"load":$la%.1f}"""
-      } else if (sectionOn("rank")) truncated = true
+      }
     }
-
-    // incremental vs full dedup: the batch slice stays FIXED while the
-    // corpus side grows x1/x10. The corpus index (shingle sets + band
-    // rows + texts) is built and materialized FIRST and its cost
-    // reported separately — in production it is stored and amortized
-    // across increments, so the per-increment claim is inc_sec:
-    // batch-sized hashing plus joins against the index. full_sec
-    // re-runs the whole funnel over corpus+batch — what a
-    // non-incremental pipeline would pay per day; the gap between
-    // inc_sec and full_sec growth is the operator's claim, measured.
-    val incPoints = scala.collection.mutable.ListBuffer.empty[String]
-    val batchSlice = base.filter(col("doc_id") % 10 === 0)
-    val corpusSlice = base.filter(col("doc_id") % 10 =!= 0)
-    def corpusX(n: Int) = corpusSlice
-      .withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
-      .select((col("doc_id") * n + col("__r")).as("doc_id"),
-        concat_ws(" ", col("text"),
-          when(col("__r") >= 1,
-            concat_ws(" ", transform(sequence(lit(1), col("__r")),
-              i => concat(lit("uq"), col("doc_id").cast("string"),
-                lit("x"), i.cast("string")))))).as("text"),
-        col("lang"))
-    Seq(1, 10).foreach { x =>
-      if (sectionOn("inc") && elapsed < budgetSec) {
-        val la = loadAvg()
-        val c = if (x == 1) corpusSlice else corpusX(x)
-        val nCorpus = c.count()
-        var idx: graft.ops.Dedup.CorpusDedupIndex = null
-        val (_, tIdx) = timed {
-          idx = graft.ops.Dedup.indexCorpus(c)
-          idx.bandRows.count() + idx.shingles.count() + idx.texts.count()
-        }
-        val (adm, ti) = timed(graft.ops.Dedup.incrementalDeduplicateIndexed(
-          batchSlice, idx, maxJaccardDist = 0.4).count())
-        cleanup()
-        val (surv, tf) = timed(graft.ops.Dedup.deduplicate(
-          c.unionByName(batchSlice), maxJaccardDist = 0.4).count())
-        cleanup()
-        incPoints += f"""{"x":$x,"corpus":$nCorpus,"index_sec":$tIdx%.2f,"admitted":$adm,"inc_sec":$ti%.2f,"full_survivors":$surv,"full_sec":$tf%.2f,"load":$la%.1f}"""
-      } else if (sectionOn("inc")) truncated = true
-    }
-
-    s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"points":[${points.mkString(",")}],"pagerank":[${prPoints.mkString(",")}],"packing":[${packPoints.mkString(",")}],"rank":[${rankPoints.mkString(",")}],"incremental_dedup":[${incPoints.mkString(",")}]}"""
+    val body = frags.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"isolated_jvms":$isolatedAll,$body}"""
   }
 }

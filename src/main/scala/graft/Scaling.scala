@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness, one section per curve, runnable in-process
+  * (legacy) or — the committed-artifact path — in a FRESH JVM per
+  * section via [[ScalingChild]].
+  *
+  * Why isolation: rounds 10/11 showed the in-battery curves are
+  * contaminated by accumulated JVM state — after ~100 battery queries
+  * the heap/code-cache state dominates, and identical-code x10 points
+  * swung 23.6→141.3 s between runs (q88, round 11). The same fix that
+  * settled the PageRank cache-vs-checkpoint A/B (isolated JVMs) is
+  * applied here to every committed curve: the parent bench forks
+  * `java -cp <same classpath> graft.ScalingChild <section>` per curve,
+  * so each curve starts from a cold JIT/heap and the only cross-run
+  * variable left is box load — still recorded per point.
+  *
+  * Sections (bench.json keys):
+  *  - dedup   → "points": minhash pair gen + full funnel, x1/x10/x30
+  *    replicated docs. Each doc becomes an n-replica near-dup CLIQUE —
+  *    the hard direction: emitted pairs grow ~n²/2 per doc by
+  *    construction, so wall-time is expected to track OUTPUT size;
+  *    sec-per-1k-pairs is the scale-honest rate.
+  *  - pagerank → x1/x10 disjoint graph replicas at the battery's 5
+  *    rounds, plus an 8-round x10 point: 8 is the midCheckpointAbove
+  *    boundary (largest run that builds a single uncut 8-join-deep
+  *    DAG), so this point is the standing evidence the
+  *    no-mid-checkpoint default doesn't hide superlinear
+  *    analysis/codegen cost (round-11 advice).
+  *  - packing → x1/x10 replicated docs (two-phase prefix sum: fixed
+  *    number of shuffles over (id,count) longs, ~linear in docs).
+  *  - rank    → q88 exact radix rank/deciles x1/x10: the claim under
+  *    test is "no corpus-sized window partition".
+  *  - inc     → "incremental_dedup": fixed batch vs x1/x10 corpus;
+  *    index build cost reported separately (stored + amortized in
+  *    production), inc_sec vs full_sec growth is the operator's claim.
+  */
+object Scaling {
+
+  /** 1-minute load average from /proc/loadavg — per-point marker so a
+    * swing is attributable to box contention from the artifact alone. */
+  def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  val sectionNames: Seq[String] = Seq("dedup", "pagerank", "packing", "rank", "inc")
+
+  /** bench.json object key per section. */
+  def jsonKey(section: String): String =
+    if (section == "dedup") "points"
+    else if (section == "inc") "incremental_dedup" else section
+
+  private def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Run one section; returns (jsonArrayBody, truncated). Points are
+    * skipped (truncated=true) once `budgetSec` of wall-clock inside
+    * this call is spent — a contended box degrades to fewer points
+    * instead of blowing the round. */
+  def runSection(spark: SparkSession, sfDir: String, section: String,
+      budgetSec: Double): (String, Boolean) = {
+    val tStart = System.nanoTime()
+    def elapsed = (System.nanoTime() - tStart) / 1e9
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val base = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang")
+    // replica r of a doc appends r replica-distinct tokens, so the
+    // n replicas form a graded near-dup family (replica 0 is the
+    // original; sequence() guarded by when — an inverted range
+    // throws). concat_ws skips the null perturbation at r=0.
+    def replicate(n: Int) = base
+      .withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
+      .select(
+        (col("doc_id") * n + col("__r")).as("doc_id"),
+        concat_ws(" ", col("text"),
+          when(col("__r") >= 1,
+            concat_ws(" ", transform(sequence(lit(1), col("__r")),
+              i => concat(lit("uq"), col("doc_id").cast("string"),
+                lit("x"), i.cast("string")))))).as("text"),
+        col("lang"))
+
+    val points = scala.collection.mutable.ListBuffer.empty[String]
+    var truncated = false
+
+    // untimed tiny-slice warmup of the section's own operator: in a
+    // fresh JVM the FIRST timed point would otherwise absorb the
+    // operator's codegen/JIT cost, inflating x1 and flattering the
+    // x1→x10 ratio — the opposite bias of the battery-contaminated
+    // curves this harness exists to kill
+    val warmSlice = base.limit(200)
+    try {
+      section match {
+        case "dedup" | "inc" =>
+          graft.ops.Dedup.minhashPairs(warmSlice, shingleSize = 3, bands = 10,
+            rowsPerBand = 5, maxJaccardDist = 0.4).count()
+          graft.ops.Dedup.deduplicate(warmSlice, maxJaccardDist = 0.4).count()
+        case "pagerank" =>
+          val we = warmSlice.select((col("doc_id") % 50).as("src"),
+            (col("doc_id") % 97).as("dst"))
+          graft.ops.PageRank.ranks(we, iterations = 2).count()
+        case "packing" =>
+          graft.ops.Packing.packSequences(warmSlice, budget = 256L).count()
+        case "rank" =>
+          val ranked = graft.ops.Ranks.exactGroupRank(warmSlice, "lang", "doc_id",
+            graft.ops.TextStats.qualityScore(col("text")))
+          graft.ops.Ranks.withQuantileBucket(ranked, "lang", buckets = 10).count()
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+    sweep(spark)
+
+    section match {
+      case "dedup" =>
+        Seq(1, 10, 30).foreach { x =>
+          if (elapsed < budgetSec) {
+            val la = loadAvg()
+            val df = if (x == 1) base else replicate(x)
+            val nDocs = df.count()
+            val (p, tp) = timed(graft.ops.Dedup.minhashPairs(df, shingleSize = 3,
+              bands = 10, rowsPerBand = 5, maxJaccardDist = 0.4).count())
+            sweep(spark)
+            val (f, tf) = timed(graft.ops.Dedup.deduplicate(df, maxJaccardDist = 0.4).count())
+            sweep(spark)
+            val perK = if (p > 0) tp / (p / 1000.0) else 0.0
+            points += f"""{"x":$x,"docs":$nDocs,"q31_pairs":$p,"q31_sec":$tp%.2f,"q31_sec_per_1k_pairs":$perK%.3f,"q55_survivors":$f,"q55_sec":$tf%.2f,"load":$la%.1f}"""
+          } else truncated = true
+        }
+
+      case "pagerank" =>
+        // q73's customer⇄supplier bipartite graph, then 10 DISJOINT
+        // copies (ids offset per replica — same per-component
+        // structure, 10× the edges and vertices)
+        val o = graft.engine.Tables.orders(spark, sfDir)
+        val l = graft.engine.Tables.lineitem(spark, sfDir)
+        val ol = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"), (col("l_suppkey") + lit(1000000L)).as("sp"))
+          .distinct()
+        val edges1 = ol.select(col("c").as("src"), col("sp").as("dst"))
+          .union(ol.select(col("sp").as("src"), col("c").as("dst")))
+        def edgesX(n: Int) = edges1
+          .withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
+          .select((col("src") + col("__r") * 10000000L).as("src"),
+            (col("dst") + col("__r") * 10000000L).as("dst"))
+        // (x, iterations): the 8-round x10 cell sits exactly at the
+        // midCheckpointAbove=8 boundary — the deepest uncut DAG the
+        // default permits — so a superlinear analysis/codegen blowup
+        // there would show against the 5-round cell's ~1.6× expected
+        // per-round scaling instead of hiding until production
+        Seq((1, 5), (10, 5), (10, 8)).foreach { case (x, iters) =>
+          if (elapsed < budgetSec) {
+            val la = loadAvg()
+            val e = if (x == 1) edges1 else edgesX(x)
+            val nEdges = e.count()
+            val (v, t) = timed(graft.ops.PageRank.ranks(e, iterations = iters).count())
+            sweep(spark)
+            points += f"""{"x":$x,"iters":$iters,"edges":$nEdges,"vertices":$v,"sec":$t%.2f,"load":$la%.1f}"""
+          } else truncated = true
+        }
+
+      case "packing" =>
+        // concat-and-cut over the replicated corpus (perturbation
+        // tokens shift counts slightly — irrelevant, only volume matters)
+        Seq(1, 10).foreach { x =>
+          if (elapsed < budgetSec) {
+            val la = loadAvg()
+            val df = if (x == 1) base else replicate(x)
+            val nDocs = df.count()
+            val (spans, t) = timed(graft.ops.Packing.packSequences(df, budget = 256L).count())
+            sweep(spark)
+            points += f"""{"x":$x,"docs":$nDocs,"span_rows":$spans,"sec":$t%.2f,"load":$la%.1f}"""
+          } else truncated = true
+        }
+
+      case "rank" =>
+        // exact radix rank/deciles (q88): the claim under test is "no
+        // corpus-sized window partition" — two-level radix counting
+        // should grow ~linearly with docs where the naive per-language
+        // window would hit a single-task sort. Repeated scores land in
+        // the same radix cell (the tie path is exercised by construction).
+        Seq(1, 10).foreach { x =>
+          if (elapsed < budgetSec) {
+            val la = loadAvg()
+            val df = if (x == 1) base else replicate(x)
+            val nDocs = df.count()
+            val (rows, t) = timed {
+              val ranked = graft.ops.Ranks.exactGroupRank(df, "lang", "doc_id",
+                graft.ops.TextStats.qualityScore(col("text")))
+              graft.ops.Ranks.withQuantileBucket(ranked, "lang", buckets = 10).count()
+            }
+            sweep(spark)
+            points += f"""{"x":$x,"docs":$nDocs,"rows":$rows,"sec":$t%.2f,"load":$la%.1f}"""
+          } else truncated = true
+        }
+
+      case "inc" =>
+        // incremental vs full dedup: the batch slice stays FIXED while
+        // the corpus side grows x1/x10. The corpus index is built and
+        // materialized FIRST and its cost reported separately — in
+        // production it is stored and amortized across increments.
+        // full_sec re-runs the whole funnel over corpus+batch; the gap
+        // between inc_sec and full_sec growth is the operator's claim.
+        val batchSlice = base.filter(col("doc_id") % 10 === 0)
+        val corpusSlice = base.filter(col("doc_id") % 10 =!= 0)
+        def corpusX(n: Int) = corpusSlice
+          .withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
+          .select((col("doc_id") * n + col("__r")).as("doc_id"),
+            concat_ws(" ", col("text"),
+              when(col("__r") >= 1,
+                concat_ws(" ", transform(sequence(lit(1), col("__r")),
+                  i => concat(lit("uq"), col("doc_id").cast("string"),
+                    lit("x"), i.cast("string")))))).as("text"),
+            col("lang"))
+        Seq(1, 10).foreach { x =>
+          if (elapsed < budgetSec) {
+            val la = loadAvg()
+            val c = if (x == 1) corpusSlice else corpusX(x)
+            val nCorpus = c.count()
+            var idx: graft.ops.Dedup.CorpusDedupIndex = null
+            val (_, tIdx) = timed {
+              idx = graft.ops.Dedup.indexCorpus(c)
+              idx.bandRows.count() + idx.shingles.count() + idx.texts.count()
+            }
+            val (adm, ti) = timed(graft.ops.Dedup.incrementalDeduplicateIndexed(
+              batchSlice, idx, maxJaccardDist = 0.4).count())
+            sweep(spark)
+            val (surv, tf) = timed(graft.ops.Dedup.deduplicate(
+              c.unionByName(batchSlice), maxJaccardDist = 0.4).count())
+            sweep(spark)
+            points += f"""{"x":$x,"corpus":$nCorpus,"index_sec":$tIdx%.2f,"admitted":$adm,"inc_sec":$ti%.2f,"full_survivors":$surv,"full_sec":$tf%.2f,"load":$la%.1f}"""
+          } else truncated = true
+        }
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown scaling section: $other")
+    }
+    (points.mkString("[", ",", "]"), truncated)
+  }
+}
+
+/** One scaling curve in a fresh JVM: `graft.ScalingChild <section>`.
+  *
+  * Forked by [[Bench]] with the parent's exact classpath and JVM
+  * flags; prints exactly one machine line to stdout —
+  * `GRAFT_SCALING_FRAGMENT <section> <truncated> <jsonArray>` — which
+  * the parent splices into bench.json's "scaling" object. Everything
+  * else (Spark chatter) goes to stderr or is suppressed at ERROR
+  * level, and the parent consumes this stdout privately (it never
+  * reaches the driver's tail capture).
+  */
+object ScalingChild {
+  def main(args: Array[String]): Unit = {
+    val section = args.headOption.getOrElse(
+      sys.error("usage: ScalingChild <section>"))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val budget = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "900").toDouble
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // same warmup as the battery: codegen/JIT + FS metadata, so the
+    // first point doesn't absorb session fixed costs (the curves
+    // compare points WITHIN this JVM; the cold start is constant)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    val (json, truncated) = Scaling.runSection(spark, sfDir, section, budget)
+    spark.stop()
+    println(s"GRAFT_SCALING_FRAGMENT $section $truncated $json")
+    System.out.flush()
+  }
+}
