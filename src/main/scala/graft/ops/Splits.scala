@@ -179,6 +179,33 @@ object Splits {
       .select(col(groupCol), col(idCol), col("hv"), col("n_tok"), col("start"))
   }
 
+  /** Per-domain admission cap: keep at most `k` rows per group, chosen
+    * in deterministic hash order ([[sampleKPerGroup]]'s
+    * smallest-id-hash-wins draw) — the "at most k documents per
+    * registered domain" rule real curation runs BEFORE content dedup,
+    * so one crawl-heavy domain can't dominate the mixture. Unlike a
+    * quota fed by arrival order, admission is a pure function of the
+    * (group, id) set: stable across clusters, reruns, and appends
+    * (a new id displaces the current rank-k row only if it hashes
+    * lower).
+    *
+    * Skew story: hot domains are EXACTLY the skew case — a domain with
+    * 10^9 docs meets one with 10^2 — and the selection inherits
+    * [[TopKAgg]]'s bounded-heap shape: map-side partial heaps cap the
+    * shuffle at groups × k entries no matter how hot a domain is, the
+    * same clique-to-star stance as the dedup band cap. The admit join
+    * back to full rows is (group, id)-keyed and sized by the admitted
+    * set (≤ groups × k), which AQE broadcasts when small.
+    *
+    * Returns the input rows of admitted documents plus (rk, hv) for
+    * oracle replay. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame =
+    df.join(
+      sampleKPerGroup(df, groupCol, idCol, k)
+        .select(col(groupCol), col(idCol), col("rk"), col("hv")),
+      Seq(groupCol, idCol))
+
   /** Deterministic k-per-group sample: within each group, keep the k
     * rows with the SMALLEST id hash (full 32-bit Knuth multiply; ties
     * by ascending id) — the stable way to draw a fixed-size eval/probe

@@ -594,17 +594,19 @@ object Round11 {
     * keep/drop decision and the first failing rule — the Gopher-style
     * policy gate a pipeline actually runs, built by composing the
     * oracle-green signal operators (q15 token counts, q17 quality,
-    * q63 repetition, q95 duplicated-span fraction). Rule order is the
+    * q63 repetition, q95 duplicated-span fraction, and — round 12 —
+    * the q105 hashed-linear-classifier score). Rule order is the
     * contract: too_short → too_long → low_quality → repetitive →
-    * duplicated; `reason` is null iff kept. Every signal expression
-    * is already replayed bit-exactly by its own oracle, so the CASE
-    * precedence is the only new logic the q101 oracle adds. */
+    * duplicated → classifier; `reason` is null iff kept. Every signal
+    * expression is already replayed bit-exactly by its own oracle, so
+    * the CASE precedence is the only new logic the q101 oracle adds. */
   private def q101(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.TextStats
     val docs = Tables.documents(s, dir)
     val base = docs.select(col("doc_id"),
       TextStats.tokenCount(col("text")).as("n_tokens"),
-      TextStats.qualityScore(col("text")).as("quality"))
+      TextStats.qualityScore(col("text")).as("quality"),
+      graft.ops.Classifier.hashedLinearScore(col("text")).as("clf_score"))
     val rep = TextStats.repetitionStats(docs)
       .select(col("doc_id"), col("dup_gram_frac"))
     val dup = Dedup.duplicatedSpanFraction(docs)
@@ -613,13 +615,14 @@ object Round11 {
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("quality"),
         coalesce(col("dup_gram_frac"), lit(0.0)).as("dup_gram_frac"),
-        col("dup_fraction"))
+        col("dup_fraction"), col("clf_score"))
       .withColumn("reason",
         when(col("n_tokens") < 20, "too_short")
           .when(col("n_tokens") > 1000, "too_long")
           .when(col("quality") < 0.55, "low_quality")
           .when(col("dup_gram_frac") > 0.10, "repetitive")
-          .when(col("dup_fraction") > 0.5, "duplicated"))
+          .when(col("dup_fraction") > 0.5, "duplicated")
+          .when(col("clf_score") < 0L, "classifier"))
       .withColumn("kept", col("reason").isNull)
       .orderBy("doc_id")
   }
@@ -673,26 +676,39 @@ object Round11 {
        |  FROM isl2 GROUP BY doc_id, island
        |),
        |per AS (SELECT doc_id, SUM(covered) AS dup_tokens FROM cov GROUP BY doc_id),
+       |clf AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(list_filter(tk, x -> length(x) > 0), tok ->
+       |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, length(tok)+1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+       |        (acc, c) -> (acc * 131 + c) % 1000000007) % 64) * 2654435761) % 4294967296 % 1001 - 500
+       |    )) AS BIGINT) AS clf_score
+       |  FROM t
+       |),
        |joined AS (
        |  SELECT b.doc_id, b.n_tokens, b.quality,
        |    COALESCE(rep.dup_gram_frac, 0.0) AS dup_gram_frac,
-       |    CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_fraction
+       |    CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_fraction,
+       |    clf.clf_score
        |  FROM base b
        |  LEFT JOIN rep ON b.doc_id = rep.doc_id
        |  LEFT JOIN per ON b.doc_id = per.doc_id
+       |  JOIN clf ON b.doc_id = clf.doc_id
        |)
-       |SELECT doc_id, n_tokens, quality, dup_gram_frac, dup_fraction,
+       |SELECT doc_id, n_tokens, quality, dup_gram_frac, dup_fraction, clf_score,
        |  CASE WHEN n_tokens < 20 THEN 'too_short'
        |       WHEN n_tokens > 1000 THEN 'too_long'
        |       WHEN quality < 0.55 THEN 'low_quality'
        |       WHEN dup_gram_frac > 0.10 THEN 'repetitive'
        |       WHEN dup_fraction > 0.5 THEN 'duplicated'
+       |       WHEN clf_score < 0 THEN 'classifier'
        |  END AS reason,
        |  (CASE WHEN n_tokens < 20 THEN 'too_short'
        |       WHEN n_tokens > 1000 THEN 'too_long'
        |       WHEN quality < 0.55 THEN 'low_quality'
        |       WHEN dup_gram_frac > 0.10 THEN 'repetitive'
        |       WHEN dup_fraction > 0.5 THEN 'duplicated'
+       |       WHEN clf_score < 0 THEN 'classifier'
        |  END) IS NULL AS kept
        |FROM joined
        |ORDER BY doc_id""".stripMargin

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Round-12 battery additions: subword tokenization (q104), the
+  * hashed-linear-classifier quality gate (q105), and per-domain
+  * admission caps (q106). All reference-scope-none LLM-pipeline
+  * extensions (SURVEY §8). */
+object Round12 {
+
+  // ---------------------------------------------------------------- q104
+  /** WordPiece-style greedy longest-match subword stats
+    * ([[graft.text.Subword]]): per document, whitespace-word count,
+    * subword-piece count against a top-10 corpus vocabulary (pieces =
+    * vocab tokens + their proper suffixes + char fallback), and UNK
+    * word count. The 31-token synthetic corpus against a 10-token
+    * vocab exercises every path: whole-token match, multi-char suffix
+    * continuations, char fallback, and UNK (words containing letters
+    * absent from the vocab alphabet).
+    *
+    * Engine: bounded driver-side vocab fit + one codegen'd map-only
+    * pass (the piece sets ride the plan as a reference object). The
+    * oracle replays the greedy loop as a list_reduce fold over word
+    * positions — state packed into one BIGINT (unk·10¹² + pieces·10⁶
+    * + pos) because DuckDB's fold accumulator must match the element
+    * type. */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    graft.text.Subword.subwordStats(Tables.documents(s, dir), vocabN = 10)
+      .orderBy("doc_id")
+
+  private val q104Sql =
+    """WITH
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT tok AS token, COUNT(*) AS cnt
+      |    FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+      |    GROUP BY tok
+      |    ORDER BY cnt DESC, token
+      |    LIMIT 10
+      |  )
+      |),
+      |chars AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, length(token)+1),
+      |    i -> substr(token, CAST(i AS INT), 1))) AS piece FROM vocab
+      |),
+      |sufs AS (
+      |  SELECT DISTINCT unnest(list_transform(range(2, length(token)+1),
+      |    i -> substr(token, CAST(i AS INT)))) AS piece FROM vocab WHERE length(token) >= 2
+      |),
+      |starts AS (SELECT DISTINCT piece FROM (SELECT token AS piece FROM vocab UNION SELECT piece FROM chars)),
+      |conts  AS (SELECT DISTINCT piece FROM (SELECT piece FROM sufs UNION SELECT piece FROM chars)),
+      |plists AS (
+      |  SELECT (SELECT list(piece ORDER BY piece) FROM starts) AS sl,
+      |         (SELECT list(piece ORDER BY piece) FROM conts)  AS cl
+      |),
+      |words AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+      |),
+      |dwords AS (SELECT DISTINCT tok FROM words),
+      |dstats AS (
+      |  SELECT tok,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT), list_transform(range(length(tok)), i -> CAST(i AS BIGINT))),
+      |      (acc, i) -> CASE
+      |        WHEN acc >= 1000000000000 OR i < acc % 1000000 THEN acc
+      |        WHEN list_max(list_transform(CASE WHEN i = 0 THEN sl ELSE cl END,
+      |              p -> CASE WHEN substr(tok, CAST(i AS INT)+1, length(p)) = p THEN length(p) END)) IS NULL
+      |          THEN CAST(1000000000000 AS BIGINT) + length(tok)
+      |        ELSE acc + 1000000 + list_max(list_transform(CASE WHEN i = 0 THEN sl ELSE cl END,
+      |              p -> CASE WHEN substr(tok, CAST(i AS INT)+1, length(p)) = p THEN length(p) END))
+      |      END) AS st
+      |  FROM dwords, plists
+      |),
+      |perword AS (
+      |  SELECT tok,
+      |    CASE WHEN st >= 1000000000000 THEN 1 ELSE (st // 1000000) % 1000000 END AS np,
+      |    CASE WHEN st >= 1000000000000 THEN 1 ELSE 0 END AS unk
+      |  FROM dstats
+      |)
+      |SELECT w.doc_id,
+      |  COUNT(*) AS n_words,
+      |  CAST(SUM(p.np) AS BIGINT) AS n_pieces,
+      |  CAST(SUM(p.unk) AS BIGINT) AS n_unk_words
+      |FROM words w JOIN perword p USING (tok)
+      |GROUP BY w.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q105
+  /** Hashed-linear-classifier quality gate ([[graft.ops.Classifier]]):
+    * integer polynomial-hash features, Knuth-derived integer weights,
+    * BIGINT score, keep iff score ≥ 0 — the C4/fastText-style model
+    * gate with every arithmetic step replayable in DuckDB. */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Classifier.scoreDocs(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val q105Sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0) AS tk
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(tk) AS BIGINT) AS n_tok,
+      |  CAST(list_sum(list_transform(tk, tok ->
+      |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) % 64) * 2654435761) % 4294967296 % 1001 - 500
+      |  )) AS BIGINT) AS score,
+      |  CAST(list_sum(list_transform(tk, tok ->
+      |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) % 64) * 2654435761) % 4294967296 % 1001 - 500
+      |  )) AS BIGINT) >= 0 AS kept
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q106
+  /** Per-domain admission cap ([[graft.ops.Splits.capPerGroup]]):
+    * at most 10 documents per source, admitted in deterministic hash
+    * order — binds on every source of the uniform synthetic layout.
+    * The oracle replays the q85 Knuth-multiply rank with a window;
+    * the engine side exists because that window re-shuffles the
+    * corpus at 100 TB where the bounded-heap TopKAgg ships
+    * groups × k entries. */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.capPerGroup(Tables.documents(s, dir), "source", "doc_id", k = 10)
+      .select("source", "rk", "doc_id", "hv", "lang")
+      .orderBy("source", "rk")
+
+  private val q106Sql =
+    """WITH h AS (
+      |  SELECT source, lang, doc_id,
+      |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      |         % 4294967296 AS BIGINT) AS hv
+      |  FROM documents
+      |)
+      |SELECT source, rk, doc_id, hv, lang FROM (
+      |  SELECT source, lang, doc_id, hv,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS INTEGER) AS rk
+      |  FROM h)
+      |WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q104_subword_stats", q104, Some(q104Sql)),
+    QueryDef("q105_classifier_gate", q105, Some(q105Sql)),
+    QueryDef("q106_domain_cap", q106, Some(q106Sql)))
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Classifier, Splits}
+import graft.text.{Subword, SubwordVocab}
+
+class Round12OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------- Subword
+  // Vocab {join, hash} derives:
+  //   starts = {join, hash} ∪ chars {j,o,i,n,h,a,s}
+  //   conts  = proper suffixes {oin,in,n,ash,sh,h} ∪ the same chars
+  private lazy val vocab = SubwordVocab.build(Seq("join", "hash"))
+
+  test("subword: whole-vocab token is one piece") {
+    assert(vocab.stats("join").toSeq === Seq(1L, 1L, 0L))
+  }
+
+  test("subword: char continuation after whole-token match (joins = join+s)") {
+    assert(vocab.stats("joins").toSeq === Seq(1L, 2L, 0L))
+  }
+
+  test("subword: greedy multi-char suffix continuation (nosh = n+o+sh)") {
+    // pos0: no vocab token prefixes "nosh" → char 'n'; pos1: conts have
+    // no 'os*' piece → char 'o'; pos2: 'sh' (suffix of hash) beats 'h'
+    assert(vocab.stats("nosh").toSeq === Seq(1L, 3L, 0L))
+  }
+
+  test("subword: longest start beats char, continuation restarts greedy (hashjoin)") {
+    // pos0: 'hash' (len 4) beats 'h'; 'join' is NOT a continuation
+    // piece (starts only), so: 'j' char, then suffix 'oin' → 3 pieces
+    assert(vocab.stats("hashjoin").toSeq === Seq(1L, 3L, 0L))
+  }
+
+  test("subword: letter outside the vocab alphabet → UNK, one piece") {
+    assert(vocab.stats("wash").toSeq === Seq(1L, 1L, 1L)) // 'w' unmatched
+  }
+
+  test("subword: whole text sums words/pieces/unks; empty split artifacts count 0 pieces") {
+    // " join" splits to ["", "join"]: 2 words, empty word adds nothing
+    assert(vocab.stats(" join").toSeq === Seq(2L, 1L, 0L))
+    assert(vocab.stats("join joins wash nosh").toSeq === Seq(4L, 1 + 2 + 1 + 3L, 1L))
+  }
+
+  test("subword: DataFrame op matches the direct vocab computation") {
+    val docs = Seq(
+      (0L, "join hash join"),
+      (1L, "joins nosh"),
+      (2L, "wash wash join")
+    ).toDF("doc_id", "text")
+    // vocabN=2 over this corpus yields {join, hash}: join appears 3x,
+    // hash 1x, wash 2x... so top-2 by (cnt desc, token asc) = join(3), wash(2)
+    val got = Subword.subwordStats(docs, vocabN = 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // vocab {join, wash}: alphabet {j,o,i,n,w,a,s,h}, conts
+    // {oin,in,n,ash,sh,h} ∪ chars
+    val v2 = SubwordVocab.build(Seq("join", "wash"))
+    val expect = Seq(
+      (0L, "join hash join"),
+      (1L, "joins nosh"),
+      (2L, "wash wash join")
+    ).map { case (id, t) =>
+      val s = v2.stats(t); (id, s(0), s(1), s(2))
+    }
+    assert(got.toSeq === expect)
+  }
+
+  // ------------------------------------------------------- Classifier
+  test("classifier: score is the sum of per-token bucket weights, hand-checked") {
+    // h("ab") = (0*131+97)*131 + 98 mod p = 12805; bucket = 12805 % 64 = 5
+    // w(5) = (5*2654435761) % 2^32 % 1001 - 500
+    val h = (97L * 131 + 98) % 1000000007L
+    assert(h === 12805L)
+    val w = (h % 64) * 2654435761L % 4294967296L % 1001L - 500L
+    val got = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val row = Classifier.scoreDocs(got).collect().head
+    assert(row.getLong(1) === 2L)
+    assert(row.getLong(2) === 2 * w)
+    assert(row.getBoolean(3) === (2 * w >= 0))
+  }
+
+  test("classifier: empty tokens are excluded; empty text scores 0 and is kept") {
+    val df = Seq((0L, ""), (1L, "  "), (2L, "x")).toDF("doc_id", "text")
+    val rows = Classifier.scoreDocs(df).orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) === 0L && rows(0).getLong(2) === 0L && rows(0).getBoolean(3))
+    assert(rows(1).getLong(1) === 0L && rows(1).getLong(2) === 0L)
+    assert(rows(2).getLong(1) === 1L)
+  }
+
+  test("classifier: score is stable under repartitioning (pure function of text)") {
+    val docs = (0L until 50L).map(i => (i, s"tok$i alpha beta$i")).toDF("doc_id", "text")
+    val a = Classifier.scoreDocs(docs).orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    val b = Classifier.scoreDocs(docs.repartition(7)).orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    assert(a === b)
+  }
+
+  // ------------------------------------------------------ capPerGroup
+  test("capPerGroup admits at most k per group, in sampleKPerGroup's hash order") {
+    val docs = (0L until 40L).map(i => (i, s"g${i % 2}", s"text $i"))
+      .toDF("doc_id", "grp", "text")
+    val capped = Splits.capPerGroup(docs, "grp", "doc_id", k = 3)
+    assert(capped.count() === 6L)
+    assert(capped.groupBy("grp").count().collect().forall(_.getLong(1) === 3L))
+    // original columns survive, and the admitted set matches the sampler
+    assert(capped.columns.toSet === Set("grp", "doc_id", "text", "rk", "hv"))
+    val expect = Splits.sampleKPerGroup(docs, "grp", "doc_id", 3)
+      .select("grp", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = capped.select("grp", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+  }
+
+  test("capPerGroup admission is append-stable: a kept id stays unless displaced by a lower hash") {
+    val docs = (0L until 30L).map(i => (i, "g", i.toString)).toDF("doc_id", "grp", "text")
+    val before = Splits.capPerGroup(docs, "grp", "doc_id", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val more = (0L until 60L).map(i => (i, "g", i.toString)).toDF("doc_id", "grp", "text")
+    val after = Splits.capPerGroup(more, "grp", "doc_id", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // appends can only displace, never reorder survivors arbitrarily:
+    // every row kept after the append was either kept before or is new
+    assert(after.forall(id => before.contains(id) || id >= 30L))
+  }
+}
