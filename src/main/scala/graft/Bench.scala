@@ -169,8 +169,21 @@ object Bench {
       }
 
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"peak_storage_mb":${peakStorageBytes / 1048576},"leaked_cached_rdds":$leakedAfterBattery,"swept_rdds":$sweptJson,"queries":$qs,"stats":$stats,"failed":$failed$q90Phases,"sf":"$sfDir"$scaling}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (json + "\n").getBytes("UTF-8"))
+    // SCALING_ONLY reruns refresh ONLY the scaling section of an
+    // existing bench.json (the battery numbers in it stay those of the
+    // real battery run) — the curves come from forked fresh JVMs
+    // either way, so splicing is exactly as honest as running both in
+    // one invocation, and it lets a contended-window curve be redone
+    // without re-paying 106 queries × 3 passes
+    val benchPath = java.nio.file.Paths.get("bench.json")
+    val fileJson =
+      if (scalingOnly && scaling.nonEmpty && java.nio.file.Files.exists(benchPath)) {
+        val old = new String(java.nio.file.Files.readAllBytes(benchPath), "UTF-8").trim
+        val cut = old.indexOf(""","scaling":""")
+        val base = if (cut >= 0) old.substring(0, cut) else old.stripSuffix("}")
+        base + scaling + "}"
+      } else json
+    try java.nio.file.Files.write(benchPath, (fileJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench.json: ${e.getMessage}") }
     System.err.println(f"[bench] peak storage ${peakStorageBytes / 1048576} MB; persistent RDDs after battery: $leakedAfterBattery; swept: $sweptJson")
