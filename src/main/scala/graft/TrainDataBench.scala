@@ -4,14 +4,15 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.{Chunking, Dedup, Packing, Splits, TextStats}
+import graft.ops.{Chunking, Classifier, Dedup, Packing, Splits, TextStats}
 import graft.util.Timing
 
 /** End-to-end training-data pipeline over the documents corpus — the
   * LLM-data-prep shape this engine adds beyond the reference:
   *
-  *   load → dedup funnel (exact → MinHash → connected components) →
-  *   quality + language annotation → quality gate → sliding-window
+  *   load → per-domain admission cap (hash-order, ≤k per source) →
+  *   dedup funnel (exact → MinHash → connected components) →
+  *   quality + classifier annotation → combined gate → sliding-window
   *   chunking → stable train/val/test split → concat-and-cut packing
   *   of the train chunks into fixed-token training sequences →
   *   parquet partitioned by split.
@@ -37,8 +38,19 @@ object TrainDataBench {
     val docs = Tables.documents(spark, sfDir)
     val nRaw = docs.count()
 
+    // per-domain cap BEFORE content dedup — the real-pipeline order
+    // (one crawl-heavy domain must not dominate what dedup then sees);
+    // hash-order admission keeps the cut deterministic across reruns
+    val (capped, capS) = Timing.timed {
+      val c = Splits.capPerGroup(docs, "source", "doc_id", k = 200)
+        .select(docs.columns.map(col): _*).cache()
+      c.count()
+      c
+    }
+    val nCapped = capped.count()
+
     val (kept, dedupS) = Timing.timed {
-      val k = Dedup.deduplicate(docs, maxJaccardDist = 0.4).cache()
+      val k = Dedup.deduplicate(capped, maxJaccardDist = 0.4).cache()
       k.count()
       k
     }
@@ -48,9 +60,12 @@ object TrainDataBench {
       val g = kept.select(
           col("doc_id"), col("text"), col("lang"),
           TextStats.qualityScore(col("text")).as("quality"),
+          Classifier.hashedLinearScore(col("text")).as("clf_score"),
           TextStats.predictedLang(col("text")).as("lang_pred"),
           TextStats.bagFingerprint(col("text")).as("fingerprint"))
-        .filter(col("quality") >= 0.5) // gates ~p10 of this corpus
+        // heuristic gate ~p10 of this corpus; the classifier gate is
+        // the q105 model stand-in — both one map-only pass
+        .filter(col("quality") >= 0.5 && col("clf_score") >= -3000L)
         .cache()
       g.count()
       g
@@ -92,12 +107,13 @@ object TrainDataBench {
     val splitCounts = spark.read.parquet(out).groupBy("split").count()
       .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
       .mkString("{", ",", "}")
-    val total = dedupS + qualS + chunkS + packS + writeS
+    val total = capS + dedupS + qualS + chunkS + packS + writeS
     println(
-      s"""{"metric":"traindata_pipeline","raw_docs":$nRaw,"after_dedup":$nKept,""" +
+      s"""{"metric":"traindata_pipeline","raw_docs":$nRaw,"after_cap":$nCapped,""" +
+        s""""after_dedup":$nKept,""" +
         s""""after_quality":$nGated,"chunks":$nChunks,"splits":$splitCounts,""" +
         s""""train_pack_rows":$nPackRows,"train_seqs":$nSeqs,""" +
-        s""""dedup_s":${f"$dedupS%.1f"},"quality_s":${f"$qualS%.1f"},""" +
+        s""""cap_s":${f"$capS%.1f"},"dedup_s":${f"$dedupS%.1f"},"quality_s":${f"$qualS%.1f"},""" +
         s""""chunk_s":${f"$chunkS%.1f"},"pack_s":${f"$packS%.1f"},""" +
         s""""write_s":${f"$writeS%.1f"},"total_s":${f"$total%.1f"}}""")
     spark.stop()
