@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,14 +37,22 @@ object Packing {
 
   /** @param budget     tokens per packed training sequence
     * @param bucketSpan id range per prefix-sum bucket (phase-1 width)
+    * @param countExpr  per-document token-count expression; defaults
+    *                   to the whitespace [[TextStats.tokenCount]].
+    *                   Real budgets are SUBWORD counts — pass e.g. the
+    *                   n_pieces element of [[graft.text.Subword]]'s
+    *                   stats to pack in model-token units (q107); any
+    *                   deterministic long expression keeps the packing
+    *                   bit-reproducible.
     */
   def packSequences(docs: DataFrame, budget: Long,
       idCol: String = "doc_id", textCol: String = "text",
-      bucketSpan: Long = 1L << 20): DataFrame = {
+      bucketSpan: Long = 1L << 20,
+      countExpr: Option[Column] = None): DataFrame = {
     require(budget > 0 && bucketSpan > 0)
     val counted = docs.select(
       col(idCol).cast("long").as("doc_id"),
-      TextStats.tokenCount(col(textCol)).as("n_tok"))
+      countExpr.getOrElse(TextStats.tokenCount(col(textCol))).as("n_tok"))
     // `div` = exact integer division (a double-based floor(a/b) would
     // drift above 2^53 ids/tokens)
     val bucketed = counted.withColumn("bucket", expr(s"doc_id div $bucketSpan"))

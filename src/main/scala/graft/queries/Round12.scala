@@ -144,8 +144,102 @@ object Round12 {
       |WHERE rk <= 10
       |ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Sequence packing in SUBWORD units ([[graft.ops.Packing
+    * .packSequences]] with the q104 piece count plugged in as
+    * `countExpr`): real training budgets are model tokens, not
+    * whitespace words, and this composes the two oracle-green halves
+    * end-to-end — the subword expression runs inside packing's
+    * phase-1 count projection, so the whole count+pack pipeline stays
+    * one map pass plus the two-phase prefix sum. Budget 128 (vs
+    * q82's 256) exercises a different cut cadence. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocabTokens = graft.ops.TextStats.vocabTopN(docs, 10)
+      .orderBy("rank").collect().map(_.getString(1)).toIndexedSeq
+    val v = graft.text.SubwordVocab.build(vocabTokens)
+    val pieces = element_at(
+      graft.text.Subword.statsCol(col("text"), v), 2)
+    graft.ops.Packing.packSequences(docs, budget = 128L,
+        countExpr = Some(pieces))
+      .orderBy("seq_id", "doc_id")
+  }
+
+  /** q104's per-word greedy replay feeding q82's packing replay —
+    * per-doc piece totals (UNK words count 1) become the n_tok stream
+    * the LATERAL range cut consumes. */
+  private val q107Sql =
+    """WITH
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT tok AS token, COUNT(*) AS cnt
+      |    FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
+      |    GROUP BY tok
+      |    ORDER BY cnt DESC, token
+      |    LIMIT 10
+      |  )
+      |),
+      |chars AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, length(token)+1),
+      |    i -> substr(token, CAST(i AS INT), 1))) AS piece FROM vocab
+      |),
+      |sufs AS (
+      |  SELECT DISTINCT unnest(list_transform(range(2, length(token)+1),
+      |    i -> substr(token, CAST(i AS INT)))) AS piece FROM vocab WHERE length(token) >= 2
+      |),
+      |starts AS (SELECT DISTINCT piece FROM (SELECT token AS piece FROM vocab UNION SELECT piece FROM chars)),
+      |conts  AS (SELECT DISTINCT piece FROM (SELECT piece FROM sufs UNION SELECT piece FROM chars)),
+      |plists AS (
+      |  SELECT (SELECT list(piece ORDER BY piece) FROM starts) AS sl,
+      |         (SELECT list(piece ORDER BY piece) FROM conts)  AS cl
+      |),
+      |words AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
+      |),
+      |dwords AS (SELECT DISTINCT tok FROM words),
+      |dstats AS (
+      |  SELECT tok,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT), list_transform(range(length(tok)), i -> CAST(i AS BIGINT))),
+      |      (acc, i) -> CASE
+      |        WHEN acc >= 1000000000000 OR i < acc % 1000000 THEN acc
+      |        WHEN list_max(list_transform(CASE WHEN i = 0 THEN sl ELSE cl END,
+      |              p -> CASE WHEN substr(tok, CAST(i AS INT)+1, length(p)) = p THEN length(p) END)) IS NULL
+      |          THEN CAST(1000000000000 AS BIGINT) + length(tok)
+      |        ELSE acc + 1000000 + list_max(list_transform(CASE WHEN i = 0 THEN sl ELSE cl END,
+      |              p -> CASE WHEN substr(tok, CAST(i AS INT)+1, length(p)) = p THEN length(p) END))
+      |      END) AS st
+      |  FROM dwords, plists
+      |),
+      |perword AS (
+      |  SELECT tok,
+      |    CASE WHEN st >= 1000000000000 THEN 1 ELSE (st // 1000000) % 1000000 END AS np
+      |  FROM dstats
+      |),
+      |counted AS (
+      |  SELECT w.doc_id, CAST(SUM(p.np) AS BIGINT) AS n_tok
+      |  FROM words w JOIN perword p USING (tok)
+      |  GROUP BY w.doc_id
+      |),
+      |placed AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM counted
+      |)
+      |SELECT s.seq_id, doc_id,
+      |  GREATEST(start, s.seq_id * 128) - start AS doc_off,
+      |  GREATEST(start, s.seq_id * 128) - s.seq_id * 128 AS seq_off,
+      |  LEAST(start + n_tok, (s.seq_id + 1) * 128)
+      |    - GREATEST(start, s.seq_id * 128) AS len
+      |FROM placed, LATERAL (
+      |  SELECT unnest(range(start // 128, (start + n_tok - 1) // 128 + 1)) AS seq_id) s
+      |WHERE n_tok > 0
+      |ORDER BY seq_id, doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q104_subword_stats", q104, Some(q104Sql)),
     QueryDef("q105_classifier_gate", q105, Some(q105Sql)),
-    QueryDef("q106_domain_cap", q106, Some(q106Sql)))
+    QueryDef("q106_domain_cap", q106, Some(q106Sql)),
+    QueryDef("q107_subword_packing", q107, Some(q107Sql)))
 }

@@ -98,6 +98,26 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  // -------------------------------------------- packing w/ countExpr
+  test("packSequences countExpr overrides the whitespace count (subword-budget packing)") {
+    import graft.ops.Packing
+    // three docs of 3/4/5 "units" under a custom count; budget 6 cuts
+    // the 12-unit stream at 6: doc0 [0,3), doc1 [3,7) crosses, doc2 [7,12)
+    val docs = Seq((0L, "aaa"), (1L, "bbbb"), (2L, "ccccc")).toDF("doc_id", "text")
+    val spans = Packing.packSequences(docs, budget = 6L,
+        countExpr = Some(length(col("text")).cast("long")))
+      .orderBy("seq_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq === Seq(
+      (0L, 0L, 0L, 0L, 3L),  // doc0 fully in seq0 at offset 0
+      (0L, 1L, 0L, 3L, 3L),  // doc1 first 3 units fill seq0
+      (1L, 1L, 3L, 0L, 1L),  // doc1 last unit opens seq1
+      (1L, 2L, 0L, 1L, 5L))) // doc2 after it
+    // default count still the whitespace tokenCount: same docs = 1 token each
+    val d = Packing.packSequences(docs, budget = 2L).collect()
+    assert(d.map(_.getLong(4)).sum === 3L)
+  }
+
   // ------------------------------------------------------ capPerGroup
   test("capPerGroup admits at most k per group, in sampleKPerGroup's hash order") {
     val docs = (0L until 40L).map(i => (i, s"g${i % 2}", s"text $i"))
