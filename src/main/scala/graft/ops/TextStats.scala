@@ -215,6 +215,40 @@ object TextStats {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** Vocabulary coverage curve: for each rank r in the top-`n` vocab,
+    * the cumulative count and fraction of ALL token occurrences
+    * covered by ranks 1..r — the curve that sizes a tokenizer
+    * vocabulary ("how big must the vocab be for 95% coverage?").
+    * Returns (rank, token, cnt, cum_cnt, total_cnt, coverage).
+    *
+    * Scale shape: one map-side-combined token count feeds BOTH the
+    * top-n heap ([[vocabTopN]]'s TakeOrderedAndProject) and a single
+    * scalar total (sum of the same aggregate — no second corpus
+    * pass over raw text); the cumulative window runs over the
+    * already-bounded n rows. Integer counts throughout; the one
+    * double (coverage) is a single division per row, identical in
+    * any engine. */
+  def vocabCoverage(docs: DataFrame, n: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total_cnt"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(n)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        Window.orderBy(col("cnt").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    top.crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"), col("cum_cnt"),
+        col("total_cnt"),
+        (col("cum_cnt").cast(DoubleType) / col("total_cnt").cast(DoubleType))
+          .as("coverage"))
+  }
+
   /** Per-document out-of-vocabulary rate against the [[vocabTopN]]
     * corpus vocabulary: (id, n_tokens, n_oov, oov_frac) where a token
     * OCCURRENCE is OOV iff its text is outside the top-`n` vocab —

@@ -237,9 +237,43 @@ object Round12 {
       |WHERE n_tok > 0
       |ORDER BY seq_id, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Vocabulary coverage curve ([[graft.ops.TextStats.vocabCoverage]]):
+    * cumulative corpus coverage of the top-r vocab for r = 1..20 —
+    * the vocab-sizing curve. The window runs over 20 rows; the only
+    * corpus-sized work is the shared token count. Coverage divides
+    * two exact BIGINTs once per row, so the doubles agree bit-for-bit
+    * across engines. */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.vocabCoverage(Tables.documents(s, dir), n = 20)
+      .orderBy("rank")
+
+  private val q108Sql =
+    """WITH c AS (
+      |  SELECT tok AS token, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY tok
+      |),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_cnt FROM c),
+      |top AS (
+      |  SELECT token, cnt,
+      |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+      |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+      |  FROM c
+      |  ORDER BY cnt DESC, token
+      |  LIMIT 20
+      |)
+      |SELECT rank, token, cnt, cum_cnt, total_cnt,
+      |  CAST(cum_cnt AS DOUBLE) / CAST(total_cnt AS DOUBLE) AS coverage
+      |FROM top, tot
+      |ORDER BY rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q104_subword_stats", q104, Some(q104Sql)),
     QueryDef("q105_classifier_gate", q105, Some(q105Sql)),
     QueryDef("q106_domain_cap", q106, Some(q106Sql)),
-    QueryDef("q107_subword_packing", q107, Some(q107Sql)))
+    QueryDef("q107_subword_packing", q107, Some(q107Sql)),
+    QueryDef("q108_vocab_coverage", q108, Some(q108Sql)))
 }

@@ -118,6 +118,19 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(d.map(_.getLong(4)).sum === 3L)
   }
 
+  // ---------------------------------------------------- vocabCoverage
+  test("vocabCoverage: cumulative counts and fractions, deterministic tie order") {
+    import graft.ops.TextStats
+    // counts: a=3, b=2, c=1 → total 6; ties impossible here
+    val docs = Seq((0L, "a b a"), (1L, "a b c")).toDF("doc_id", "text")
+    val got = TextStats.vocabCoverage(docs, n = 2).orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (1, "a", 3L, 3L, 6L, 0.5),
+      (2, "b", 2L, 5L, 6L, 5.0 / 6.0)))
+  }
+
   // ------------------------------------------------------ capPerGroup
   test("capPerGroup admits at most k per group, in sampleKPerGroup's hash order") {
     val docs = (0L until 40L).map(i => (i, s"g${i % 2}", s"text $i"))
