@@ -223,11 +223,14 @@ object TextStats {
     *
     * Scale shape: one map-side-combined token count feeds BOTH the
     * top-n heap ([[vocabTopN]]'s TakeOrderedAndProject) and a single
-    * scalar total (sum of the same aggregate — no second corpus
-    * pass over raw text); the cumulative window runs over the
-    * already-bounded n rows. Integer counts throughout; the one
-    * double (coverage) is a single division per row, identical in
-    * any engine. */
+    * scalar total. The static plan prints the count subtree twice
+    * (Spark shares no subplans without caching), but both partial-agg
+    * exchanges are canonically identical, so AQE's stage cache
+    * materializes ONE shuffle stage and the second branch reuses it —
+    * the corpus is scanned once at runtime. The cumulative window
+    * runs over the already-bounded n rows. Integer counts throughout;
+    * the one double (coverage) is a single division per row,
+    * identical in any engine. */
   def vocabCoverage(docs: DataFrame, n: Int = 100,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
