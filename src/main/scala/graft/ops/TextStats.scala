@@ -159,6 +159,36 @@ object TextStats {
         ((total - distinctN).cast(DoubleType) / total.cast(DoubleType)).as("dup_gram_frac"))
   }
 
+  /** Multi-n repetition profile: per document, the duplicate-gram
+    * fraction at several gram sizes in ONE map-only projection —
+    * the Gopher-style repetition battery runs 2..4-gram signals
+    * together, and computing them in one pass keeps the cost a single
+    * scan regardless of how many sizes are profiled (vs one
+    * [[repetitionStats]] pass + join per n). Documents shorter than n
+    * tokens yield NULL for that size (matching the SQL CASE guard);
+    * the conditional branch keeps the inverted-range `sequence()`
+    * from ever evaluating. */
+  def repetitionProfile(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val fracs = ns.map { n =>
+      val grams =
+        if (n == 1) col("__toks")
+        else transform(
+          sequence(lit(0), size(col("__toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(col("__toks"), i + j + 1)): _*))
+      val total = size(grams).cast(LongType)
+      val distinctN = size(array_distinct(grams)).cast(LongType)
+      when(size(col("__toks")) >= n,
+        (total - distinctN).cast(DoubleType) / total.cast(DoubleType))
+        .as(s"dup_frac_$n")
+    }
+    base.select(col(idCol) +:
+      size(col("__toks")).cast(LongType).as("n_tok") +: fracs: _*)
+  }
+
   /** Corpus-statistics document scoring — the integer-exact stand-in
     * for perplexity filtering (the KenLM gate of C4/CCNet-style
     * pipelines): a document whose token occurrences are all

@@ -270,10 +270,91 @@ object Round12 {
       |FROM top, tot
       |ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Per-source calibrated quality percentile ([[graft.ops.Ranks
+    * .exactGroupRank]] over `source`): a global quality threshold
+    * over-prunes sources whose score DISTRIBUTION sits low (different
+    * boilerplate, different length mix), so real gates calibrate
+    * per source — keep each source's top X%. rnk is the radix rank
+    * (value desc, id tie-break — row_number semantics, bit-exact);
+    * pct = (rnk−1)/(n−1) is the familiar PERCENT_RANK form, with the
+    * per-source n from a #sources-bounded broadcast join. No
+    * corpus-sized window partition anywhere — the q88 scale story
+    * applied per source. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ranked = graft.ops.Ranks.exactGroupRank(docs, "source", "doc_id",
+      graft.ops.TextStats.qualityScore(col("text")))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), "source")
+      .select(col("source"), col("doc_id"), col("value"), col("rnk"),
+        when(col("__n") > 1,
+          (col("rnk") - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("pct"))
+      .orderBy("source", "rnk")
+  }
+
+  private val q109Sql = {
+    val stops = graft.ops.TextStats.miniStopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, source, text, regexp_split_to_array(text, '\\s+') AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id, source,
+       |    (least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |     + least(CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) * 5.0, 1.0) * 0.3
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1) AS value
+       |  FROM t
+       |),
+       |r AS (
+       |  SELECT source, doc_id, value,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY value DESC, doc_id) AS BIGINT) AS rnk,
+       |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM q
+       |)
+       |SELECT source, doc_id, value, rnk,
+       |  CASE WHEN n > 1 THEN CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) ELSE 0.0 END AS pct
+       |FROM r
+       |ORDER BY source, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q110
+  /** Multi-n repetition profile ([[graft.ops.TextStats
+    * .repetitionProfile]]): duplicate-gram fractions at n = 1, 2, 3
+    * in one map-only projection — the combined Gopher repetition
+    * battery, one scan for all sizes. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.repetitionProfile(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val q110Sql =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS tk FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id, tk,
+      |    tk AS g1,
+      |    list_transform(range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2]) AS g2,
+      |    list_transform(range(len(tk) - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS g3
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  CAST(len(tk) AS BIGINT) AS n_tok,
+      |  CASE WHEN len(tk) >= 1 THEN
+      |    CAST(len(g1) - len(list_distinct(g1)) AS DOUBLE) / CAST(len(g1) AS DOUBLE) END AS dup_frac_1,
+      |  CASE WHEN len(tk) >= 2 THEN
+      |    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE) END AS dup_frac_2,
+      |  CASE WHEN len(tk) >= 3 THEN
+      |    CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE) END AS dup_frac_3
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q104_subword_stats", q104, Some(q104Sql)),
     QueryDef("q105_classifier_gate", q105, Some(q105Sql)),
     QueryDef("q106_domain_cap", q106, Some(q106Sql)),
     QueryDef("q107_subword_packing", q107, Some(q107Sql)),
-    QueryDef("q108_vocab_coverage", q108, Some(q108Sql)))
+    QueryDef("q108_vocab_coverage", q108, Some(q108Sql)),
+    QueryDef("q109_source_quality_pct", q109, Some(q109Sql)),
+    QueryDef("q110_repetition_profile", q110, Some(q110Sql)))
 }

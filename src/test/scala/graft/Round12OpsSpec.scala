@@ -98,6 +98,34 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("subword: UNK when the dead letter is mid-word, not only at position 0") {
+    // 'jowx': j, o consumed; 'wx' has no continuation and 'w' is
+    // outside the {join,hash} alphabet → whole word collapses to UNK
+    assert(vocab.stats("jowx").toSeq === Seq(1L, 1L, 1L))
+  }
+
+  test("subword: piece count is bounded by word length and deterministic") {
+    val words = Seq("join", "joins", "nosh", "hashjoin", "ajsn", "oinoin", "h")
+    words.foreach { w =>
+      val a = vocab.stats(w)
+      val b = vocab.stats(w)
+      assert(a.toSeq === b.toSeq)
+      assert(a(1) <= w.length, s"$w: pieces ${a(1)} > len")
+      assert(a(1) >= 1)
+    }
+  }
+
+  // ---------------------------------------------- plan-shape guards
+  test("subwordStats and scoreDocs stay map-only: no exchange in the operator plan") {
+    val docs = Seq((0L, "join hash"), (1L, "nosh wash")).toDF("doc_id", "text")
+    val p1 = Subword.subwordStats(docs, vocabN = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"subwordStats plan shuffles:\n$p1")
+    val p2 = Classifier.scoreDocs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"scoreDocs plan shuffles:\n$p2")
+  }
+
   // -------------------------------------------- packing w/ countExpr
   test("packSequences countExpr overrides the whitespace count (subword-budget packing)") {
     import graft.ops.Packing
@@ -116,6 +144,34 @@ class Round12OpsSpec extends AnyFunSuite {
     // default count still the whitespace tokenCount: same docs = 1 token each
     val d = Packing.packSequences(docs, budget = 2L).collect()
     assert(d.map(_.getLong(4)).sum === 3L)
+  }
+
+  // ------------------------------------------- repetitionProfile
+  test("repetitionProfile: hand-computed fractions at n=1..3, null below n tokens") {
+    import graft.ops.TextStats
+    // "a a b": 1-grams [a,a,b] → (3-2)/3; 2-grams [a a, a b] → 0; 3-grams [a a b] → 0
+    // "x": 1-gram dup 0.0; n=2,3 null
+    val docs = Seq((0L, "a a b"), (1L, "x")).toDF("doc_id", "text")
+    val rows = TextStats.repetitionProfile(docs).orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) === 3L)
+    assert(math.abs(rows(0).getDouble(2) - 1.0 / 3.0) < 1e-15)
+    assert(rows(0).getDouble(3) === 0.0 && rows(0).getDouble(4) === 0.0)
+    assert(rows(1).getLong(1) === 1L)
+    assert(rows(1).getDouble(2) === 0.0)
+    assert(rows(1).isNullAt(3) && rows(1).isNullAt(4))
+  }
+
+  test("repetitionProfile matches repetitionStats at n=2 on shared rows") {
+    import graft.ops.TextStats
+    val docs = Seq(
+      (0L, "the cat sat on the cat sat again"),
+      (1L, "all same all same all same")
+    ).toDF("doc_id", "text")
+    val prof = TextStats.repetitionProfile(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val stats = TextStats.repetitionStats(docs).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(prof === stats)
   }
 
   // ---------------------------------------------------- vocabCoverage
