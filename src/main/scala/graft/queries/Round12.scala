@@ -349,6 +349,59 @@ object Round12 {
       |FROM g
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** Train/test split-leakage audit: near-dup pairs whose members land
+    * in DIFFERENT splits under the stable hash split — the eval-
+    * hygiene check a pipeline runs after splitting (distinct from
+    * q62/q89's decontamination against an EXTERNAL benchmark: this
+    * catches leakage the corpus's own duplication creates). Pairs
+    * come from the banded MinHash candidate stage; splits are a pure
+    * function of each id ([[graft.ops.Splits.assignSplit]]), so the
+    * audit adds one map-only projection + filter over the pairs —
+    * no joins, no extra shuffle. Oracle: exact all-pairs Jaccard +
+    * the same Knuth-bucket split arithmetic; agreement holds in the
+    * banding's recall-1 regime (the q31/q100 stance). */
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashPairs(Tables.documents(s, dir), shingleSize = 3,
+        bands = 10, rowsPerBand = 5, maxJaccardDist = 0.4)
+      .withColumn("split_a", graft.ops.Splits.assignSplit(col("doc_a")))
+      .withColumn("split_b", graft.ops.Splits.assignSplit(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("doc_a", "doc_b")
+
+  private val q111Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) AS jaccard_dist
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+      |),
+      |sp AS (
+      |  SELECT doc_a, doc_b, jaccard_dist,
+      |    CASE WHEN ((doc_a * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+      |         WHEN ((doc_a * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split_a,
+      |    CASE WHEN ((doc_b * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+      |         WHEN ((doc_b * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split_b
+      |  FROM pairs
+      |)
+      |SELECT doc_a, doc_b, jaccard_dist, split_a, split_b
+      |FROM sp
+      |WHERE split_a <> split_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q104_subword_stats", q104, Some(q104Sql)),
     QueryDef("q105_classifier_gate", q105, Some(q105Sql)),
@@ -356,5 +409,6 @@ object Round12 {
     QueryDef("q107_subword_packing", q107, Some(q107Sql)),
     QueryDef("q108_vocab_coverage", q108, Some(q108Sql)),
     QueryDef("q109_source_quality_pct", q109, Some(q109Sql)),
-    QueryDef("q110_repetition_profile", q110, Some(q110Sql)))
+    QueryDef("q110_repetition_profile", q110, Some(q110Sql)),
+    QueryDef("q111_split_leakage", q111, Some(q111Sql)))
 }
