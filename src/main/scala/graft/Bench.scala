@@ -18,6 +18,18 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Cumulative hypervisor steal jiffies from /proc/stat (field 9 of
+    * the aggregate cpu line). Loadavg attributes contention from
+    * processes ON this VM; steal attributes the neighbor/hypervisor
+    * kind loadavg cannot see — round 12 measured identical-code
+    * batteries spreading 80.9 → 126.1 s across one evening while
+    * idle-box steal ran 3.7-6.3% of 32-core capacity, so the battery
+    * now records the delta as `steal_pct` alongside the markers. */
+  private def stealJiffies(): Long =
+    try scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .trim.split("\\s+")(8).toLong
+    catch { case _: Throwable => -1L }
+
   /** Unpersist every RDD still registered after a query's own cleanup
     * (catalog.clearCache only drops DataFrame/table cache entries —
     * RDD-level persists from localCheckpoint survive it). Returns the
@@ -62,6 +74,8 @@ object Bench {
        else if (args.isEmpty) SparkEntry.queries
        else SparkEntry.queries.filter { case (k, _) => args.contains(k) })
         .toSeq.sortBy(_._1)
+    val steal0 = stealJiffies()
+    val stealT0 = System.nanoTime()
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     // cache-hygiene evidence (several operators deliberately retain
     // caches their lazy result frames still reference): peak persisted
@@ -138,6 +152,15 @@ object Bench {
     val sweptJson = swept.toSeq.sortBy(-_._2)
       .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
 
+    // steal% of total vCPU capacity over the battery window (jiffies
+    // are 100 Hz): >0 means the hypervisor ran neighbors on our cores
+    val stealWall = (System.nanoTime() - stealT0) / 1e9
+    val steal1 = stealJiffies()
+    val stealPct =
+      if (steal0 < 0 || steal1 < 0 || stealWall <= 0) ""
+      else f""","steal_pct":${(steal1 - steal0) * 100.0 /
+        (stealWall * 100.0 * Runtime.getRuntime.availableProcessors())}%.2f"""
+
     // q90's battery timing deliberately pays a full index SAVE per run
     // (the demo — same stance as q75's bucketed write); record
     // build+save vs load+increment as SEPARATE phases so the read
@@ -168,7 +191,7 @@ object Bench {
           ""
       }
 
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"peak_storage_mb":${peakStorageBytes / 1048576},"leaked_cached_rdds":$leakedAfterBattery,"swept_rdds":$sweptJson,"queries":$qs,"stats":$stats,"failed":$failed$q90Phases,"sf":"$sfDir"$scaling}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"peak_storage_mb":${peakStorageBytes / 1048576},"leaked_cached_rdds":$leakedAfterBattery$stealPct,"swept_rdds":$sweptJson,"queries":$qs,"stats":$stats,"failed":$failed$q90Phases,"sf":"$sfDir"$scaling}"""
     // SCALING_ONLY reruns refresh ONLY the scaling section of an
     // existing bench.json (the battery numbers in it stay those of the
     // real battery run) — the curves come from forked fresh JVMs
