@@ -138,6 +138,12 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = meds.values.sum
+    // sum of per-query MIN alongside the median total: on a quiet box
+    // the two agree within ~10%; on a disturbed box the median total
+    // inflates with the noise while sum-of-min stays near the code's
+    // real cost (round 12: driver med 246 s vs min 124 s on identical
+    // code) — recording both makes the committed headline drift-robust
+    val totalMin = ok.map(_._2.min).sum
     val firstTotal = ok.map(_._2.head).sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
 
@@ -191,7 +197,7 @@ object Bench {
           ""
       }
 
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"peak_storage_mb":${peakStorageBytes / 1048576},"leaked_cached_rdds":$leakedAfterBattery$stealPct,"swept_rdds":$sweptJson,"queries":$qs,"stats":$stats,"failed":$failed$q90Phases,"sf":"$sfDir"$scaling}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"iters":$iters,"first_run_total":$firstTotal%.3f,"peak_storage_mb":${peakStorageBytes / 1048576},"leaked_cached_rdds":$leakedAfterBattery$stealPct,"swept_rdds":$sweptJson,"queries":$qs,"stats":$stats,"failed":$failed$q90Phases,"sf":"$sfDir"$scaling}"""
     // SCALING_ONLY reruns refresh ONLY the scaling section of an
     // existing bench.json (the battery numbers in it stay those of the
     // real battery run) — the curves come from forked fresh JVMs
@@ -221,7 +227,7 @@ object Bench {
     val top5 = meds.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"first_run_total":$firstTotal%.3f,"failed":${failures.size},"leaked_cached_rdds":$leakedAfterBattery,"queries":$top5,"queries_truncated":true,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"iters":$iters,"first_run_total":$firstTotal%.3f,"failed":${failures.size},"leaked_cached_rdds":$leakedAfterBattery,"queries":$top5,"queries_truncated":true,"sf":"$sfDir"}""")
     System.out.flush()
   }
 
@@ -235,6 +241,46 @@ object Bench {
     * failure falls back to running that section in THIS JVM (marked
     * `isolated_jvms:false`) — a contaminated point beats a missing
     * curve, and the marker keeps it honest. */
+  /** Last-good scaling curves from an existing bench.json, keyed by
+    * section json key ("points", "pagerank", …). A hand-rolled
+    * bracket-balanced scan (we wrote the file; arrays hold flat point
+    * objects, and string values never contain brackets) — used to seed
+    * the refresh below so neither a section-subset splice nor a
+    * timed-out child can ever CLOBBER a committed non-empty curve with
+    * "[]" (round-12: the driver's disturbed re-run did exactly that,
+    * erasing all five isolated-JVM curves). */
+  private def priorScalingSections(): Map[String, String] =
+    try {
+      val p = java.nio.file.Paths.get("bench.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val old = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val at = old.indexOf(""""scaling":{""")
+        if (at < 0) Map.empty
+        else Scaling.sectionNames.flatMap { sec =>
+          val key = Scaling.jsonKey(sec)
+          val ki = old.indexOf(s""""$key":[""", at)
+          if (ki < 0) None
+          else {
+            val start = old.indexOf('[', ki)
+            var i = start
+            var depth = 0
+            var inStr = false
+            var end = -1
+            while (end < 0 && i < old.length) {
+              val c = old.charAt(i)
+              if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
+              else if (c == '"') inStr = true
+              else if (c == '[') depth += 1
+              else if (c == ']') { depth -= 1; if (depth == 0) end = i }
+              i += 1
+            }
+            if (end < 0) None else Some(key -> old.substring(start, end + 1))
+          }
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   private def isolatedScalingJson(spark: SparkSession, sfDir: String): String = {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "900").toDouble
     val sections = sys.env.get("SPARK_GRAFT_SCALING_SECTIONS")
@@ -262,11 +308,28 @@ object Bench {
     def remaining = budgetSec - (System.nanoTime() - tStart) / 1e9
     var truncated = false
     var isolatedAll = true
+    // seed every section from the prior artifact: a section that is
+    // not in the requested subset, runs out of budget, or comes back
+    // EMPTY keeps its last-good curve instead of being zeroed; such
+    // carried-over sections are named in "refresh_failed" so the
+    // artifact distinguishes "refreshed this run" from "stale but
+    // preserved" (round-12 verdict ask #1a)
+    val prior = priorScalingSections()
     val frags = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    Scaling.sectionNames.foreach(s => frags(Scaling.jsonKey(s)) = "[]")
+    Scaling.sectionNames.foreach(s =>
+      frags(Scaling.jsonKey(s)) = prior.getOrElse(Scaling.jsonKey(s), "[]"))
+    val refreshFailed = scala.collection.mutable.ListBuffer.empty[String]
+    def accept(sec: String, json: String): Unit = {
+      val key = Scaling.jsonKey(sec)
+      if (json.replaceAll("\\s", "") == "[]" &&
+          frags(key).replaceAll("\\s", "") != "[]") {
+        System.err.println(s"[bench] scaling $sec came back empty; keeping prior curve")
+        refreshFailed += sec
+      } else frags(key) = json
+    }
     sections.foreach { sec =>
       val rem = remaining
-      if (rem < 30) truncated = true
+      if (rem < 30) { truncated = true; refreshFailed += sec }
       else {
         val cmd = (Seq(javaBin) ++ flags ++ Seq("-cp", cp, "graft.ScalingChild", sec)).asJava
         val pb = new ProcessBuilder(cmd)
@@ -309,23 +372,28 @@ object Bench {
           }
         fragment match {
           case Some((tr, json)) =>
-            frags(Scaling.jsonKey(sec)) = json
+            accept(sec, json)
             if (tr) truncated = true
           case None =>
             // in-process fallback, honestly marked
             isolatedAll = false
             try {
               val (json, tr) = Scaling.runSection(spark, sfDir, sec, remaining.max(0))
-              frags(Scaling.jsonKey(sec)) = json
+              accept(sec, json)
               if (tr) truncated = true
             } catch { case e: Throwable =>
               System.err.println(s"[bench] in-process fallback $sec failed: ${e.getMessage}")
               truncated = true
+              refreshFailed += sec
             }
         }
       }
     }
     val body = frags.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"isolated_jvms":$isolatedAll,$body}"""
+    val rf =
+      if (refreshFailed.isEmpty) ""
+      else refreshFailed.distinct
+        .map("\"" + _ + "\"").mkString(""","refresh_failed":[""", ",", "]")
+    s""","scaling":{"budget_sec":$budgetSec,"truncated":$truncated,"isolated_jvms":$isolatedAll$rf,$body}"""
   }
 }

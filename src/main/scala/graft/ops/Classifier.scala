@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Model-based quality gating: a hashed linear classifier over unigram
   * features — the C4/fastText-shaped step in curation pipelines
@@ -32,15 +35,20 @@ object Classifier {
 
   val HashPrime = 1000000007L
 
-  /** Polynomial codepoint hash of one token: fold over characters of
-    * `(acc·131 + code) mod p`. Empty tokens are excluded upstream
-    * (sequence(1,0) would run DESCENDING and poison the fold). */
+  /** Polynomial CODEPOINT hash of one token: fold over Unicode code
+    * points of `(acc·131 + cp) mod p`.
+    *
+    * A native expression rather than an `ascii(substr(...))` HOF fold
+    * because Spark's `ascii()` returns the first UTF-8 BYTE of its
+    * argument (negative for multibyte lead bytes) while the DuckDB
+    * oracle's `unicode()` returns the true code point — an
+    * `ascii`-based fold diverges engine-vs-oracle on ANY non-ASCII
+    * token, and a negative byte flips `%` negative downstream
+    * (round-12 advice). Iterating `String.codePointAt` makes the hash
+    * the same non-negative value in every engine for all of Unicode,
+    * and stays inside whole-stage codegen. */
   def tokenHash(tok: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(tok)),
-        i => ascii(tok.substr(i, lit(1))).cast(LongType)),
-      lit(0L),
-      (acc, c) => (acc * lit(131L) + c) % lit(HashPrime))
+    GraftBridge.ofExpr(CodepointHashExpr(GraftBridge.exprOf(tok)))
 
   /** Deterministic weight for a feature bucket: Knuth 32-bit multiply
     * mapped into [-500, 500]. bucket < dim ≤ 2^20 keeps the product
@@ -66,5 +74,43 @@ object Classifier {
       size(filter(split(t, "\\s+"), x => length(x) > lit(0))).cast(LongType).as("n_tok"),
       hashedLinearScore(t, dim).as("score"))
       .withColumn("kept", col("score") >= lit(threshold))
+  }
+}
+
+/** `string → bigint`: Σ-fold `(acc·131 + codePoint) mod 1000000007`
+  * over the string's Unicode code points, left to right. Non-negative
+  * for every input (code points are ≥ 0), identical across engines
+  * (DuckDB replays it with `unicode(substr(...))`), and codegen'd —
+  * the same zero-UDF stance as [[graft.text.SubwordStatsExpr]]. The
+  * empty string hashes to 0 (callers filter empty tokens upstream so
+  * bucket 0 is not systematically over-weighted by split artifacts). */
+case class CodepointHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_codepoint_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    CodepointHashExpr.hash(input.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.CodepointHashExpr.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): CodepointHashExpr =
+    copy(child = newChild)
+}
+
+object CodepointHashExpr {
+  /** Static so generated code calls it directly — no reference object
+    * needed for a pure function. */
+  def hash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      acc = (acc * 131L + cp) % Classifier.HashPrime
+    }
+    acc
   }
 }

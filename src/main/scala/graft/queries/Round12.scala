@@ -388,12 +388,20 @@ object Round12 {
       |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
       |),
       |sp AS (
+      |  -- HUGEINT-guarded Knuth multiply (the q106 oracle's form): a
+      |  -- plain BIGINT (id * 2654435761) overflows for ids ≥ ~3.5e9
+      |  -- and would silently diverge from the engine's overflow-safe
+      |  -- Splits.hashBucketN on large ids (round-12 advice)
       |  SELECT doc_a, doc_b, jaccard_dist,
-      |    CASE WHEN ((doc_a * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-      |         WHEN ((doc_a * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+      |    CASE WHEN CAST((CAST(doc_a % 4294967296 AS HUGEINT) * 2654435761)
+      |              % 4294967296 AS BIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST((CAST(doc_a % 4294967296 AS HUGEINT) * 2654435761)
+      |              % 4294967296 AS BIGINT) % 100 < 90 THEN 'val'
       |         ELSE 'test' END AS split_a,
-      |    CASE WHEN ((doc_b * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
-      |         WHEN ((doc_b * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+      |    CASE WHEN CAST((CAST(doc_b % 4294967296 AS HUGEINT) * 2654435761)
+      |              % 4294967296 AS BIGINT) % 100 < 80 THEN 'train'
+      |         WHEN CAST((CAST(doc_b % 4294967296 AS HUGEINT) * 2654435761)
+      |              % 4294967296 AS BIGINT) % 100 < 90 THEN 'val'
       |         ELSE 'test' END AS split_b
       |  FROM pairs
       |)

@@ -32,7 +32,14 @@ object EventsStream {
 
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(path).schema("ts").dataType
+    // The probe is driver-side footer metadata only — but an EMPTY
+    // landing zone has no footers and the batch read throws ("Unable
+    // to infer schema"). A file stream must be able to start BEFORE
+    // the first file arrives (round-12 advice), so fall back to the
+    // nanos-as-long rawSchema — the long-lived testdata layout — and
+    // let a later restart re-probe once files exist.
+    val tsType = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+      .getOrElse(LongType)
     tsType match {
       case LongType =>
         spark.readStream

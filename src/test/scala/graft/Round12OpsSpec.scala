@@ -91,6 +91,33 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows(2).getLong(1) === 1L)
   }
 
+  test("classifier: non-ASCII tokens hash by CODEPOINT (ascii() byte parity trap)") {
+    // Spark's ascii() would feed the first UTF-8 BYTE of 'é' (0xC3 as a
+    // signed byte = -61) into the fold and diverge from the oracle's
+    // unicode() (233) — the round-12 advice trap. The expression must
+    // fold true code points, including supplementary-plane ones
+    // (surrogate pairs must count as ONE code point, not two).
+    def cpHash(s: String): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); i += Character.charCount(cp)
+        acc = (acc * 131 + cp) % 1000000007L
+      }
+      acc
+    }
+    def weight(h: Long): Long = (h % 64) * 2654435761L % 4294967296L % 1001L - 500L
+    val toks = Seq("héllo", "wörld", "日本語", "x😀y") // last: U+1F600
+    val expected = toks.map(t => weight(cpHash(t))).sum
+    val row = Classifier.scoreDocs(
+      Seq((0L, toks.mkString(" "))).toDF("doc_id", "text")).collect().head
+    assert(row.getLong(1) === 4L)
+    assert(row.getLong(2) === expected)
+    // every bucket weight must come from a non-negative hash: spot-check
+    // that the single-token hashes are non-negative and within [0, p)
+    toks.foreach(t => assert(cpHash(t) >= 0L && cpHash(t) < 1000000007L))
+  }
+
   test("classifier: score is stable under repartitioning (pure function of text)") {
     val docs = (0L until 50L).map(i => (i, s"tok$i alpha beta$i")).toDF("doc_id", "text")
     val a = Classifier.scoreDocs(docs).orderBy("doc_id").collect().map(_.getLong(2)).toSeq
