@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName ...] — the optional names run a
+    // subset for local iteration (the driver always passes exactly two)
+    val sfDir = args(0)
+    val outDir = args(1)
+    val subset = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,9 +51,11 @@ object Verify {
     // clear value instead of a DuckDB parse error).
     val absOut = Paths.get(outDir).toAbsolutePath.toString.replace("'", "''")
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => subset.isEmpty || subset(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", absOut))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (subset.nonEmpty) { spark.stop(); return } // local iteration: skip self-checks
     // per-round self-checks for the no-oracle queries (q30/q35/q54/q67
     // structural+exact-twin invariants, q33/q43 selection invariants)
     // — the driver's artifact then records a concrete pass/fail beside
