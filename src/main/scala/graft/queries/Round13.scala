@@ -121,6 +121,79 @@ object Round13 {
        |SELECT 'B' AS batch, doc_id, lang FROM adm_b
        |ORDER BY batch, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** BPE merge TRAINING + application ([[graft.text.Bpe]]): learn 6
+    * pair merges on the corpus (count-weighted, deterministic
+    * (count DESC, left, right) tie-break), then re-encode every
+    * document and report per-doc word/piece counts — q104 applies a
+    * vocabulary; this LEARNS one, the real-tokenizer step. The oracle
+    * replays each training round as one generated CTE stage (the q73
+    * generated-CTE pattern): pair counts from the vocabulary frame,
+    * top-1, then the left-to-right non-overlapping merge as a
+    * list_reduce fold over a unit-separator-joined symbol string
+    * (DuckDB's fold accumulator must match the element type, so the
+    * symbol list is carried as one chr(31)-joined string). Any
+    * divergence in any round's chosen pair or merge application
+    * changes downstream piece counts, so the per-doc hash pins the
+    * whole k-round training trajectory. */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.bpeStats(Tables.documents(s, dir), k = 6)
+      .orderBy("doc_id")
+
+  private val q113Sql = {
+    val U = "chr(31)"
+    // One training round: pair counts → deterministic top-1 (with a
+    // chr(30) sentinel row when no pairs remain, so the cross join
+    // never empties — the engine's early-break equivalent: a sentinel
+    // pair matches no real symbol and the fold is the identity) →
+    // fold-merge into the next vocabulary stage.
+    def stage(i: Int): String = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT sp[i+1] AS l, sp[i+2] AS r, SUM(cnt) AS c
+         |  FROM (SELECT cnt, string_split(sym, $U) AS sp FROM $prev), UNNEST(range(len(sp)-1)) AS u(i)
+         |  GROUP BY 1, 2
+         |),
+         |b$i AS (
+         |  SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1
+         |),
+         |bs$i AS (
+         |  SELECT l, r FROM b$i
+         |  UNION ALL SELECT chr(30), chr(30) WHERE (SELECT COUNT(*) FROM p$i) = 0
+         |),
+         |w$i AS (
+         |  SELECT tok, cnt,
+         |    list_reduce(list_prepend('', string_split(sym, $U)),
+         |      (acc, x) -> CASE
+         |        WHEN acc = '' THEN x
+         |        WHEN list_last(string_split(acc, $U)) = b.l AND x = b.r
+         |        THEN CASE WHEN strpos(acc, $U) = 0 THEN b.l || b.r
+         |             ELSE array_to_string(list_slice(string_split(acc, $U), 1, len(string_split(acc, $U))-1), $U) || $U || b.l || b.r END
+         |        ELSE acc || $U || x END) AS sym
+         |  FROM $prev, bs$i b
+         |)""".stripMargin
+    }
+    val k = 6
+    s"""WITH
+       |w0 AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    array_to_string(list_transform(range(1, length(tok)+1), i -> substr(tok, CAST(i AS INT), 1)), $U) AS sym
+       |  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
+       |  WHERE length(tok) > 0
+       |  GROUP BY tok
+       |),
+       |${(1 to k).map(stage).mkString(",\n")},
+       |fin AS (SELECT tok, CAST(len(string_split(sym, $U)) AS BIGINT) AS np FROM w$k),
+       |words AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
+       |SELECT w.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(CASE WHEN length(w.tok) = 0 THEN 0 ELSE f.np END) AS BIGINT) AS n_pieces
+       |FROM words w LEFT JOIN fin f ON w.tok = f.tok
+       |GROUP BY w.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q112_append_index_dedup", q112, Some(q112Sql)))
+    QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
+    QueryDef("q113_bpe_train", q113, Some(q113Sql)))
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Bpe
+
+class Round13OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- BPE
+  // Hand-derivable corpus (counts weighted by word frequency):
+  //   low×4 lower×2 lowest new×3 newer newest wider wide×2 width
+  // Round 1: (l,o) 8 occurrences (low/lower/lowest) — top.
+  // Round 2: (lo,w) 8 — the merged symbol chains immediately.
+  // Round 3: (e,w) 5 (new/newer/newest) beats (i,d) 4; tie-breaks never
+  //   fire here but the count ordering is exercised.
+  // Rounds 4-6: (i,d) 4, then (n,ew) 5, then (w,id) 4.
+  private val docs = Seq(
+    (0L, "low lower lowest low low"),
+    (1L, "new newer newest new"),
+    (2L, "wider wide wide width"),
+    (3L, "low new wide lower"),
+    (4L, "  leading space artifact")).toDF("doc_id", "text")
+
+  test("bpe: learned merges match the hand computation, in order") {
+    val m = Bpe.fit(docs, k = 6)
+    assert(m.merges === IndexedSeq(
+      ("l", "o"), ("lo", "w"), ("e", "w"), ("i", "d"), ("n", "ew"), ("w", "id")))
+  }
+
+  test("bpe: per-doc piece counts after 6 merges, hand-checked") {
+    // low=low(1) lower=low,e,r(3) lowest=low,e,s,t(4) new=n,ew→new?
+    // careful: after (e,w) then (n,ew): new = [n,ew] → [new] (1 piece);
+    // newer = [new,e,r] (3); newest = [new,e,s,t] (4);
+    // wide = [w,id,e] → [wid,e] (2); wider = [wid,e,r] (3);
+    // width = [wid,t,h] (3); leading/space/artifact stay chars.
+    val rows = Bpe.bpeStats(docs, k = 6).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows === Array(
+      (0L, 5L, 10L),  // low(1)+lower(3)+lowest(4)+low(1)+low(1)
+      (1L, 4L, 9L),   // new(1)+newer(3)+newest(4)+new(1)
+      (2L, 4L, 10L),  // wider(3)+wide(2)+wide(2)+width(3)
+      (3L, 4L, 7L),   // low(1)+new(1)+wide(2)+lower(3)
+      (4L, 4L, 20L))) // leading-split artifact counts as a 0-piece word
+  }
+
+  test("bpe: left-to-right non-overlapping merge (aaa -> [aa, a])") {
+    // pair counting weights overlap: 'aaa' contributes (a,a) twice, so
+    // one doc suffices; apply must NOT merge the fresh 'aa' with the
+    // trailing 'a' in the same round
+    val df = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val m = Bpe.fit(df, k = 1)
+    assert(m.merges === IndexedSeq(("a", "a")))
+    val r = Bpe.bpeStats(df, k = 1).collect().head
+    assert(r.getLong(2) === 2L) // [aa, a]
+  }
+
+  test("bpe: early exhaustion stops cleanly (all words single-symbol)") {
+    val df = Seq((0L, "a b a")).toDF("doc_id", "text")
+    val m = Bpe.fit(df, k = 4)
+    assert(m.merges.isEmpty)
+    val r = Bpe.bpeStats(df, k = 4).collect().head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+  }
+
+  test("bpe: stats stable under repartitioning (pure function of corpus)") {
+    val a = Bpe.bpeStats(docs, k = 6).orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    val b = Bpe.bpeStats(docs.repartition(7), k = 6).orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    assert(a === b)
+  }
+}
