@@ -628,4 +628,92 @@ object Similarity {
       .select(col(idCol), col("cluster"),
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
+
+  /** SEMANTIC decontamination: flag every corpus vector whose maximum
+    * cosine against ANY benchmark vector reaches `minCosine` — the
+    * paraphrase-leakage net that n-gram decontamination
+    * ([[graft.ops.Dedup.contaminationScores]] and kin) cannot catch:
+    * a reworded benchmark answer shares no 13-gram but sits next to
+    * its source in embedding space.
+    *
+    * EXACT by construction, like [[exactIvfKnn]]: the corpus is IVF-
+    * indexed, and a list is scanned only if the triangle bound says it
+    * COULD contain a vector within distance √(2−2·minCosine) of some
+    * benchmark unit vector (‖b̂ − ĉ‖ − r_c < dτ + ε, radii from the
+    * fitted model) — skipped lists provably hold only sub-threshold
+    * cosines, so recall is 1 and the exact all-pairs SQL is a true
+    * oracle. With `storageDir` set, the index round-trips through the
+    * [[saveIvf]] partitioned layout first, and the list filter becomes
+    * a partition-pruning predicate on the stored table — at 100 TB the
+    * scan reads only the list directories near the benchmark set, and
+    * the benchmark probe itself is a map-only codegen pass
+    * ([[BenchMaxCosExpr]], nBench·dim multiplies per surviving row, no
+    * shuffle, no UDF). The benchmark set is collected to the driver —
+    * bounded by contract (eval suites are thousands of vectors;
+    * `maxBench` fails fast on misuse with a corpus-sized frame).
+    *
+    * Returns (idCol, bench_id, max_cos) for flagged corpus vectors:
+    * max_cos = exact max cosine, bench_id = smallest benchmark id
+    * attaining it. Cosine IEEE sequence: widen float→double,
+    * unitᵢ = xᵢ/√Σxᵢ² left to right, Σ unitᵢ·b̂ᵢ left to right (the
+    * q43-documented order), replayed verbatim by the oracle. */
+  def benchContamination(corpus: DataFrame, bench: DataFrame,
+      minCosine: Double, nLists: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      storageDir: Option[String] = None, maxBench: Int = 65536): DataFrame = {
+    val benchRows = bench.select(col(idCol), col(vecCol))
+      .limit(maxBench + 1).collect()
+    require(benchRows.length <= maxBench,
+      s"benchmark set exceeds maxBench=$maxBench — benchContamination " +
+        "broadcasts the benchmark side; pass the corpus as `corpus`")
+    val benchSorted = benchRows.map { r =>
+      // Row.getSeq materializes as mutable.ArraySeq — a collection.Seq,
+      // NOT the default (immutable) Seq alias
+      val raw = r.get(1) match {
+        case s: scala.collection.Seq[_] => s.map {
+          case f: java.lang.Float  => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        }.toArray
+      }
+      (r.getLong(0), raw)
+    }.sortBy(_._1)
+    val benchUnits = benchSorted.map { case (id, raw) =>
+      var ss = 0.0
+      raw.foreach(x => ss += x * x)
+      val n = math.sqrt(ss)
+      (id, if (n == 0.0) raw else raw.map(_ / n))
+    }
+    val benchSet = new BenchSet(benchUnits.map(_._1), benchUnits.map(_._2))
+
+    val (indexed, model) = fitIvf(corpus, nLists, vecCol = vecCol, idCol = idCol)
+    val (probed, mdl) = storageDir match {
+      case Some(dir) => saveIvf(indexed, model, dir); loadIvf(corpus.sparkSession, dir)
+      case None      => (indexed, model)
+    }
+    // triangle-bound list pruning, driver-side: nLists × nBench scalar
+    // work. dτ on the unit sphere; ε absorbs float rounding (an extra
+    // scanned list never hurts exactness, a skipped one would).
+    val dTau = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+    val eps = 1e-9
+    val centsUnit = mdl.centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    val surviving = centsUnit.indices.filter { ci =>
+      val r = mdl.radii.getOrElse(ci, Double.PositiveInfinity)
+      benchUnits.exists { case (_, b) =>
+        val d = math.sqrt(centsUnit(ci).zip(b)
+          .map { case (x, y) => val dd = x - y; dd * dd }.sum)
+        d - r < dTau + eps
+      }
+    }
+    val mc = graft.engine.Columns.ofExpr(BenchMaxCosExpr(
+      graft.engine.Columns.exprOf(col(vecCol)), benchSet))
+    probed
+      .filter(col("ivf_list").isin(surviving: _*))
+      .select(col(idCol), mc.as("__m"))
+      .filter(col("__m").isNotNull && col("__m").getField("max_cos") >= minCosine)
+      .select(col(idCol), col("__m").getField("bench_id").as("bench_id"),
+        col("__m").getField("max_cos").as("max_cos"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -131,4 +131,95 @@ case class SqDistExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqDistExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** Driver-built benchmark probe set for [[BenchMaxCosExpr]]: ids in
+  * ascending order with their UNIT vectors (float inputs widened to
+  * double, unitᵢ = xᵢ/√Σxᵢ² accumulated left to right — the q43
+  * documented IEEE sequence). A plain Serializable holder rather than
+  * expression fields so the codegen reference object is one flat
+  * array pair. Bounded by contract: benchmark suites are
+  * thousands-of-vectors small while the corpus is the big side. */
+final class BenchSet(val ids: Array[Long], val units: Array[Array[Double]])
+    extends Serializable {
+  require(ids.length == units.length)
+}
+
+/** `array<float|double> → struct(max_cos double, bench_id bigint)`:
+  * the maximum cosine of the input vector against every benchmark
+  * unit vector, with the smallest qualifying bench id on exact ties
+  * (ids are scanned ascending with a strict `>` update). One
+  * imperative codegen pass, zero shuffles — the decontamination scan
+  * stays map-only no matter the corpus size; nBench·dim multiplies
+  * per row is the honest cost of an exact verdict against a small
+  * probe set. Cosine sequence per bench vector: unitᵢ = xᵢ/√Σxᵢ²
+  * computed inline, then Σ unitᵢ·bᵢ left to right — bit-identical to
+  * the oracle's unit-then-dot replay. NULL for a zero-norm or
+  * null-element input (no silent NaN ranking). */
+case class BenchMaxCosExpr(child: Expression, bench: BenchSet)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("max_cos", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("bench_id",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_bench_max_cos"
+  override def nullable: Boolean = true
+
+  @transient private lazy val floatElems = child.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_bench_max_cos needs array<float|double> input, got $other")
+  }
+
+  def compute(a: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    val lf = floatElems
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      ss += x * x
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    if (norm == 0.0) return null
+    var best = Double.NegativeInfinity
+    var bestId = -1L
+    var j = 0
+    while (j < bench.ids.length) {
+      val b = bench.units(j)
+      if (b.length == n) {
+        var acc = 0.0
+        var k = 0
+        while (k < n) {
+          val x = if (lf) a.getFloat(k).toDouble else a.getDouble(k)
+          acc += (x / norm) * b(k)
+          k += 1
+        }
+        if (acc > best) { best = acc; bestId = bench.ids(j) }
+      }
+      j += 1
+    }
+    if (bestId < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, bestId))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBenchMaxCos", this)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value}_r = $ref.compute($a);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BenchMaxCosExpr =
+    copy(child = newChild)
 }

@@ -35,6 +35,10 @@ object Round11 {
     scratchDirs.synchronized(scratchDirs += p)
     p.toString
   }
+  /** Round13's stored-index demos share this session-scoped scratch
+    * machinery (one shutdown hook, one dir registry). */
+  private[queries] def freshScratchDirShared(prefix: String): String =
+    freshScratchDir(prefix)
 
   // ---------------------------------------------------------------- q89
   /** Span-level decontamination ([[graft.ops.Dedup
@@ -594,12 +598,18 @@ object Round11 {
     * keep/drop decision and the first failing rule — the Gopher-style
     * policy gate a pipeline actually runs, built by composing the
     * oracle-green signal operators (q15 token counts, q17 quality,
-    * q63 repetition, q95 duplicated-span fraction, and — round 12 —
-    * the q105 hashed-linear-classifier score). Rule order is the
-    * contract: too_short → too_long → low_quality → repetitive →
-    * duplicated → classifier; `reason` is null iff kept. Every signal
-    * expression is already replayed bit-exactly by its own oracle, so
-    * the CASE precedence is the only new logic the q101 oracle adds. */
+    * q63 repetition, q95 duplicated-span fraction, round 12's q105
+    * hashed-linear-classifier score, and — round 13 — the q114
+    * semantic-decontamination flag over the 1:1-aligned embeddings
+    * table). Rule order is the contract: contaminated → too_short →
+    * too_long → low_quality → repetitive → duplicated → classifier —
+    * eval-integrity drops precede quality gates, because a leaked
+    * benchmark document must never be "rescued" by good quality;
+    * `reason` is null iff kept. Every signal expression is already
+    * replayed bit-exactly by its own oracle, so the CASE precedence
+    * is the only new logic the q101 oracle adds. Benchmark docs
+    * themselves (doc_id % 25 = 0, the q114 probe set) carry a null
+    * bench_cos — they are the benchmark, not leaks of it. */
   private def q101(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.TextStats
     val docs = Tables.documents(s, dir)
@@ -611,13 +621,22 @@ object Round11 {
       .select(col("doc_id"), col("dup_gram_frac"))
     val dup = Dedup.duplicatedSpanFraction(docs)
       .select(col("doc_id"), col("dup_fraction"))
+    val emb = Tables.embeddings(s, dir)
+    // flagged set is tiny (≥-threshold survivors only) → broadcast;
+    // in-memory index path here, the stored-IVF round trip is q114's
+    val flagged = graft.ops.Similarity.benchContamination(
+        emb.filter(col("vec_id") % 25 =!= 0),
+        emb.filter(col("vec_id") % 25 === 0), minCosine = 0.35)
+      .select(col("vec_id").as("doc_id"), col("max_cos").as("bench_cos"))
     base.join(rep, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"), "left")
+      .join(broadcast(flagged), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("quality"),
         coalesce(col("dup_gram_frac"), lit(0.0)).as("dup_gram_frac"),
-        col("dup_fraction"), col("clf_score"))
+        col("dup_fraction"), col("clf_score"), col("bench_cos"))
       .withColumn("reason",
-        when(col("n_tokens") < 20, "too_short")
+        when(col("bench_cos").isNotNull, "contaminated")
+          .when(col("n_tokens") < 20, "too_short")
           .when(col("n_tokens") > 1000, "too_long")
           .when(col("quality") < 0.55, "low_quality")
           .when(col("dup_gram_frac") > 0.10, "repetitive")
@@ -685,25 +704,49 @@ object Round11 {
        |    )) AS BIGINT) AS clf_score
        |  FROM t
        |),
+       |uemb AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+       |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |        list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+       |        (acc, e) -> acc + e))) AS unit
+       |  FROM embeddings
+       |),
+       |scos AS (
+       |  SELECT c.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(len(c.unit)), i ->
+       |        c.unit[CAST(i+1 AS INTEGER)] * b.unit[CAST(i+1 AS INTEGER)])),
+       |      (acc, e) -> acc + e) AS cosine
+       |  FROM (SELECT vec_id, unit FROM uemb WHERE vec_id % 25 <> 0) c,
+       |       (SELECT unit FROM uemb WHERE vec_id % 25 = 0) b
+       |),
+       |contam AS (
+       |  SELECT vec_id, MAX(cosine) AS bench_cos FROM scos
+       |  GROUP BY vec_id HAVING MAX(cosine) >= 0.35
+       |),
        |joined AS (
        |  SELECT b.doc_id, b.n_tokens, b.quality,
        |    COALESCE(rep.dup_gram_frac, 0.0) AS dup_gram_frac,
        |    CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) AS dup_fraction,
-       |    clf.clf_score
+       |    clf.clf_score, contam.bench_cos
        |  FROM base b
        |  LEFT JOIN rep ON b.doc_id = rep.doc_id
        |  LEFT JOIN per ON b.doc_id = per.doc_id
        |  JOIN clf ON b.doc_id = clf.doc_id
+       |  LEFT JOIN contam ON b.doc_id = contam.vec_id
        |)
-       |SELECT doc_id, n_tokens, quality, dup_gram_frac, dup_fraction, clf_score,
-       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |SELECT doc_id, n_tokens, quality, dup_gram_frac, dup_fraction, clf_score, bench_cos,
+       |  CASE WHEN bench_cos IS NOT NULL THEN 'contaminated'
+       |       WHEN n_tokens < 20 THEN 'too_short'
        |       WHEN n_tokens > 1000 THEN 'too_long'
        |       WHEN quality < 0.55 THEN 'low_quality'
        |       WHEN dup_gram_frac > 0.10 THEN 'repetitive'
        |       WHEN dup_fraction > 0.5 THEN 'duplicated'
        |       WHEN clf_score < 0 THEN 'classifier'
        |  END AS reason,
-       |  (CASE WHEN n_tokens < 20 THEN 'too_short'
+       |  (CASE WHEN bench_cos IS NOT NULL THEN 'contaminated'
+       |       WHEN n_tokens < 20 THEN 'too_short'
        |       WHEN n_tokens > 1000 THEN 'too_long'
        |       WHEN quality < 0.55 THEN 'low_quality'
        |       WHEN dup_gram_frac > 0.10 THEN 'repetitive'

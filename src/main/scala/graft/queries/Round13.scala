@@ -193,7 +193,55 @@ object Round13 {
        |ORDER BY w.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q114
+  /** Semantic decontamination ([[graft.ops.Similarity
+    * .benchContamination]]): embeddings with vec_id % 25 = 0 play the
+    * benchmark suite, the rest the training corpus; flag every corpus
+    * vector whose max cosine against any benchmark vector reaches
+    * 0.35 — the paraphrase-leakage net the n-gram decon family
+    * (q62/q72/q89/q98) cannot catch. The corpus side round-trips
+    * through the STORED IVF layout (q97's partitioned parquet), and
+    * only the lists the triangle bound cannot rule out are read —
+    * recall 1 by construction, so the exact all-pairs cosine SQL is a
+    * true oracle (the q42 stance: the pruning machinery is under
+    * test, not a recall gamble). */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val bench = emb.filter(col("vec_id") % 25 === 0)
+    val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+    graft.ops.Similarity.benchContamination(corpus, bench, minCosine = 0.35,
+        storageDir = Some(Round11.freshScratchDirShared("graft_q114_ivf")))
+      .orderBy("vec_id")
+  }
+
+  private val q114Sql =
+    """WITH u AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      |      sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+      |        (acc, e) -> acc + e))) AS unit
+      |  FROM embeddings
+      |),
+      |b AS (SELECT vec_id AS bid, unit FROM u WHERE vec_id % 25 = 0),
+      |c AS (SELECT vec_id, unit FROM u WHERE vec_id % 25 <> 0),
+      |sc AS (
+      |  SELECT c.vec_id, b.bid,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(len(c.unit)), i ->
+      |        c.unit[CAST(i+1 AS INTEGER)] * b.unit[CAST(i+1 AS INTEGER)])),
+      |      (acc, e) -> acc + e) AS cosine
+      |  FROM c, b
+      |),
+      |m AS (SELECT vec_id, MAX(cosine) AS max_cos FROM sc GROUP BY vec_id)
+      |SELECT m.vec_id, MIN(sc.bid) AS bench_id, m.max_cos
+      |FROM m JOIN sc ON sc.vec_id = m.vec_id AND sc.cosine = m.max_cos
+      |WHERE m.max_cos >= 0.35
+      |GROUP BY m.vec_id, m.max_cos
+      |ORDER BY m.vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
-    QueryDef("q113_bpe_train", q113, Some(q113Sql)))
+    QueryDef("q113_bpe_train", q113, Some(q113Sql)),
+    QueryDef("q114_semantic_decon", q114, Some(q114Sql)))
 }

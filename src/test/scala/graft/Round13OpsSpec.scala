@@ -69,4 +69,73 @@ class Round13OpsSpec extends AnyFunSuite {
     val b = Bpe.bpeStats(docs.repartition(7), k = 6).orderBy("doc_id").collect().map(_.getLong(2)).toSeq
     assert(a === b)
   }
+
+  // ---------------------------------------------- benchContamination
+  // Deterministic synthetic embeddings: seeded pseudo-random unit-ish
+  // vectors; ids 0..59, bench = id % 20 == 0 (3 vectors).
+  private def vec(id: Long, dim: Int = 8): Array[Float] = {
+    val r = new scala.util.Random(id * 1315423911L + 7)
+    Array.fill(dim)((r.nextDouble() - 0.5).toFloat)
+  }
+  private lazy val emb = (0L until 60L).map(i => (i, vec(i).toSeq)).toDF("vec_id", "embedding")
+
+  private def bruteMax(corpusIds: Seq[Long], benchIds: Seq[Long]): Map[Long, (Long, Double)] = {
+    def unit(a: Array[Float]): Array[Double] = {
+      var ss = 0.0; a.foreach(x => ss += x.toDouble * x.toDouble)
+      val n = math.sqrt(ss); a.map(_.toDouble / n)
+    }
+    corpusIds.map { c =>
+      val cu = unit(vec(c))
+      var best = Double.NegativeInfinity; var bid = -1L
+      benchIds.sorted.foreach { b =>
+        val bu = unit(vec(b))
+        var acc = 0.0
+        var i = 0
+        while (i < cu.length) { acc += cu(i) * bu(i); i += 1 }
+        if (acc > best) { best = acc; bid = b }
+      }
+      c -> (bid, best)
+    }.toMap
+  }
+
+  test("benchContamination: equals brute-force max cosine at any threshold") {
+    val bench = emb.filter($"vec_id" % 20 === 0)
+    val corpus = emb.filter($"vec_id" % 20 =!= 0)
+    val tau = 0.2
+    val got = graft.ops.Similarity.benchContamination(corpus, bench, minCosine = tau, nLists = 4)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exp = bruteMax((0L until 60L).filter(_ % 20 != 0), Seq(0L, 20L, 40L))
+      .filter(_._2._2 >= tau).toSeq.sortBy(_._1)
+      .map { case (c, (b, m)) => (c, b, m) }
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case ((gc, gb, gm), (ec, eb, em)) =>
+      assert(gc === ec && gb === eb)
+      assert(gm === em, s"cosine mismatch for $gc")
+    }
+  }
+
+  test("benchContamination: stored-IVF path prunes list partitions and stays exact") {
+    val bench = emb.filter($"vec_id" % 20 === 0)
+    val corpus = emb.filter($"vec_id" % 20 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bc_ivf").toString
+    // a high threshold → few lists survive the triangle bound; the
+    // stored path must read only those partitions, and results must
+    // equal the in-memory path exactly
+    val stored = graft.ops.Similarity.benchContamination(corpus, bench,
+      minCosine = 0.5, nLists = 8, storageDir = Some(dir))
+    val mem = graft.ops.Similarity.benchContamination(corpus, bench,
+      minCosine = 0.5, nLists = 8)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_list"),
+      s"expected ivf_list partition pruning in:\n$plan")
+    assert(stored.orderBy("vec_id").collect().map(_.toSeq).toSeq ===
+      mem.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("benchContamination: refuses a corpus-sized benchmark side (fail fast)") {
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.benchContamination(emb, emb, minCosine = 0.5, maxBench = 10)
+    }
+  }
 }
