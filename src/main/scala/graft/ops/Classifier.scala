@@ -50,6 +50,15 @@ object Classifier {
   def tokenHash(tok: Column): Column =
     GraftBridge.ofExpr(CodepointHashExpr(GraftBridge.exprOf(tok)))
 
+  /** First CODE POINT of a string (0 for empty) — the hash of its
+    * 1-character prefix, since `(0·131 + cp) mod p = cp` for every
+    * code point. The cross-engine replacement for Spark's byte-wise
+    * `ascii()` wherever an oracle replays with DuckDB's
+    * codepoint-wise `ascii()`/`unicode()` ([[TextStats]]
+    * fingerprints). */
+  def firstCodepoint(s: Column): Column =
+    tokenHash(s.substr(lit(1), lit(1)))
+
   /** Deterministic weight for a feature bucket: Knuth 32-bit multiply
     * mapped into [-500, 500]. bucket < dim ≤ 2^20 keeps the product
     * far from long overflow (ANSI-mode safe). */

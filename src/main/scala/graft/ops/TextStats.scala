@@ -89,7 +89,11 @@ object TextStats {
       lit(1000003L) * tokenCount(text) +
         aggregate(
           transform(tokens(text),
-            t => (ascii(t).cast(LongType) * lit(31L) + length(t).cast(LongType) * lit(7L))),
+            // first CODE POINT, not Spark ascii()'s first UTF-8 byte:
+            // DuckDB's ascii() is codepoint-wise, and a negative lead
+            // byte would break parity on any non-ASCII token (the same
+            // trap round-12 advice flagged in Classifier)
+            t => (Classifier.firstCodepoint(t) * lit(31L) + length(t).cast(LongType) * lit(7L))),
           lit(0L), (acc, x) => acc + x),
       lit(1000000007L))
 
@@ -100,7 +104,8 @@ object TextStats {
   def rollingFingerprint(text: Column): Column =
     aggregate(
       transform(tokens(text),
-        t => ascii(t).cast(LongType) * lit(131L) + length(t).cast(LongType)),
+        // codepoint, not byte — see bagFingerprint
+        t => Classifier.firstCodepoint(t) * lit(131L) + length(t).cast(LongType)),
       lit(0L),
       (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L)))
 

@@ -499,6 +499,26 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(0L) === rows(2L))
   }
 
+  test("fingerprints: non-ASCII first chars hash by CODEPOINT, not UTF-8 byte") {
+    // 'é' = U+00E9 (233); Spark ascii() would yield the lead byte 0xC3
+    // as a NEGATIVE signed value (-61) and diverge from DuckDB's
+    // codepoint-wise ascii() — the round-12-advice trap, fixed via
+    // Classifier.firstCodepoint. Hand computation:
+    //   code("éa") = 233*131 + 2; code("b") = 98*131 + 1
+    //   rolling = ((0*31 + c1) % p)*31 + c2 % p
+    //   bag = (1000003*2 + (233*31 + 2*7) + (98*31 + 1*7)) % p
+    val p = 1000000007L
+    val c1 = 233L * 131 + 2
+    val c2 = 98L * 131 + 1
+    val roll = ((c1 % p) * 31 + c2) % p
+    val bag = (1000003L * 2 + (233 * 31 + 2 * 7) + (98 * 31 + 1 * 7)) % p
+    val r = Seq((0L, "éa b")).toDF("doc_id", "text").select(
+      TextStats.bagFingerprint(col("text")),
+      TextStats.rollingFingerprint(col("text"))).collect().head
+    assert(r.getLong(0) === bag)
+    assert(r.getLong(1) === roll)
+  }
+
   test("langid: marker heuristic separates en/de, CJK → zh") {
     val df = Seq(
       (0L, "the cat and the dog is in the house"),
