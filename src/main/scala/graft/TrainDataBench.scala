@@ -104,18 +104,34 @@ object TrainDataBench {
       packMap.write.mode(SaveMode.Overwrite).parquet(s"$out-packmap")
     }
 
+    // size-targeted training shards + verifiable manifest over the
+    // train chunks — what a loader fleet actually mounts: one
+    // directory per ~20k-token shard, each shard's doc count / token
+    // sum / content hash recorded for end-to-end integrity checks
+    val (manifest, shardS) = Timing.timed {
+      val train = chunks.filter(col("split") === "train")
+        .withColumn("chunk_id", col("doc_id") * 4096 + col("chunk_idx"))
+      val m = graft.ops.Sharding.writeShards(train, s"$out-shards",
+        budget = 20000L, idCol = "chunk_id", textCol = "chunk_text").cache()
+      m.count()
+      m
+    }
+    val nShards = manifest.count()
+    val shardTokens = manifest.agg(sum(col("n_tokens"))).head().getLong(0)
+
     val splitCounts = spark.read.parquet(out).groupBy("split").count()
       .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
       .mkString("{", ",", "}")
-    val total = capS + dedupS + qualS + chunkS + packS + writeS
+    val total = capS + dedupS + qualS + chunkS + packS + writeS + shardS
     println(
       s"""{"metric":"traindata_pipeline","raw_docs":$nRaw,"after_cap":$nCapped,""" +
         s""""after_dedup":$nKept,""" +
         s""""after_quality":$nGated,"chunks":$nChunks,"splits":$splitCounts,""" +
         s""""train_pack_rows":$nPackRows,"train_seqs":$nSeqs,""" +
+        s""""train_shards":$nShards,"shard_tokens":$shardTokens,""" +
         s""""cap_s":${f"$capS%.1f"},"dedup_s":${f"$dedupS%.1f"},"quality_s":${f"$qualS%.1f"},""" +
         s""""chunk_s":${f"$chunkS%.1f"},"pack_s":${f"$packS%.1f"},""" +
-        s""""write_s":${f"$writeS%.1f"},"total_s":${f"$total%.1f"}}""")
+        s""""write_s":${f"$writeS%.1f"},"shard_s":${f"$shardS%.1f"},"total_s":${f"$total%.1f"}}""")
     spark.stop()
   }
 }

@@ -240,8 +240,54 @@ object Round13 {
       |GROUP BY m.vec_id, m.max_cos
       |ORDER BY m.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Deterministic shard manifest ([[graft.ops.Sharding]]): assign
+    * every document to a size-targeted shard by cumulative token
+    * budget (prefix-sum boundary rule — distributable, unlike greedy
+    * next-fit) and roll up the manifest a training job verifies
+    * against: per-shard doc count, token sum, order-independent
+    * content hash (Σ rolling fingerprints mod p), and id range. The
+    * WRITER itself (partitioned parquet + manifest file) runs in
+    * TrainDataBench and the spec; the battery query pins the
+    * assignment + rollup arithmetic, which is everything the writer
+    * computes. Oracle: plain prefix-sum window + the q19 fingerprint
+    * replay. */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sharding.shardManifest(
+      graft.ops.Sharding.assignShards(Tables.documents(s, dir), budget = 2000L))
+      .orderBy("shard_id")
+
+  private val q115Sql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(regexp_split_to_array(text, '\s+'),
+      |          t -> CAST(ascii(t) AS BIGINT)*131 + CAST(length(t) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS doc_fp
+      |  FROM documents
+      |),
+      |placed AS (
+      |  SELECT doc_id, n_tok, doc_fp,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM c
+      |)
+      |SELECT start // 2000 AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(doc_fp) % 1000000007 AS BIGINT) AS content_hash,
+      |  MIN(doc_id) AS first_doc,
+      |  MAX(doc_id) AS last_doc
+      |FROM placed
+      |WHERE n_tok > 0
+      |GROUP BY 1
+      |ORDER BY shard_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
     QueryDef("q113_bpe_train", q113, Some(q113Sql)),
-    QueryDef("q114_semantic_decon", q114, Some(q114Sql)))
+    QueryDef("q114_semantic_decon", q114, Some(q114Sql)),
+    QueryDef("q115_shard_manifest", q115, Some(q115Sql)))
 }

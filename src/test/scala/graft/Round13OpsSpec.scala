@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.text.Bpe
@@ -137,5 +138,63 @@ class Round13OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.ops.Similarity.benchContamination(emb, emb, minCosine = 0.5, maxBench = 10)
     }
+  }
+
+  // ------------------------------------------------------------ Sharding
+  import graft.ops.Sharding
+
+  private lazy val shardDocs = (0L until 40L)
+    .map(i => (i, Seq.fill((i % 7 + 1).toInt)(s"w$i").mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("sharding: every doc lands in exactly one shard, at its start offset") {
+    val a = Sharding.assignShards(shardDocs, budget = 10L)
+      .orderBy("doc_id").collect()
+    assert(a.length === 40)
+    var start = 0L
+    a.foreach { r =>
+      assert(r.getLong(2) === start, s"start of doc ${r.getLong(0)}")
+      assert(r.getLong(3) === start / 10, "shard = start div budget")
+      start += r.getLong(1)
+    }
+  }
+
+  test("sharding: manifest totals reconcile with the corpus exactly") {
+    val m = Sharding.shardManifest(Sharding.assignShards(shardDocs, budget = 10L))
+    val totalDocs = m.agg(sum($"n_docs")).head().getLong(0)
+    val totalToks = m.agg(sum($"n_tokens")).head().getLong(0)
+    assert(totalDocs === 40L)
+    assert(totalToks === (0L until 40L).map(_ % 7 + 1).sum)
+  }
+
+  test("sharding: assignment + hash invariant under repartitioning") {
+    val a = Sharding.shardManifest(Sharding.assignShards(shardDocs, budget = 10L))
+      .orderBy("shard_id").collect().map(_.toSeq).toSeq
+    val b = Sharding.shardManifest(Sharding.assignShards(shardDocs.repartition(7), budget = 10L))
+      .orderBy("shard_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("sharding: writer round-trip — stored shards reproduce the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val manifest = Sharding.writeShards(shardDocs, dir, budget = 10L)
+      .orderBy("shard_id").collect()
+    // re-derive every manifest column from what actually landed in the
+    // shard directories: counts, token sums, content hash, id range
+    val written = spark.read.parquet(s"$dir/shards")
+    val re = written
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.ops.TextStats.tokenCount($"text")).as("n_tokens"),
+        pmod(sum(graft.ops.TextStats.rollingFingerprint($"text")), lit(1000000007L)).as("content_hash"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy("shard_id").collect()
+    assert(manifest.map(_.toSeq).toSeq === re.map(_.toSeq).toSeq)
+    // shard directories are the partition layout (prunable by shard_id)
+    val dirs = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.length.toLong === manifest.length.toLong)
   }
 }
