@@ -23,16 +23,17 @@ import org.apache.spark.sql.functions._
   *    the hard direction: emitted pairs grow ~n²/2 per doc by
   *    construction, so wall-time is expected to track OUTPUT size;
   *    sec-per-1k-pairs is the scale-honest rate.
-  *  - pagerank → x1/x10 disjoint graph replicas at the battery's 5
-  *    rounds, plus an 8-round x10 point: 8 is the midCheckpointAbove
+  *  - pagerank → x1/x10/x30 disjoint graph replicas at the battery's
+  *    5 rounds, plus an 8-round x10 point: 8 is the midCheckpointAbove
   *    boundary (largest run that builds a single uncut 8-join-deep
   *    DAG), so this point is the standing evidence the
   *    no-mid-checkpoint default doesn't hide superlinear
-  *    analysis/codegen cost (round-11 advice).
+  *    analysis/codegen cost (round-11 advice); x30 extends the
+  *    linear-in-edges evidence one decade (round-12 ask #6).
   *  - packing → x1/x10 replicated docs (two-phase prefix sum: fixed
   *    number of shuffles over (id,count) longs, ~linear in docs).
-  *  - rank    → q88 exact radix rank/deciles x1/x10: the claim under
-  *    test is "no corpus-sized window partition".
+  *  - rank    → q88 exact radix rank/deciles x1/x10/x30: the claim
+  *    under test is "no corpus-sized window partition".
   *  - inc     → "incremental_dedup": fixed batch vs x1/x10 corpus;
   *    index build cost reported separately (stored + amortized in
   *    production), inc_sec vs full_sec growth is the operator's claim.
@@ -45,6 +46,22 @@ object Scaling {
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Cumulative hypervisor-steal jiffies (Bench's marker, here per
+    * POINT: loadavg sees only this VM's processes, steal the
+    * neighbors'). */
+  private def stealJiffies(): Long =
+    try scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .trim.split("\\s+")(8).toLong
+    catch { case _: Throwable => -1L }
+
+  /** Steal as % of total vCPU capacity over a point's wall window. */
+  private def stealPct(steal0: Long, wallSec: Double): Double = {
+    val s1 = stealJiffies()
+    if (steal0 < 0 || s1 < 0 || wallSec <= 0) -1.0
+    else (s1 - steal0) * 100.0 /
+      (wallSec * 100.0 * Runtime.getRuntime.availableProcessors())
+  }
 
   val sectionNames: Seq[String] = Seq("dedup", "pagerank", "packing", "rank", "inc")
 
@@ -133,6 +150,8 @@ object Scaling {
         Seq(1, 10, 30).foreach { x =>
           if (elapsed < budgetSec) {
             val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
             val df = if (x == 1) base else replicate(x)
             val nDocs = df.count()
             val (p, tp) = timed(graft.ops.Dedup.minhashPairs(df, shingleSize = 3,
@@ -140,8 +159,9 @@ object Scaling {
             sweep(spark)
             val (f, tf) = timed(graft.ops.Dedup.deduplicate(df, maxJaccardDist = 0.4).count())
             sweep(spark)
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
             val perK = if (p > 0) tp / (p / 1000.0) else 0.0
-            points += f"""{"x":$x,"docs":$nDocs,"q31_pairs":$p,"q31_sec":$tp%.2f,"q31_sec_per_1k_pairs":$perK%.3f,"q55_survivors":$f,"q55_sec":$tf%.2f,"load":$la%.1f}"""
+            points += f"""{"x":$x,"docs":$nDocs,"q31_pairs":$p,"q31_sec":$tp%.2f,"q31_sec_per_1k_pairs":$perK%.3f,"q55_survivors":$f,"q55_sec":$tf%.2f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 
@@ -164,15 +184,21 @@ object Scaling {
         // midCheckpointAbove=8 boundary — the deepest uncut DAG the
         // default permits — so a superlinear analysis/codegen blowup
         // there would show against the 5-round cell's ~1.6× expected
-        // per-round scaling instead of hiding until production
-        Seq((1, 5), (10, 5), (10, 8)).foreach { case (x, iters) =>
+        // per-round scaling instead of hiding until production. The
+        // x30 cell (round-12 verdict ask #6) backs the 100× claim one
+        // decade further: linear-in-edges shape holds iff
+        // sec(x30)/sec(x10) ≈ 3 at equal iterations.
+        Seq((1, 5), (10, 5), (10, 8), (30, 5)).foreach { case (x, iters) =>
           if (elapsed < budgetSec) {
             val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
             val e = if (x == 1) edges1 else edgesX(x)
             val nEdges = e.count()
             val (v, t) = timed(graft.ops.PageRank.ranks(e, iterations = iters).count())
             sweep(spark)
-            points += f"""{"x":$x,"iters":$iters,"edges":$nEdges,"vertices":$v,"sec":$t%.2f,"load":$la%.1f}"""
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
+            points += f"""{"x":$x,"iters":$iters,"edges":$nEdges,"vertices":$v,"sec":$t%.2f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 
@@ -182,11 +208,14 @@ object Scaling {
         Seq(1, 10).foreach { x =>
           if (elapsed < budgetSec) {
             val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
             val df = if (x == 1) base else replicate(x)
             val nDocs = df.count()
             val (spans, t) = timed(graft.ops.Packing.packSequences(df, budget = 256L).count())
             sweep(spark)
-            points += f"""{"x":$x,"docs":$nDocs,"span_rows":$spans,"sec":$t%.2f,"load":$la%.1f}"""
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
+            points += f"""{"x":$x,"docs":$nDocs,"span_rows":$spans,"sec":$t%.2f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 
@@ -195,10 +224,14 @@ object Scaling {
         // corpus-sized window partition" — two-level radix counting
         // should grow ~linearly with docs where the naive per-language
         // window would hit a single-task sort. Repeated scores land in
-        // the same radix cell (the tie path is exercised by construction).
-        Seq(1, 10).foreach { x =>
+        // the same radix cell (the tie path is exercised by
+        // construction). x30 (round-12 verdict ask #6): one more
+        // decade behind the linearity claim.
+        Seq(1, 10, 30).foreach { x =>
           if (elapsed < budgetSec) {
             val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
             val df = if (x == 1) base else replicate(x)
             val nDocs = df.count()
             val (rows, t) = timed {
@@ -207,7 +240,8 @@ object Scaling {
               graft.ops.Ranks.withQuantileBucket(ranked, "lang", buckets = 10).count()
             }
             sweep(spark)
-            points += f"""{"x":$x,"docs":$nDocs,"rows":$rows,"sec":$t%.2f,"load":$la%.1f}"""
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
+            points += f"""{"x":$x,"docs":$nDocs,"rows":$rows,"sec":$t%.2f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 
@@ -232,6 +266,8 @@ object Scaling {
         Seq(1, 10).foreach { x =>
           if (elapsed < budgetSec) {
             val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
             val c = if (x == 1) corpusSlice else corpusX(x)
             val nCorpus = c.count()
             var idx: graft.ops.Dedup.CorpusDedupIndex = null
@@ -245,7 +281,8 @@ object Scaling {
             val (surv, tf) = timed(graft.ops.Dedup.deduplicate(
               c.unionByName(batchSlice), maxJaccardDist = 0.4).count())
             sweep(spark)
-            points += f"""{"x":$x,"corpus":$nCorpus,"index_sec":$tIdx%.2f,"admitted":$adm,"inc_sec":$ti%.2f,"full_survivors":$surv,"full_sec":$tf%.2f,"load":$la%.1f}"""
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
+            points += f"""{"x":$x,"corpus":$nCorpus,"index_sec":$tIdx%.2f,"admitted":$adm,"inc_sec":$ti%.2f,"full_survivors":$surv,"full_sec":$tf%.2f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 

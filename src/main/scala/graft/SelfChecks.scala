@@ -33,7 +33,8 @@ object SelfChecks {
       "q43_lsh_neardup" -> guard(neardupCosines(spark, sfDir, outDir)),
       "q35_sketches" -> guard(sketchesVsExact(spark, sfDir, outDir)),
       "q54_corpus_sketch" -> guard(corpusSketchVsExact(spark, sfDir, outDir)),
-      "q84_incremental_neardup" -> guard(bandBucketsUnderCap(spark, sfDir)))
+      "q84_incremental_neardup" -> guard(bandBucketsUnderCap(spark, sfDir)),
+      "stream_arrival_end_state" -> guard(streamEqualsChainedBatch(spark, sfDir, outDir)))
   }
 
   def toJson(results: Seq[(String, (Boolean, String))]): String = {
@@ -271,5 +272,59 @@ object SelfChecks {
     (errs.isEmpty,
       if (errs.isEmpty) f"${rows.length} language pairs; estimates within 0.25 of exact union Jaccard (max dev $maxDev%.3f)"
       else errs.mkString("; "))
+  }
+
+  /** Streaming ARRIVAL path recorded in the round artifact (round-12
+    * verdict ask #7): drop q112's two batches as parquet files into a
+    * landing zone, run the growing-index foreachBatch funnel
+    * ([[graft.streaming.DocsStream.incrementalDedupStream]] with
+    * growIndex=true, one file per micro-batch, arrival order pinned
+    * via file mtimes), and compare the admitted END STATE against the
+    * q112 verify dump — which the driver independently hash-checks
+    * against the DuckDB recursive-CTE replay. Equality here therefore
+    * chains: stream end-state ≡ engine chained-batch ≡ SQL oracle.
+    * Id sets determine the batch labels too (batch A ⇔ id%10=0), so a
+    * sorted-id comparison covers the full dump. */
+  private def streamEqualsChainedBatch(spark: SparkSession, sfDir: String,
+      outDir: String): (Boolean, String) = {
+    val dump = java.nio.file.Paths.get(outDir, "q112_append_index_dedup")
+    if (!java.nio.file.Files.exists(dump))
+      return (false, "q112 dump missing from verify outDir")
+    val expected = spark.read.parquet(dump.toString)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 >= 2)
+    val landing = java.nio.file.Files.createTempDirectory("graft-sc-landing")
+    docs.filter(col("doc_id") % 10 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/inc1")
+    docs.filter(col("doc_id") % 10 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/inc2")
+    // FileStreamSource orders by modification time: make inc2 strictly
+    // newer so batch A is always the first micro-batch
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis()
+    java.nio.file.Files.walk(java.nio.file.Paths.get(landing.toString))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).foreach { p =>
+        val t = if (p.toString.contains("inc1")) now - 120000 else now
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sc-ckpt")
+    val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val idx = graft.ops.Dedup.indexCorpus(corpus)
+    val q = graft.streaming.DocsStream.incrementalDedupStream(
+      graft.streaming.DocsStream.readDocs(spark, landing.toString, docs,
+        maxFilesPerTrigger = Some(1)),
+      idx, ckpt.toString,
+      sink = df => df.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0))),
+      shingleSize = 3, maxJaccardDist = 0.4, growIndex = true)
+    try q.awaitTermination(240000) finally q.stop()
+    idx.unpersistAll()
+    val streamed = admitted.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    val ok = streamed.length > 0 && streamed.sameElements(expected)
+    (ok,
+      if (ok) s"stream admitted ${streamed.length} ids == q112 oracle-checked dump (growIndex, 2 micro-batches)"
+      else s"stream admitted ${streamed.length} ids vs q112 dump ${expected.length}: " +
+        s"missing=${expected.diff(streamed).take(5).mkString(",")} extra=${streamed.diff(expected).take(5).mkString(",")}")
   }
 }
