@@ -285,9 +285,57 @@ object Round13 {
       |GROUP BY 1
       |ORDER BY shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** Sequence packing in LEARNED-BPE units: q113's trained tokenizer
+    * plugged into q82's packing as `countExpr` — the q107 composition
+    * with the vocabulary-applying tokenizer swapped for the
+    * merge-LEARNING one, i.e. the exact count a trained-tokenizer
+    * loader would pack by. Training cost is vocabulary-sized (q113's
+    * shape); the count+pack pipeline stays one codegen'd map pass
+    * plus the two-phase prefix sum. Oracle: the q113 six-stage merge
+    * replay feeding the q82 LATERAL range cut. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m = graft.text.Bpe.fit(docs, k = 6)
+    val pieces = element_at(graft.text.Bpe.statsCol(col("text"), m), 2)
+    graft.ops.Packing.packSequences(docs, budget = 128L,
+        countExpr = Some(pieces))
+      .orderBy("seq_id", "doc_id")
+  }
+
+  private val q116Sql = {
+    // q113's training replay (shared stage generator) …
+    val trainPrefix = q113Sql.substring(0, q113Sql.indexOf(",\nfin AS"))
+    s"""$trainPrefix,
+       |fin AS (SELECT tok, CAST(len(string_split(sym, chr(31))) AS BIGINT) AS np FROM w6),
+       |words AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+       |counted AS (
+       |  SELECT w.doc_id,
+       |    CAST(SUM(CASE WHEN length(w.tok) = 0 THEN 0 ELSE f.np END) AS BIGINT) AS n_tok
+       |  FROM words w LEFT JOIN fin f ON w.tok = f.tok
+       |  GROUP BY w.doc_id
+       |),
+       |placed AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM counted
+       |)
+       |SELECT s.seq_id, doc_id,
+       |  GREATEST(start, s.seq_id * 128) - start AS doc_off,
+       |  GREATEST(start, s.seq_id * 128) - s.seq_id * 128 AS seq_off,
+       |  LEAST(start + n_tok, (s.seq_id + 1) * 128)
+       |    - GREATEST(start, s.seq_id * 128) AS len
+       |FROM placed, LATERAL (
+       |  SELECT unnest(range(start // 128, (start + n_tok - 1) // 128 + 1)) AS seq_id) s
+       |WHERE n_tok > 0
+       |ORDER BY seq_id, doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
     QueryDef("q113_bpe_train", q113, Some(q113Sql)),
     QueryDef("q114_semantic_decon", q114, Some(q114Sql)),
-    QueryDef("q115_shard_manifest", q115, Some(q115Sql)))
+    QueryDef("q115_shard_manifest", q115, Some(q115Sql)),
+    QueryDef("q116_bpe_packing", q116, Some(q116Sql)))
 }

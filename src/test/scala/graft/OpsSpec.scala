@@ -1149,9 +1149,25 @@ class OpsSpec extends AnyFunSuite {
       // a shared 13-token prefix + near-identical stopword-rich tails:
       // shared 13-grams cover 24 of 26 tokens → 'duplicated'
       (4L, s"$rep13 over the a and of to in is it that for fox dog", "en", "s0", 1L),
-      (5L, s"$rep13 over the a and of to in is it that for cat cow", "en", "s0", 1L)
+      (5L, s"$rep13 over the a and of to in is it that for cat cow", "en", "s0", 1L),
+      // passes every text gate (same shape as doc 0 but disjoint
+      // content words, so no 13-gram is shared), yet its embedding
+      // sits on bench vector 0 → the round-13 'contaminated' rule
+      (6L, (1 to 15).map(i =>
+        s"${Seq("the", "a", "and", "of", "to")(i % 5)} x$i").mkString(" "),
+        "en", "s0", 1L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // 1:1-aligned embeddings: vec 0 is the benchmark (id % 25 = 0);
+    // vec 6 nearly parallel to it (cos ≈ 0.99 ≥ 0.35), the rest
+    // orthogonal to the benchmark (cos 0 < 0.35)
+    val ortho = Seq(0f, 1f, 0f, 0f)
+    (0L to 6L).map {
+      case 0L => (0L, Seq(1f, 0f, 0f, 0f))
+      case 6L => (6L, Seq(0.95f, 0.1f, 0f, 0f))
+      case i  => (i, ortho)
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = graft.queries.Round11.defs.find(_.name == "q101_curation_policy").get
       .fn(spark2, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -1162,6 +1178,7 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) === ((Some("repetitive"), false)))
     assert(out(4L)._1.contains("duplicated"))
     assert(out(5L)._1.contains("duplicated"))
+    assert(out(6L) === ((Some("contaminated"), false)))
   }
 
   test("crossSourceDupMatrix: within-feed and cross-feed dup pairs land on the right cells") {

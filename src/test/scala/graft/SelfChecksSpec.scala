@@ -15,14 +15,15 @@ class SelfChecksSpec extends AnyFunSuite {
   test("all self-checks pass against a fresh dump and emit valid JSON") {
     val out = java.nio.file.Files.createTempDirectory("graft-selfcheck").toString
     Seq("q30_doc_recommend", "q67_recommend_hashed", "q33_ann_lsh",
-      "q43_lsh_neardup", "q35_sketches", "q54_corpus_sketch").foreach { name =>
+      "q43_lsh_neardup", "q35_sketches", "q54_corpus_sketch",
+      "q112_append_index_dedup").foreach { name =>
       SparkEntry.queries(name)(spark, dir)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
     }
     val results = SelfChecks.run(spark, dir, out)
     assert(results.map(_._1) === Seq("q30_doc_recommend", "q67_recommend_hashed",
       "q33_ann_lsh", "q43_lsh_neardup", "q35_sketches", "q54_corpus_sketch",
-      "q84_incremental_neardup"))
+      "q84_incremental_neardup", "stream_arrival_end_state"))
     results.foreach { case (name, (pass, detail)) =>
       assert(pass, s"$name self-check failed: $detail")
     }
@@ -32,7 +33,7 @@ class SelfChecksSpec extends AnyFunSuite {
     import spark.implicits._
     val parsed = spark.read.json(Seq(json).toDS()).collect()
     assert(parsed.length === 1)
-    assert(parsed.head.schema.fieldNames.length === 7)
+    assert(parsed.head.schema.fieldNames.length === 8)
   }
 
   test("a violated invariant turns into pass=false, not an exception") {
