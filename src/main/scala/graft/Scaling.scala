@@ -120,10 +120,23 @@ object Scaling {
     // the operator's, not the JIT's.
     try {
       section match {
-        case "dedup" | "inc" =>
+        case "dedup" =>
           graft.ops.Dedup.minhashPairs(base, shingleSize = 3, bands = 10,
             rowsPerBand = 5, maxJaccardDist = 0.4).count()
           graft.ops.Dedup.deduplicate(base, maxJaccardDist = 0.4).count()
+        case "inc" =>
+          // the section's own workload includes the INDEXED increment
+          // path — warming only pairs+funnel left the first timed x1
+          // point absorbing incrementalDeduplicateIndexed's JIT
+          // (round-13 run: x1 inc 32 s vs x10 inc 5.2 s, inverse
+          // scaling that was pure warm-up)
+          graft.ops.Dedup.minhashPairs(base, shingleSize = 3, bands = 10,
+            rowsPerBand = 5, maxJaccardDist = 0.4).count()
+          graft.ops.Dedup.deduplicate(base, maxJaccardDist = 0.4).count()
+          val wIdx = graft.ops.Dedup.indexCorpus(base.filter(col("doc_id") % 10 =!= 0))
+          graft.ops.Dedup.incrementalDeduplicateIndexed(
+            base.filter(col("doc_id") % 10 === 0), wIdx, maxJaccardDist = 0.4).count()
+          wIdx.unpersistAll()
         case "pagerank" =>
           val o = graft.engine.Tables.orders(spark, sfDir)
           val l = graft.engine.Tables.lineitem(spark, sfDir)

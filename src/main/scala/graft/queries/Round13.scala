@@ -38,7 +38,16 @@ object Round13 {
     val admittedA = Dedup.incrementalDeduplicateIndexed(
       batchA, idx, maxJaccardDist = 0.4).cache()
     admittedA.count()
-    val grown = Dedup.appendToIndex(idx, admittedA)
+    // cache the grown index's union frames, as a production chained
+    // loop keeps its working index resident (DocsStream growIndex) —
+    // the B funnel consumes each of the three frames from several
+    // jobs (layer caches + CC rounds), and an uncached union would
+    // re-evaluate its appended branch per job
+    val grown0 = Dedup.appendToIndex(idx, admittedA)
+    val grown = grown0.copy(
+      shingles = grown0.shingles.cache(),
+      bandRows = grown0.bandRows.cache(),
+      texts = grown0.texts.cache())
     val admittedB = Dedup.incrementalDeduplicateIndexed(
       batchB, grown, maxJaccardDist = 0.4)
     admittedA.select(lit("A").as("batch"), col("doc_id"), col("lang"))
