@@ -82,6 +82,60 @@ object Packing {
           - greatest(col("start"), col("seq_id") * budget)).as("len"))
   }
 
+  /** [[packSequences]] over a deterministic PSEUDO-SHUFFLED document
+    * order: concatenate in (knuth-hash(id), id) order instead of id
+    * order, then cut every `budget` tokens. Real training pipelines
+    * shuffle before packing — id order is crawl/ingest order, and
+    * packing it verbatim gives every training sequence documents
+    * that arrived together (same site, same day), a batch-correlation
+    * the optimizer then sees as non-iid data. The Knuth multiply
+    * ([[Splits.hashBucketN]], full 32-bit range) is the engine's
+    * standing replayable permutation: the shuffle is a pure function
+    * of the id set (bit-reproducible on any cluster layout, unlike a
+    * `rand()` sort), and the oracle replays it in HUGEINT.
+    *
+    * Scale shape is IDENTICAL to [[packSequences]] — the two-phase
+    * prefix sum just runs over hash-value buckets instead of id
+    * buckets (hv div bucketSpan is monotone in hv, so bucket offsets
+    * + in-bucket (hv, id) windows compose to the global (hv, id)
+    * order); nothing corpus-sized ever hits one task, and ties are
+    * broken by id so colliding hashes stay deterministic. */
+  def packShuffled(docs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketSpan: Long = 1L << 20,
+      countExpr: Option[Column] = None): DataFrame = {
+    require(budget > 0 && bucketSpan > 0)
+    val counted = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      Splits.hashBucketN(col(idCol), 1L << 32).as("hv"),
+      countExpr.getOrElse(TextStats.tokenCount(col(textCol))).as("n_tok"))
+    val bucketed = counted.withColumn("bucket", expr(s"hv div $bucketSpan"))
+    val bucketTotals = bucketed.groupBy("bucket")
+      .agg(sum(col("n_tok")).as("btotal"))
+    val overBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("boffset", coalesce(sum(col("btotal")).over(overBuckets), lit(0L)))
+      .select("bucket", "boffset")
+    val inBucket = Window.partitionBy("bucket").orderBy("hv", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("start",
+        col("boffset") + coalesce(sum(col("n_tok")).over(inBucket), lit(0L)))
+    placed
+      .filter(col("n_tok") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start div $budget"),
+        expr(s"(start + n_tok - 1) div $budget"))))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        (greatest(col("start"), col("seq_id") * budget) - col("start")).as("doc_off"),
+        (greatest(col("start"), col("seq_id") * budget) - col("seq_id") * budget).as("seq_off"),
+        (least(col("start") + col("n_tok"), (col("seq_id") + 1) * budget)
+          - greatest(col("start"), col("seq_id") * budget)).as("len"))
+  }
+
   /** No-split packing by grouped first-fit-decreasing: each document
     * lands whole in exactly one `budget`-capacity bin (the opposite
     * trade to [[packSequences]], which has zero padding waste but cuts

@@ -341,10 +341,71 @@ object Round13 {
        |ORDER BY seq_id, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q117
+  /** STORED tokenizer round trip ([[graft.text.Bpe.saveMerges]] /
+    * `loadMerges`): train the q113 merges, persist them as the
+    * (merge_idx, left, right) artifact, reload, and apply — the
+    * production cadence where the tokenizer is trained once per
+    * corpus refresh and every downstream job loads it. Same oracle
+    * as q113: the storage hop must be semantically invisible (the
+    * q90/q97 stance applied to the tokenizer artifact). */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val trained = graft.text.Bpe.fit(docs, k = 6)
+    val mdir = Round11.freshScratchDirShared("graft_q117_bpe")
+    graft.text.Bpe.saveMerges(trained, mdir, s)
+    val loaded = graft.text.Bpe.loadMerges(s, mdir)
+    docs.select(col("doc_id"),
+        graft.text.Bpe.statsCol(col("text"), loaded).as("__s"))
+      .select(col("doc_id"),
+        element_at(col("__s"), 1).as("n_words"),
+        element_at(col("__s"), 2).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q118
+  /** Pseudo-shuffled sequence packing ([[graft.ops.Packing
+    * .packShuffled]]): concatenate in (knuth-hash(id), id) order
+    * before cutting — training pipelines shuffle before packing so a
+    * sequence doesn't hold documents that arrived together, and the
+    * Knuth permutation keeps the shuffle a replayable pure function
+    * of the id set (no rand() sort). Same two-phase prefix-sum scale
+    * shape as q82, just keyed on the hash; the oracle replays the
+    * HUGEINT-guarded hash and the window in shuffled order. */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packShuffled(Tables.documents(s, dir), budget = 256L)
+      .orderBy("seq_id", "doc_id")
+
+  private val q118Sql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok,
+      |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      |         % 4294967296 AS BIGINT) AS hv
+      |  FROM documents
+      |),
+      |placed AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY hv, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM c
+      |)
+      |SELECT s.seq_id, doc_id,
+      |  GREATEST(start, s.seq_id * 256) - start AS doc_off,
+      |  GREATEST(start, s.seq_id * 256) - s.seq_id * 256 AS seq_off,
+      |  LEAST(start + n_tok, (s.seq_id + 1) * 256)
+      |    - GREATEST(start, s.seq_id * 256) AS len
+      |FROM placed, LATERAL (
+      |  SELECT unnest(range(start // 256, (start + n_tok - 1) // 256 + 1)) AS seq_id) s
+      |WHERE n_tok > 0
+      |ORDER BY seq_id, doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
     QueryDef("q113_bpe_train", q113, Some(q113Sql)),
     QueryDef("q114_semantic_decon", q114, Some(q114Sql)),
     QueryDef("q115_shard_manifest", q115, Some(q115Sql)),
-    QueryDef("q116_bpe_packing", q116, Some(q116Sql)))
+    QueryDef("q116_bpe_packing", q116, Some(q116Sql)),
+    QueryDef("q117_stored_bpe", q117, Some(q113Sql)),
+    QueryDef("q118_shuffled_packing", q118, Some(q118Sql)))
 }

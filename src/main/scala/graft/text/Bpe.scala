@@ -156,6 +156,33 @@ object Bpe {
   def statsCol(text: Column, merges: BpeMerges): Column =
     GraftBridge.ofExpr(BpeStatsExpr(GraftBridge.exprOf(text), merges))
 
+  /** Persist a trained merge list — the tokenizer as a stored
+    * artifact, same stance as [[graft.ops.Dedup.saveIndex]] and
+    * [[graft.ops.Similarity.saveIvf]]: production trains once per
+    * corpus refresh, and every downstream job (budgeting, packing,
+    * sharding) LOADS the merges instead of re-scanning the corpus.
+    * Stored as (merge_idx, left, right) parquet — order IS the
+    * tokenizer, so the index column is explicit, never inferred from
+    * file layout. */
+  def saveMerges(merges: BpeMerges, dir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    merges.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("merge_idx", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a stored merge list (driver-side: k rows by contract). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): BpeMerges =
+    new BpeMerges(
+      spark.read.parquet(dir).select("merge_idx", "left", "right")
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2)))
+        .toIndexedSeq)
+
   /** Per-document BPE stats after training `k` merges on the same
     * corpus: (id, n_words, n_pieces). */
   def bpeStats(docs: DataFrame, k: Int,

@@ -140,6 +140,48 @@ class Round13OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe: stored merges round-trip — order preserved, stats identical") {
+    val m = Bpe.fit(docs, k = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_merges").toString
+    Bpe.saveMerges(m, dir, spark)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded.merges === m.merges) // order IS the tokenizer
+    val a = docs.select(Bpe.statsCol(col("text"), m)).collect().map(_.getSeq[Long](0)).toSeq
+    val b = docs.select(Bpe.statsCol(col("text"), loaded)).collect().map(_.getSeq[Long](0)).toSeq
+    assert(a === b)
+  }
+
+  // ---------------------------------------------------- packShuffled
+  test("packShuffled: spans conserve every token exactly, once") {
+    val d = (0L until 50L).map(i => (i, Seq.fill((i % 9 + 1).toInt)(s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val spans = graft.ops.Packing.packShuffled(d, budget = 16L).collect()
+    // per-doc span lengths sum to the doc's token count
+    val perDoc = spans.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(4)).sum).toMap
+    (0L until 50L).foreach(i => assert(perDoc(i) === i % 9 + 1))
+    // sequence offsets tile each sequence without gaps or overlaps
+    spans.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getLong(3))
+      sorted.zip(sorted.drop(1)).foreach { case (x, y) =>
+        assert(x.getLong(3) + x.getLong(4) === y.getLong(3))
+      }
+    }
+  }
+
+  test("packShuffled: pure function of the id set (repartition-invariant) and actually shuffled") {
+    val d = (0L until 60L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val a = graft.ops.Packing.packShuffled(d, budget = 10L)
+      .orderBy("seq_id", "doc_id").collect().map(_.toSeq).toSeq
+    val b = graft.ops.Packing.packShuffled(d.repartition(7), budget = 10L)
+      .orderBy("seq_id", "doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // the permutation must differ from id order: with equal-length
+    // docs, id-order packing puts docs 0,1,2 in sequence 0
+    val seq0 = a.filter(_.head == 0L).map(_(1).asInstanceOf[Long]).toSet
+    assert(seq0 !== Set(0L, 1L, 2L),
+      "hash order coincided with id order — permutation not applied?")
+  }
+
   // ------------------------------------------------------------ Sharding
   import graft.ops.Sharding
 
