@@ -31,9 +31,24 @@ object Round12 {
     graft.text.Subword.subwordStats(Tables.documents(s, dir), vocabN = 10)
       .orderBy("doc_id")
 
-  private val q104Sql =
-    """WITH
-      |vocab AS (
+  /** Shared CTE block (q104/q107): vocab → piece sets → per-word
+    * greedy replay, ending in `perword(tok, np, unk)` plus the
+    * `words(doc_id, tok)` stream.
+    *
+    * Round-13 rewrite: the original replay folded a packed state
+    * through `list_reduce` with a NESTED `list_transform` whose
+    * lambda referenced outer columns — at sf0.1 DuckDB 1.0's
+    * vectorized evaluation mis-bound one row's references in bulk
+    * (the word 'window' segmented as 5 pieces in the full query but
+    * 1 piece when the same CTE was probed with any filter — a pure
+    * engine-side lambda bug, confirmed by a Python replay agreeing
+    * with Spark). The replay is now LAMBDA-FREE where it matters:
+    * `pm` precomputes the longest start/continuation match per
+    * (word, position) as a plain join + MAX, and a recursive CTE
+    * walks the greedy positions — same semantics, no nested-lambda
+    * evaluation anywhere near a join. */
+  private val subwordPerwordCtes =
+    """vocab AS (
       |  SELECT token FROM (
       |    SELECT tok AS token, COUNT(*) AS cnt
       |    FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
@@ -50,43 +65,49 @@ object Round12 {
       |  SELECT DISTINCT unnest(list_transform(range(2, length(token)+1),
       |    i -> substr(token, CAST(i AS INT)))) AS piece FROM vocab WHERE length(token) >= 2
       |),
-      |starts AS (SELECT DISTINCT piece FROM (SELECT token AS piece FROM vocab UNION SELECT piece FROM chars)),
-      |conts  AS (SELECT DISTINCT piece FROM (SELECT piece FROM sufs UNION SELECT piece FROM chars)),
-      |plists AS (
-      |  SELECT (SELECT list(piece ORDER BY piece) FROM starts) AS sl,
-      |         (SELECT list(piece ORDER BY piece) FROM conts)  AS cl
+      |pieces AS (
+      |  SELECT piece, 1 AS s FROM (SELECT token AS piece FROM vocab UNION SELECT piece FROM chars)
+      |  UNION ALL
+      |  SELECT piece, 0 AS s FROM (SELECT piece FROM sufs UNION SELECT piece FROM chars)
       |),
       |words AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
       |),
       |dwords AS (SELECT DISTINCT tok FROM words),
-      |dstats AS (
-      |  SELECT tok,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT), list_transform(range(length(tok)), i -> CAST(i AS BIGINT))),
-      |      (acc, i) -> CASE
-      |        WHEN acc >= 1000000000000 OR i < acc % 1000000 THEN acc
-      |        WHEN list_max(list_transform(CASE WHEN i = 0 THEN sl ELSE cl END,
-      |              p -> CASE WHEN substr(tok, CAST(i AS INT)+1, length(p)) = p THEN length(p) END)) IS NULL
-      |          THEN CAST(1000000000000 AS BIGINT) + length(tok)
-      |        ELSE acc + 1000000 + list_max(list_transform(CASE WHEN i = 0 THEN sl ELSE cl END,
-      |              p -> CASE WHEN substr(tok, CAST(i AS INT)+1, length(p)) = p THEN length(p) END))
-      |      END) AS st
-      |  FROM dwords, plists
+      |pm AS (
+      |  SELECT d.tok, CAST(u.i AS BIGINT) AS pos,
+      |    MAX(CASE WHEN p.s = 1 AND substr(d.tok, CAST(u.i AS INT)+1, length(p.piece)) = p.piece THEN length(p.piece) END) AS ms,
+      |    MAX(CASE WHEN p.s = 0 AND substr(d.tok, CAST(u.i AS INT)+1, length(p.piece)) = p.piece THEN length(p.piece) END) AS mc
+      |  FROM dwords d, UNNEST(range(length(d.tok))) AS u(i), pieces p
+      |  GROUP BY d.tok, u.i
+      |),
+      |walk AS (
+      |  SELECT tok, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np, 0 AS unk FROM dwords
+      |  UNION ALL
+      |  SELECT w.tok,
+      |    CASE WHEN m.mlen IS NULL THEN CAST(length(w.tok) AS BIGINT) ELSE w.pos + m.mlen END,
+      |    CASE WHEN m.mlen IS NULL THEN CAST(1 AS BIGINT) ELSE w.np + 1 END,
+      |    CASE WHEN m.mlen IS NULL THEN 1 ELSE 0 END
+      |  FROM walk w
+      |  JOIN (SELECT tok, pos, CASE WHEN pos = 0 THEN ms ELSE mc END AS mlen FROM pm) m
+      |    ON m.tok = w.tok AND m.pos = w.pos
+      |  WHERE w.pos < length(w.tok) AND w.unk = 0
       |),
       |perword AS (
-      |  SELECT tok,
-      |    CASE WHEN st >= 1000000000000 THEN 1 ELSE (st // 1000000) % 1000000 END AS np,
-      |    CASE WHEN st >= 1000000000000 THEN 1 ELSE 0 END AS unk
-      |  FROM dstats
-      |)
-      |SELECT w.doc_id,
-      |  COUNT(*) AS n_words,
-      |  CAST(SUM(p.np) AS BIGINT) AS n_pieces,
-      |  CAST(SUM(p.unk) AS BIGINT) AS n_unk_words
-      |FROM words w JOIN perword p USING (tok)
-      |GROUP BY w.doc_id
-      |ORDER BY w.doc_id""".stripMargin
+      |  SELECT tok, np, unk FROM walk
+      |  WHERE unk = 1 OR pos >= length(tok)
+      |)""".stripMargin
+
+  private val q104Sql =
+    s"""WITH RECURSIVE
+       |$subwordPerwordCtes
+       |SELECT w.doc_id,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(p.np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(p.unk) AS BIGINT) AS n_unk_words
+       |FROM words w JOIN perword p USING (tok)
+       |GROUP BY w.doc_id
+       |ORDER BY w.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q105
   /** Hashed-linear-classifier quality gate ([[graft.ops.Classifier]]):
@@ -165,77 +186,33 @@ object Round12 {
       .orderBy("seq_id", "doc_id")
   }
 
-  /** q104's per-word greedy replay feeding q82's packing replay —
-    * per-doc piece totals (UNK words count 1) become the n_tok stream
-    * the LATERAL range cut consumes. */
+  /** q104's per-word greedy replay (the round-13 lambda-free
+    * recursive-walk form — see [[subwordPerwordCtes]]) feeding q82's
+    * packing replay — per-doc piece totals (UNK words count 1)
+    * become the n_tok stream the LATERAL range cut consumes. */
   private val q107Sql =
-    """WITH
-      |vocab AS (
-      |  SELECT token FROM (
-      |    SELECT tok AS token, COUNT(*) AS cnt
-      |    FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
-      |    GROUP BY tok
-      |    ORDER BY cnt DESC, token
-      |    LIMIT 10
-      |  )
-      |),
-      |chars AS (
-      |  SELECT DISTINCT unnest(list_transform(range(1, length(token)+1),
-      |    i -> substr(token, CAST(i AS INT), 1))) AS piece FROM vocab
-      |),
-      |sufs AS (
-      |  SELECT DISTINCT unnest(list_transform(range(2, length(token)+1),
-      |    i -> substr(token, CAST(i AS INT)))) AS piece FROM vocab WHERE length(token) >= 2
-      |),
-      |starts AS (SELECT DISTINCT piece FROM (SELECT token AS piece FROM vocab UNION SELECT piece FROM chars)),
-      |conts  AS (SELECT DISTINCT piece FROM (SELECT piece FROM sufs UNION SELECT piece FROM chars)),
-      |plists AS (
-      |  SELECT (SELECT list(piece ORDER BY piece) FROM starts) AS sl,
-      |         (SELECT list(piece ORDER BY piece) FROM conts)  AS cl
-      |),
-      |words AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
-      |),
-      |dwords AS (SELECT DISTINCT tok FROM words),
-      |dstats AS (
-      |  SELECT tok,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT), list_transform(range(length(tok)), i -> CAST(i AS BIGINT))),
-      |      (acc, i) -> CASE
-      |        WHEN acc >= 1000000000000 OR i < acc % 1000000 THEN acc
-      |        WHEN list_max(list_transform(CASE WHEN i = 0 THEN sl ELSE cl END,
-      |              p -> CASE WHEN substr(tok, CAST(i AS INT)+1, length(p)) = p THEN length(p) END)) IS NULL
-      |          THEN CAST(1000000000000 AS BIGINT) + length(tok)
-      |        ELSE acc + 1000000 + list_max(list_transform(CASE WHEN i = 0 THEN sl ELSE cl END,
-      |              p -> CASE WHEN substr(tok, CAST(i AS INT)+1, length(p)) = p THEN length(p) END))
-      |      END) AS st
-      |  FROM dwords, plists
-      |),
-      |perword AS (
-      |  SELECT tok,
-      |    CASE WHEN st >= 1000000000000 THEN 1 ELSE (st // 1000000) % 1000000 END AS np
-      |  FROM dstats
-      |),
-      |counted AS (
-      |  SELECT w.doc_id, CAST(SUM(p.np) AS BIGINT) AS n_tok
-      |  FROM words w JOIN perword p USING (tok)
-      |  GROUP BY w.doc_id
-      |),
-      |placed AS (
-      |  SELECT doc_id, n_tok,
-      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
-      |  FROM counted
-      |)
-      |SELECT s.seq_id, doc_id,
-      |  GREATEST(start, s.seq_id * 128) - start AS doc_off,
-      |  GREATEST(start, s.seq_id * 128) - s.seq_id * 128 AS seq_off,
-      |  LEAST(start + n_tok, (s.seq_id + 1) * 128)
-      |    - GREATEST(start, s.seq_id * 128) AS len
-      |FROM placed, LATERAL (
-      |  SELECT unnest(range(start // 128, (start + n_tok - 1) // 128 + 1)) AS seq_id) s
-      |WHERE n_tok > 0
-      |ORDER BY seq_id, doc_id""".stripMargin
+    s"""WITH RECURSIVE
+       |$subwordPerwordCtes,
+       |counted AS (
+       |  SELECT w.doc_id, CAST(SUM(p.np) AS BIGINT) AS n_tok
+       |  FROM words w JOIN perword p USING (tok)
+       |  GROUP BY w.doc_id
+       |),
+       |placed AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM counted
+       |)
+       |SELECT s.seq_id, doc_id,
+       |  GREATEST(start, s.seq_id * 128) - start AS doc_off,
+       |  GREATEST(start, s.seq_id * 128) - s.seq_id * 128 AS seq_off,
+       |  LEAST(start + n_tok, (s.seq_id + 1) * 128)
+       |    - GREATEST(start, s.seq_id * 128) AS len
+       |FROM placed, LATERAL (
+       |  SELECT unnest(range(start // 128, (start + n_tok - 1) // 128 + 1)) AS seq_id) s
+       |WHERE n_tok > 0
+       |ORDER BY seq_id, doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q108
   /** Vocabulary coverage curve ([[graft.ops.TextStats.vocabCoverage]]):
