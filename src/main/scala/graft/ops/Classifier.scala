@@ -84,6 +84,55 @@ object Classifier {
       hashedLinearScore(t, dim).as("score"))
       .withColumn("kept", col("score") >= lit(threshold))
   }
+
+  /** DSIR-flavored target-affinity scoring (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * reduced to its integer-exact skeleton): hash a SMALL target set
+    * (the distribution you want more of — curated reference docs,
+    * a benchmark's domain) into `dim` unigram buckets, then score
+    * every raw-pool document by Σ over its token occurrences of the
+    * target's bucket count. Documents whose vocabulary concentrates
+    * where the target's does score high; `rate` length-normalizes as
+    * `affinity·10⁶ div n_tok` (integer division — no float-sum
+    * ordering hazards, bit-replayable at any partitioning). A real
+    * DSIR deployment divides by raw-pool bucket frequencies in log
+    * space; the integer numerator here keeps the oracle exact while
+    * demonstrating the identical plan shape (the denominator is one
+    * more broadcast lookup in the same map pass).
+    *
+    * Scale shape: the target aggregation is dim-bounded (≤ 2^20) and
+    * collected ONCE into a literal lookup array, so the corpus pass
+    * is a single codegen'd map stage — no join, no shuffle, scan-bound
+    * at 100 TB exactly like [[hashedLinearScore]]. */
+  def targetAffinityScores(docs: DataFrame, target: DataFrame,
+      dim: Long = 64L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dim > 0 && dim <= (1L << 20))
+    def toks(t: Column) = filter(split(t, "\\s+"), x => length(x) > lit(0))
+    // dim-bounded driver collect (the "broadcast the small dim" rule):
+    // the literal array keeps the scoring expression inside
+    // whole-stage codegen, where a map-side join would add a build
+    // relation for a 64-entry table
+    val counts = target
+      .select(explode(toks(col(textCol))).as("__tok"))
+      .select((tokenHash(col("__tok")) % lit(dim)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lut = typedlit(Array.tabulate(dim.toInt)(i =>
+      counts.getOrElse(i.toLong, 0L)).toSeq)
+    val t = col(textCol)
+    val affinity = aggregate(
+      transform(toks(t), x =>
+        element_at(lut, (tokenHash(x) % lit(dim)).cast("int") + 1)),
+      lit(0L), (acc, c) => acc + c)
+    docs.select(
+      col(idCol),
+      size(toks(t)).cast(LongType).as("n_tok"),
+      affinity.as("affinity"))
+      .withColumn("rate",
+        when(col("n_tok") === 0L, lit(0L))
+          .otherwise(expr("affinity * 1000000 DIV n_tok")))
+  }
 }
 
 /** `string → bigint`: Σ-fold `(acc·131 + codePoint) mod 1000000007`

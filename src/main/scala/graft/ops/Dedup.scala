@@ -779,13 +779,32 @@ object Dedup {
   def deduplicate(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleSize: Int = 3,
       maxJaccardDist: Double = 0.3): DataFrame = {
-    // Connected components prefers RELIABLE checkpoints, but only when
-    // a checkpoint dir is configured — otherwise production silently
-    // gets the non-fault-tolerant localCheckpoint path. In local mode
-    // a temp dir is a correct default (one machine, one filesystem);
-    // on a real cluster the dir must be SHARED storage (HDFS/object
-    // store), which the engine cannot guess — warn loudly instead.
-    val sc = docs.sparkSession.sparkContext
+    ensureCheckpointDir(docs.sparkSession.sparkContext)
+    // cache: the exact-collapsed corpus feeds BOTH the MinHash funnel
+    // and the final left_anti survivor join — uncached, the windowed
+    // exact-dedup shuffle would run twice end to end. This cache is
+    // deliberately RETAINED past the call: the returned survivor frame
+    // is corpus-sized (cannot be materialized locally) and still
+    // references it lazily — unpersisting here would just force the
+    // recompute the cache exists to avoid. Long-lived sessions release
+    // it via catalog.clearCache() or by unpersisting after the
+    // survivors are written out.
+    val exact = dropExact(docs, textCol, idCol).cache()
+    val pairs = minhashPairs(exact, idCol, textCol,
+      shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
+    val clusters = connectedComponents(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    exact.join(losers, exact(idCol) === losers("__loser"), "left_anti")
+  }
+
+  /** Connected components prefers RELIABLE checkpoints, but only when
+    * a checkpoint dir is configured — otherwise production silently
+    * gets the non-fault-tolerant localCheckpoint path. In local mode
+    * a temp dir is a correct default (one machine, one filesystem);
+    * on a real cluster the dir must be SHARED storage (HDFS/object
+    * store), which the engine cannot guess — warn loudly instead. */
+  private def ensureCheckpointDir(sc: org.apache.spark.SparkContext): Unit = {
     if (sc.getCheckpointDir.isEmpty) {
       if (sc.isLocal) {
         // note: setCheckpointDir is CONTEXT-global — this default only
@@ -804,25 +823,58 @@ object Dedup {
         }))
       } else {
         org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup").warn(
-          "graft.Dedup.deduplicate: no spark checkpoint dir configured — " +
+          "graft.Dedup: no spark checkpoint dir configured — " +
             "connected components will fall back to localCheckpoint, which " +
             "is NOT fault-tolerant. Set sc.setCheckpointDir to shared storage.")
       }
     }
-    // cache: the exact-collapsed corpus feeds BOTH the MinHash funnel
-    // and the final left_anti survivor join — uncached, the windowed
-    // exact-dedup shuffle would run twice end to end. This cache is
-    // deliberately RETAINED past the call: the returned survivor frame
-    // is corpus-sized (cannot be materialized locally) and still
-    // references it lazily — unpersisting here would just force the
-    // recompute the cache exists to avoid. Long-lived sessions release
-    // it via catalog.clearCache() or by unpersisting after the
-    // survivors are written out.
-    val exact = dropExact(docs, textCol, idCol).cache()
+  }
+
+  /** [[deduplicate]] with QUALITY-AWARE survivor selection: each
+    * near-dup cluster keeps its best-scoring member instead of the
+    * min id — the production curation shape ("of N copies of this
+    * article, keep the cleanest one"), where min-id survivorship
+    * throws away the signal a quality model already computed.
+    * `score` is any integer column expression over `docs`' columns
+    * (e.g. [[Classifier.hashedLinearScore]]); ties break to the
+    * SMALLEST id so the choice is total and replayable.
+    *
+    * Survivor semantics compose with the exact layer: exact twins
+    * share their text, hence their text-derived score, so collapsing
+    * them to the min-id representative first (cheap hash-window) and
+    * then arg-maxing over near-dup cluster representatives picks
+    * exactly the (max score, min id) member of the FULL cluster —
+    * the same answer as scoring every original member.
+    *
+    * Scale shape: identical to [[deduplicate]] (banded MinHash, never
+    * all-pairs; pointer-halving CC) plus ONE cluster-keyed aggregation
+    * — `max(struct(score, -id))` is map-side combinable, so no window
+    * over corpus-sized partitions and no skew exposure beyond what CC
+    * already bounds. Returns the kept corpus with its `score` column.
+    */
+  def deduplicateKeepBest(docs: DataFrame, score: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, maxJaccardDist: Double = 0.3): DataFrame = {
+    ensureCheckpointDir(docs.sparkSession.sparkContext)
+    // cache: feeds the MinHash funnel, the cluster-score join and the
+    // final survivor anti-join (same retained-past-call contract as
+    // deduplicate's `exact`)
+    val exact = dropExact(docs, textCol, idCol).withColumn("__score", score)
+      .cache()
     val pairs = minhashPairs(exact, idCol, textCol,
       shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
     val clusters = connectedComponents(pairs)
-    val losers = clusters.filter(col("id") =!= col("cluster"))
+    // survivor per cluster = arg max (score, -id): lexicographic
+    // struct max ≡ "highest score, ties to smallest id"; one combiner-
+    // friendly agg instead of a row_number window
+    val surv = clusters
+      .join(exact.select(col(idCol).as("id"), col("__score")), "id")
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("__score").as("s"), (-col("id")).as("nid")))
+        .as("__best"))
+      .select(col("cluster"), (-col("__best")("nid")).as("__surv"))
+    val losers = clusters.join(surv, "cluster")
+      .filter(col("id") =!= col("__surv"))
       .select(col("id").as("__loser"))
     exact.join(losers, exact(idCol) === losers("__loser"), "left_anti")
   }
@@ -1057,6 +1109,17 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + lit(shingleSize - 1)))
           .as("__tpos"))
       .distinct()
+    exciseTokenPositions(corpus, covered, idCol, textCol)
+  }
+
+  /** Cut the token positions listed in `covered` (idCol, __tpos) out
+    * of every corpus document and reassemble the remainder in order —
+    * the shared excision tail of [[exciseContaminatedSpans]] and
+    * [[exciseDuplicatedSpans]]. Reassembly groups per document, so
+    * partition width is bounded by tokens-per-document, never corpus
+    * size. Returns (id, n_tokens, removed_tokens, clean_text). */
+  private def exciseTokenPositions(corpus: DataFrame, covered: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val toks = corpus
       .select(col(idCol), posexplode(TextStats.tokens(col(textCol)))
         .as(Seq("__tpos", "__tok")))
@@ -1072,6 +1135,45 @@ object Dedup {
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
           .as("removed_tokens"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Corpus-INTERNAL duplicated-span EXCISION — the removal
+    * counterpart of [[duplicatedSpanFraction]] (the Lee et al.
+    * "deduplicate the repeated substrings themselves" pass, at n-gram
+    * resolution): every occurrence of a `shingleSize`-gram EXCEPT the
+    * corpus-wide FIRST (smallest (doc_id, pos)) marks its token span
+    * for removal; covered positions are cut and the rest reassembled
+    * in order. Keep-first means the earliest copy retains its text
+    * intact while later copies lose exactly the repeated spans —
+    * unlike [[Chunking.removeFrequentChunks]], whose frequency
+    * threshold drops ALL occurrences including the first, and unlike
+    * q16/q55 whole-document dedup, this trims duplication INSIDE
+    * documents that survive.
+    *
+    * Scale shape: gram rows are three longs; the first-occurrence +
+    * occurrence-count pass is ONE hash-partitioned aggregation with
+    * map-side combine (`min(struct(id, pos))` — no per-gram window,
+    * so a boilerplate gram occurring millions of times costs one
+    * combiner chain, not a million-row sort partition); the
+    * membership join back to positions is gram-keyed and only
+    * duplicated grams (the hot set) flow through it. Excision and
+    * reassembly are per-document. */
+  def exciseDuplicatedSpans(docs: DataFrame, shingleSize: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(shingleSize >= 1)
+    val grams = posGramHashes(docs, shingleSize, idCol, textCol)
+    val firsts = grams.groupBy(col("__g"))
+      .agg(min(struct(col(idCol).as("id"), col("pos").as("p"))).as("__first"),
+        count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select(col("__g"), col("__first"))
+    val covered = grams.join(firsts, "__g")
+      .filter(struct(col(idCol).as("id"), col("pos").as("p")) =!= col("__first"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(shingleSize - 1)))
+          .as("__tpos"))
+      .distinct()
+    exciseTokenPositions(docs, covered, idCol, textCol)
   }
 
   /** Corpus-INTERNAL duplicated-text measurement (the Lee et al.

@@ -311,4 +311,44 @@ object TextStats {
         col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
 
+  /** Pairwise vocabulary overlap between sources: for every
+    * (source_a < source_b) pair, each side's distinct-token vocabulary
+    * size, the shared count and the vocabulary Jaccard — the
+    * mixture-design signal for "are these two feeds the same
+    * distribution?" that complements q100's instance-level
+    * cross-source duplication matrix with a DISTRIBUTION-level one
+    * (two syndicated feeds share documents; two same-domain feeds
+    * share vocabulary even with zero shared documents).
+    *
+    * Scale shape: the distinct (source, token) projection is one
+    * token-keyed exchange whose size is Σ per-source vocabularies —
+    * vocabulary saturates far below corpus size, so this is the small
+    * frame of the pipeline. The shared-count self-join fans out ≤ S
+    * rows per token (S = number of sources, an enumerable fleet of
+    * feeds, not a data-scaled quantity), so output is bounded by
+    * vocab·S² in the worst case and by the true overlap in practice.
+    * Pairs with zero overlap still appear (cross of the S-row size
+    * frame — broadcast, O(S²) rows). */
+  def sourceVocabOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = docs.select(col(groupCol).as("__src"),
+      explode(tokens(col(textCol))).as("__tok")).distinct()
+    val sizes = st.groupBy(col("__src")).agg(count(lit(1)).as("__vocab"))
+    val shared = st.select(col("__src").as("source_a"), col("__tok"))
+      .join(st.select(col("__src").as("source_b"), col("__tok")), Seq("__tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_vocab"))
+    val pairs = broadcast(sizes.select(col("__src").as("source_a"),
+        col("__vocab").as("vocab_a")))
+      .join(broadcast(sizes.select(col("__src").as("source_b"),
+        col("__vocab").as("vocab_b"))),
+        col("source_a") < col("source_b"))
+    pairs.join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("vocab_a"), col("vocab_b"),
+        coalesce(col("shared_vocab"), lit(0L)).as("shared_vocab"))
+      .withColumn("jaccard", col("shared_vocab").cast(DoubleType) /
+        (col("vocab_a") + col("vocab_b") - col("shared_vocab")).cast(DoubleType))
+  }
+
 }

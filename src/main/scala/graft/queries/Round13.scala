@@ -400,6 +400,214 @@ object Round13 {
       |WHERE n_tok > 0
       |ORDER BY seq_id, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Quality-aware dedup survivor selection ([[graft.ops.Dedup
+    * .deduplicateKeepBest]]): the q55 funnel with each near-dup
+    * cluster keeping its BEST-scoring member (q105's integer
+    * classifier score, ties to min id) instead of the min id — "of N
+    * copies, keep the cleanest one", the curation policy real
+    * pipelines run once a quality model exists. Oracle: the q55
+    * recursive-CTE component replay plus the q105 score fold, with a
+    * per-cluster (score DESC, id) argmax window. */
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    Dedup.deduplicateKeepBest(Tables.documents(s, dir),
+        graft.ops.Classifier.hashedLinearScore(col("text"), 64L),
+        maxJaccardDist = 0.4)
+      .select(col("doc_id"), col("lang"), col("__score").as("score"))
+      .orderBy("doc_id")
+
+  /** q105's codepoint-hash linear score as a DuckDB scalar over
+    * column `text` — shared by the q119 survivor argmax. */
+  private val scoreFold =
+    """CAST(COALESCE(list_sum(list_transform(
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0), tok ->
+      |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007) % 64) * 2654435761) % 4294967296 % 1001 - 500
+      |  )), 0) AS BIGINT)""".stripMargin
+
+  private val q119Sql =
+    s"""WITH RECURSIVE exact AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+       |),
+       |kept_exact AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN exact e ON d.doc_id = e.doc_id
+       |),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM kept_exact
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t) - 2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+       |  FROM toks WHERE len(t) >= 3
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+       |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+       |),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach AS (
+       |  SELECT DISTINCT s AS id, s AS lab FROM edges
+       |  UNION
+       |  SELECT e.d AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+       |),
+       |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+       |sc AS (SELECT doc_id, $scoreFold AS score FROM kept_exact),
+       |ranked AS (
+       |  SELECT c.cluster, c.id,
+       |    ROW_NUMBER() OVER (PARTITION BY c.cluster ORDER BY s.score DESC, c.id) AS rn
+       |  FROM comp c JOIN sc s ON s.doc_id = c.id
+       |),
+       |losers AS (SELECT id FROM ranked WHERE rn > 1)
+       |SELECT k.doc_id, k.lang, s.score
+       |FROM kept_exact k JOIN sc s ON s.doc_id = k.doc_id
+       |WHERE k.doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY k.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+  /** Corpus-internal duplicated-span excision ([[graft.ops.Dedup
+    * .exciseDuplicatedSpans]]): every 13-gram occurrence except the
+    * corpus-wide first is cut and the survivors reassembled — the
+    * Lee et al. "dedup the repeated substrings themselves" pass that
+    * closes the span family: q95 MEASURES internal duplication, q98
+    * excises against an EXTERNAL benchmark, this excises the internal
+    * duplication itself, keep-first. Oracle: q95's positional-gram
+    * spelling with a per-gram (doc_id, pos) first-occurrence window,
+    * then q98's coverage + ordered-reassembly replay. */
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    Dedup.exciseDuplicatedSpans(Tables.documents(s, dir), shingleSize = 13)
+      .orderBy("doc_id")
+
+  private val q120Sql =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      |gr AS (
+      |  SELECT doc_id, i AS pos, array_to_string(t[i+1:i+13], ' ') AS g
+      |  FROM t, UNNEST(range(greatest(len(t) - 12, 0))) AS u(i)
+      |),
+      |rk AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS occ
+      |  FROM gr
+      |),
+      |m AS (SELECT doc_id, pos FROM rk WHERE occ >= 2 AND rn > 1),
+      |cov AS (SELECT DISTINCT doc_id, pos + j AS tpos FROM m, UNNEST(range(13)) AS v(j)),
+      |tk AS (
+      |  SELECT doc_id, i AS tpos, t[CAST(i+1 AS INTEGER)] AS tok
+      |  FROM t, UNNEST(range(len(t))) AS u(i)
+      |),
+      |kept AS (
+      |  SELECT tk.doc_id, tk.tpos, tk.tok
+      |  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+      |  WHERE cov.doc_id IS NULL
+      |),
+      |re AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(len(regexp_split_to_array(d.text, '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_split_to_array(d.text, '\s+')) - COALESCE(re.n_kept, 0)
+      |    AS BIGINT) AS removed_tokens,
+      |  COALESCE(re.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN re USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q121
+  /** Cross-source vocabulary overlap ([[graft.ops.TextStats
+    * .sourceVocabOverlap]]): per source pair, vocabulary sizes,
+    * shared distinct tokens and vocabulary Jaccard — the
+    * DISTRIBUTION-level companion to q100's instance-level dup
+    * matrix, the signal mixture design reads to decide whether two
+    * feeds cover the same domain. Oracle: distinct (source, token)
+    * projection + self-join, exact integer counts, one replayable
+    * double division. */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.sourceVocabOverlap(Tables.documents(s, dir))
+      .orderBy("source_a", "source_b")
+
+  private val q121Sql =
+    """WITH st AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS tok
+      |    FROM documents)
+      |),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM st GROUP BY source),
+      |sh AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT va.source AS source_a, vb.source AS source_b,
+      |  va.vocab AS vocab_a, vb.vocab AS vocab_b,
+      |  COALESCE(sh.shared, 0) AS shared_vocab,
+      |  CAST(COALESCE(sh.shared, 0) AS DOUBLE)
+      |    / CAST(va.vocab + vb.vocab - COALESCE(sh.shared, 0) AS DOUBLE) AS jaccard
+      |FROM sizes va JOIN sizes vb ON va.source < vb.source
+      |LEFT JOIN sh ON sh.source_a = va.source AND sh.source_b = vb.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+  /** DSIR-style target-affinity scoring ([[graft.ops.Classifier
+    * .targetAffinityScores]]): documents with doc_id % 50 = 0 play
+    * the curated target set (the q62 split convention), the rest the
+    * raw pool; every pool document scores Σ target-bucket-count over
+    * its hashed unigrams plus the integer-division length-normalized
+    * rate — the "select raw data that looks like the target
+    * distribution" step, integer-exact. Oracle: the q105 codepoint
+    * fold per token, bucket counts as a CTE joined back to the
+    * exploded pool tokens (the engine inlines them as a literal
+    * lookup array — same integers, no join). */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.ops.Classifier.targetAffinityScores(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), dim = 64L)
+      .orderBy("doc_id")
+  }
+
+  private val q122Sql = {
+    val tokHash =
+      """(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) % 64)""".stripMargin
+    s"""WITH ttok AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> length(x) > 0)) AS tok
+       |  FROM documents WHERE doc_id % 50 = 0
+       |),
+       |tb AS (SELECT $tokHash AS b, CAST(COUNT(*) AS BIGINT) AS c FROM ttok GROUP BY 1),
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+       |ctok AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> length(x) > 0)) AS tok
+       |  FROM corpus
+       |),
+       |cb AS (SELECT doc_id, $tokHash AS b FROM ctok),
+       |sc AS (
+       |  SELECT cb.doc_id, CAST(SUM(COALESCE(tb.c, 0)) AS BIGINT) AS affinity
+       |  FROM cb LEFT JOIN tb USING (b) GROUP BY cb.doc_id
+       |),
+       |n AS (
+       |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> length(x) > 0)) AS BIGINT) AS n_tok
+       |  FROM corpus
+       |)
+       |SELECT n.doc_id, n.n_tok, COALESCE(sc.affinity, 0) AS affinity,
+       |  CASE WHEN n.n_tok = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE COALESCE(sc.affinity, 0) * 1000000 // n.n_tok END AS rate
+       |FROM n LEFT JOIN sc ON sc.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
     QueryDef("q113_bpe_train", q113, Some(q113Sql)),
@@ -407,5 +615,9 @@ object Round13 {
     QueryDef("q115_shard_manifest", q115, Some(q115Sql)),
     QueryDef("q116_bpe_packing", q116, Some(q116Sql)),
     QueryDef("q117_stored_bpe", q117, Some(q113Sql)),
-    QueryDef("q118_shuffled_packing", q118, Some(q118Sql)))
+    QueryDef("q118_shuffled_packing", q118, Some(q118Sql)),
+    QueryDef("q119_keepbest_dedup", q119, Some(q119Sql)),
+    QueryDef("q120_dup_span_excision", q120, Some(q120Sql)),
+    QueryDef("q121_source_vocab_overlap", q121, Some(q121Sql)),
+    QueryDef("q122_target_affinity", q122, Some(q122Sql)))
 }

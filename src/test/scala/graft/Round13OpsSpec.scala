@@ -239,4 +239,76 @@ class Round13OpsSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
     assert(dirs.nonEmpty && dirs.length.toLong === manifest.length.toLong)
   }
+
+  // ------------------------------------------- keep-best dedup (q119)
+  test("deduplicateKeepBest: cluster keeps the max-score member, ties to min id") {
+    val base = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, base, 1L),                 // exact twin of 3, near-dup of 2
+      (2L, base + " extra", 7L),      // highest score in cluster {1,2,3}
+      (3L, base, 1L),                 // exact twin of 1 (same text, same score)
+      (4L, "completely different words entirely separate content here now", 0L),
+      (5L, "red green blue yellow purple orange pink gray colors list", 4L),
+      (6L, "red green blue yellow purple orange pink gray colors lists", 4L) // tie with 5
+    ).toDF("doc_id", "text", "q")
+    val kept = graft.ops.Dedup.deduplicateKeepBest(docs, col("q"),
+        maxJaccardDist = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // {1,3} collapse exactly to 1; cluster {1,2} keeps 2 (score 7 > 1);
+    // {5,6} tie on score 4 → min id 5; 4 untouched
+    assert(kept === Array(2L, 4L, 5L))
+  }
+
+  // ------------------------------------- duplicated-span excision (q120)
+  test("exciseDuplicatedSpans: keep-first cuts later occurrences only") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d z"),
+      (3L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.exciseDuplicatedSpans(docs, shingleSize = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 holds the first occurrences of "a b c" and "b c d" → intact;
+    // doc 2 loses positions 2-5 (union of the two dup spans) → "x y z";
+    // doc 3's self-repeats: first gram occurrences are at 0,1,2, dup
+    // occurrences at 3..6 cover positions 3-8 → "p q r"
+    assert(out === Array(
+      (1L, 5L, 0L, "a b c d e"),
+      (2L, 7L, 4L, "x y z"),
+      (3L, 9L, 6L, "p q r")))
+  }
+
+  // ------------------------------------------ source vocab overlap (q121)
+  test("sourceVocabOverlap: exact vocab sizes, shared counts, zero-overlap pairs") {
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "b d", "A"),
+      (3L, "b c e", "B"),
+      (4L, "z", "C")).toDF("doc_id", "text", "source")
+    val rows = graft.ops.TextStats.sourceVocabOverlap(docs)
+      .orderBy("source_a", "source_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows === Array(
+      ("A", "B", 4L, 3L, 2L, 2.0 / 5.0),
+      ("A", "C", 4L, 1L, 0L, 0.0),
+      ("B", "C", 3L, 1L, 0L, 0.0)))
+  }
+
+  // ------------------------------------------- target affinity (q122)
+  test("targetAffinityScores: hand-computed bucket counts, integer rate, empty guard") {
+    // dim=4; single-char tokens hash to their codepoint: a→1 b→2 c→3 d→0
+    val target = Seq((100L, "a a b")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d"), // lut = [d:0, a:2, b:1, c:0] → 2+1+0+0 = 3
+      (2L, "c d"),     // 0
+      (3L, " ")        // no tokens → n_tok 0, rate 0 (div-by-zero guard)
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.Classifier.targetAffinityScores(corpus, target, dim = 4L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows === Array(
+      (1L, 4L, 3L, 750000L),
+      (2L, 2L, 0L, 0L),
+      (3L, 0L, 0L, 0L)))
+  }
 }
