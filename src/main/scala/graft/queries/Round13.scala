@@ -32,22 +32,28 @@ object Round13 {
     val batchA = docs.filter(col("doc_id") % 10 === 0)
     val batchB = docs.filter(col("doc_id") % 10 === 1)
     val idx = Dedup.indexCorpus(corpus)
-    // materialize admitted(A) before appending — the appendToIndex
-    // contract: a lazy admitted frame would re-run its whole funnel on
-    // every use of the grown index
+    // materialize admitted(A) with its LINEAGE CUT (eager
+    // localCheckpoint, not cache+count) before appending — the
+    // appendToIndex contract. A cached admitted frame measured 3-4×
+    // slower end to end: the B funnel's self-join layers re-alias
+    // their inputs during analysis, cache LOOKUP misses on the
+    // aliased plans (the connectedComponents lesson), and every miss
+    // re-ran the whole A-admission funnel. Checkpointed blocks are
+    // hit no matter how the analyzer rewrites the plan above them.
     val admittedA = Dedup.incrementalDeduplicateIndexed(
-      batchA, idx, maxJaccardDist = 0.4).cache()
-    admittedA.count()
-    // cache the grown index's union frames, as a production chained
-    // loop keeps its working index resident (DocsStream growIndex) —
-    // the B funnel consumes each of the three frames from several
-    // jobs (layer caches + CC rounds), and an uncached union would
-    // re-evaluate its appended branch per job
+      batchA, idx, maxJaccardDist = 0.4).localCheckpoint(true)
+    // same reasoning for the grown index's union frames: round B then
+    // plans against materialized blocks, not the A-round join tree.
+    // This copies the corpus-side blocks once — acceptable for the
+    // resident working index a within-run chained loop keeps
+    // (DocsStream growIndex); the PRODUCTION cadence appends to the
+    // STORED index instead (q90 saveIndex), where the corpus side is
+    // parquet and never copied
     val grown0 = Dedup.appendToIndex(idx, admittedA)
     val grown = grown0.copy(
-      shingles = grown0.shingles.cache(),
-      bandRows = grown0.bandRows.cache(),
-      texts = grown0.texts.cache())
+      shingles = grown0.shingles.localCheckpoint(true),
+      bandRows = grown0.bandRows.localCheckpoint(true),
+      texts = grown0.texts.localCheckpoint(true))
     val admittedB = Dedup.incrementalDeduplicateIndexed(
       batchB, grown, maxJaccardDist = 0.4)
     admittedA.select(lit("A").as("batch"), col("doc_id"), col("lang"))
