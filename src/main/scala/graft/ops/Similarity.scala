@@ -716,4 +716,60 @@ object Similarity {
       .select(col(idCol), col("__m").getField("bench_id").as("bench_id"),
         col("__m").getField("max_cos").as("max_cos"))
   }
+
+  /** Pairwise cosine between GROUP CENTROIDS — the embedding-space
+    * companion to [[graft.ops.TextStats.sourceVocabOverlap]]: where
+    * that measures lexical overlap between feeds, this measures
+    * whether two labeled populations occupy the same REGION of
+    * embedding space ("are these two domains semantically the same
+    * corpus?"), the signal semantic mixture design and SemDeDup-style
+    * cluster auditing read.
+    *
+    * Exactness design: float sums across rows are partitioning-
+    * dependent (IEEE addition is not associative), so each component
+    * is QUANTIZED to an exact integer (·10⁶, floor) BEFORE any
+    * cross-row aggregation — integer sums commute, so the per-label
+    * sums are bit-stable under any shuffle order and replayable by a
+    * SQL oracle. The fixed-point mean (floor(sum/n), computed in
+    * doubles that stay exact below 2^53 — corpus bound n·3·10⁵ per
+    * dimension, ≈ 3·10¹⁰ vectors per label) bounds every downstream
+    * product regardless of label size, and the final cosine is
+    * row-local IEEE math on those exact integers: deterministic in
+    * both engines.
+    *
+    * Scale shape: one posexplode → (label, dim)-keyed sum with
+    * map-side combine (dims are bounded, so the exchange is
+    * labels·dims rows); the pairwise join runs over the L-row
+    * centroid frame — broadcast, O(L²) output for an enumerable
+    * label set. */
+  def labelCentroidSimilarity(emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding", quantScale: Double = 1e6): DataFrame = {
+    val qv = transform(col(vecCol),
+      x => floor(x.cast(DoubleType) * lit(quantScale)).cast(LongType))
+    val sums = emb
+      .select(col(labelCol).as("__lab"), posexplode(qv).as(Seq("__pos", "__v")))
+      .groupBy(col("__lab"), col("__pos")).agg(sum(col("__v")).as("__s"))
+    val counts = emb.groupBy(col(labelCol).as("__labn"))
+      .agg(count(lit(1)).as("__n"))
+    val cents = sums.join(counts, col("__lab") === col("__labn"))
+      .select(col("__lab"), col("__pos"), col("__n"),
+        floor(col("__s").cast(DoubleType) / col("__n").cast(DoubleType))
+          .cast(LongType).as("__m"))
+      .groupBy(col("__lab"), col("__n"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        st => st("__m")).as("__c"))
+    val a = cents.select(col("__lab").as("label_a"), col("__n").as("n_a"),
+      col("__c").as("__ca"))
+    val b = cents.select(col("__lab").as("label_b"), col("__n").as("n_b"),
+      col("__c").as("__cb"))
+    val dot = aggregate(zip_with(col("__ca"), col("__cb"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    def n2(c: Column) = aggregate(transform(c, x => x * x),
+      lit(0L), (acc, v) => acc + v)
+    broadcast(a).join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (dot.cast(DoubleType) /
+          (sqrt(n2(col("__ca")).cast(DoubleType)) *
+            sqrt(n2(col("__cb")).cast(DoubleType)))).as("cosine"))
+  }
 }

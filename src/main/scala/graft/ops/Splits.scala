@@ -232,4 +232,44 @@ object Splits {
       .select(col(groupCol), (col("pos") + 1).cast("int").as("rk"),
         col("e.id").as(idCol), col("e.ord").cast("long").as("hv"))
   }
+
+  /** Mixture EPOCH/REPEAT plan: the upsampling counterpart of
+    * [[temperatureMixtureSample]]. Given a global token budget and a
+    * temperature α, each source's token target is
+    * `budget · n_s^α / Σ n^α` (tokens, not docs — mixtures are specced
+    * in tokens), and `epochs_x1000 = target·1000 div n_s` says how
+    * many times the source repeats per training run — >1000 means the
+    * small curated source is seen more than once per epoch, the
+    * DoReMi/LLaMA-style repeat table q66/q99 (which only DOWN-sample)
+    * cannot express. Fixed-point BIGINTs end to end: the only doubles
+    * are the α-weights, folded in source-name order on the driver
+    * (bounded by the number of sources) exactly as the SQL oracle
+    * replays them with an ordered `list_reduce`.
+    *
+    * Scale shape: one map-side-combinable groupBy over the corpus for
+    * (docs, tokens) per source, then O(S) driver arithmetic — the
+    * plan is an S-row artifact, not a per-document pass. */
+  def epochPlan(df: DataFrame, budgetTokens: Long, alpha: Double = 0.5,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0 && alpha > 0.0 && alpha <= 1.0)
+    val spark = df.sparkSession
+    val raw = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__docs"),
+        sum(TextStats.tokenCount(col(textCol))).as("__toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(raw.forall(_._1 != null),
+      s"epochPlan: null $sourceCol values are unsupported — " +
+        "filter them out or fill a sentinel source first")
+    val stats = raw.sortBy(_._1)
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val sumW = stats.foldLeft(0.0) { case (acc, (_, _, t)) => acc + w(t) }
+    val rows = stats.map { case (s, d, t) =>
+      val target = math.floor((budgetTokens.toDouble * w(t)) / sumW).toLong
+      val epochsX1000 = if (t == 0) 0L else target * 1000L / t
+      (s, d, t, target, epochsX1000)
+    }
+    spark.createDataFrame(rows.toIndexedSeq)
+      .toDF(sourceCol, "n_docs", "n_tokens", "target_tokens", "epochs_x1000")
+  }
 }

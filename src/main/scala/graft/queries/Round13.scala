@@ -614,6 +614,88 @@ object Round13 {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Label-centroid semantic similarity ([[graft.ops.Similarity
+    * .labelCentroidSimilarity]]): pairwise cosine between per-label
+    * centroid vectors, integer-quantized before any cross-row sum so
+    * the result is bit-stable under partitioning — the embedding-
+    * space companion to q121's lexical overlap matrix. Oracle: the
+    * identical quantize → integer sum → fixed-point mean → row-local
+    * cosine arithmetic in DuckDB. */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.labelCentroidSimilarity(Tables.embeddings(s, dir))
+      .orderBy("label_a", "label_b")
+
+  private val q123Sql =
+    """WITH q AS (
+      |  SELECT label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |),
+      |e AS (
+      |  SELECT label, i AS pos, qv[CAST(i+1 AS INTEGER)] AS v
+      |  FROM q, UNNEST(range(len(qv))) AS u(i)
+      |),
+      |s AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sv FROM e GROUP BY 1, 2),
+      |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+      |m AS (
+      |  SELECT s.label, s.pos,
+      |    CAST(floor(CAST(s.sv AS DOUBLE) / CAST(n.n AS DOUBLE)) AS BIGINT) AS mv
+      |  FROM s JOIN n USING (label)
+      |),
+      |c AS (SELECT label, list(mv ORDER BY pos) AS cv FROM m GROUP BY label)
+      |SELECT a.label AS label_a, b.label AS label_b, na.n AS n_a, nb.n AS n_b,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(len(a.cv)),
+      |        i -> a.cv[CAST(i+1 AS INTEGER)] * b.cv[CAST(i+1 AS INTEGER)])),
+      |      (acc, x) -> acc + x) AS DOUBLE)
+      |  / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(a.cv, x -> x * x)), (acc, x) -> acc + x) AS DOUBLE))
+      |   * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(b.cv, x -> x * x)), (acc, x) -> acc + x) AS DOUBLE)))
+      |  AS cosine
+      |FROM c a JOIN c b ON a.label < b.label
+      |JOIN n na ON na.label = a.label
+      |JOIN n nb ON nb.label = b.label
+      |ORDER BY label_a, label_b""".stripMargin
+
+  // ---------------------------------------------------------------- q124
+  /** Mixture epoch/repeat plan ([[graft.ops.Splits.epochPlan]]):
+    * token-specced temperature targets per source plus the
+    * `epochs_x1000` repeat factor — the UPsampling table (repeat the
+    * small curated source) that q66/q99's keep-fraction samplers
+    * cannot express. Oracle: per-source token sums, the √-weight fold
+    * in source-name order (q99's list_reduce spelling), floor'd
+    * targets and a BIGINT fixed-point division. */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.epochPlan(Tables.documents(s, dir),
+        budgetTokens = 100000L, alpha = 0.5)
+      .orderBy("source")
+
+  private val q124Sql =
+    """WITH n AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |),
+      |w AS (SELECT source, n_docs, n_tokens,
+      |  sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM n),
+      |s AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list(w ORDER BY source)), (acc, e) -> acc + e) AS sw
+      |  FROM w
+      |),
+      |t AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor((100000.0 * w) / (SELECT sw FROM s)) AS BIGINT) AS target_tokens
+      |  FROM w
+      |)
+      |SELECT source, n_docs, n_tokens, target_tokens,
+      |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE target_tokens * 1000 // n_tokens END AS epochs_x1000
+      |FROM t
+      |ORDER BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
     QueryDef("q113_bpe_train", q113, Some(q113Sql)),
@@ -625,5 +707,7 @@ object Round13 {
     QueryDef("q119_keepbest_dedup", q119, Some(q119Sql)),
     QueryDef("q120_dup_span_excision", q120, Some(q120Sql)),
     QueryDef("q121_source_vocab_overlap", q121, Some(q121Sql)),
-    QueryDef("q122_target_affinity", q122, Some(q122Sql)))
+    QueryDef("q122_target_affinity", q122, Some(q122Sql)),
+    QueryDef("q123_label_centroid_sim", q123, Some(q123Sql)),
+    QueryDef("q124_epoch_plan", q124, Some(q124Sql)))
 }

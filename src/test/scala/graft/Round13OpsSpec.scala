@@ -311,4 +311,45 @@ class Round13OpsSpec extends AnyFunSuite {
       (2L, 2L, 0L, 0L),
       (3L, 0L, 0L, 0L)))
   }
+
+  // --------------------------------------- label centroid cosine (q123)
+  test("labelCentroidSimilarity: hand-computed centroids, fixed-point mean, repartition-stable") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0), // centroid (1e6, 0)
+      (3L, Seq(0.0f, 1.0f), 1),                           // centroid (0, 1e6)
+      (4L, Seq(0.5f, 0.5f), 2),                           // centroid (5e5, 5e5)
+      (5L, Seq(1.0f, 0.0f), 3), (6L, Seq(0.0f, 0.0f), 3)  // mean floor → (5e5, 0)
+    ).toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.labelCentroidSimilarity(df)
+        .orderBy("label_a", "label_b")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(4)))
+    val rows = run(emb)
+    val inv = 5e11 / (math.sqrt(1e12) * math.sqrt(5e11)) // 1/√2 via the same arithmetic
+    assert(rows.map(t => (t._1, t._2)) ===
+      Array((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)))
+    assert(rows(0)._3 === 0.0)                // orthogonal centroids
+    assert(rows(1)._3 === inv)                // 45° exact fixed-point
+    assert(rows(2)._3 === 1.0)                // same direction, mean-floored half
+    assert(rows(5)._3 === inv)
+    // integer quantization before aggregation ⇒ partitioning-invariant
+    assert(run(emb.repartition(7)) === rows)
+  }
+
+  // ------------------------------------------------- epoch plan (q124)
+  test("epochPlan: sqrt-temperature targets, fixed-point repeats, upsampling > 1 epoch") {
+    val docs = Seq(
+      (1L, "a b c d", "A"),
+      (2L, "a b c d", "B"), (3L, "a b c d", "B"),
+      (4L, "a b c d", "B"), (5L, "a b c d", "B")).toDF("doc_id", "text", "source")
+    val rows = graft.ops.Splits.epochPlan(docs, budgetTokens = 20L, alpha = 0.5)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // w(A)=√4=2, w(B)=√16=4, Σ=6: A target=floor(40/6)=6 → repeats 1.5
+    // epochs; B target=floor(80/6)=13 → 0.812 epochs
+    assert(rows === Array(
+      ("A", 1L, 4L, 6L, 1500L),
+      ("B", 4L, 16L, 13L, 812L)))
+  }
 }
