@@ -123,6 +123,58 @@ object Multimodal {
       }
   }
 
+  /** Perceptual-hash NEAR-dup pairs: [[perceptualHash]] signatures
+    * split into `maxHamming + 1` pigeonhole bands; pairs colliding in
+    * at least one band are Hamming-verified ≤ `maxHamming` — the
+    * image near-dup step exact grouping (q93) cannot express
+    * (re-encoded/resized copies flip a few histogram bits but stay
+    * within a small Hamming radius). Recall is EXACTLY 1: ≤ h
+    * differing bits cannot touch all h+1 bands (pigeonhole), so
+    * banding is pure candidate pruning and the exact all-pairs
+    * Hamming SQL is a true oracle — the q32 SimHash contract applied
+    * to the multimodal column. Using exactly h+1 bands (not a fixed
+    * 4) keeps each band key as WIDE as the radius allows: radius 1
+    * over 64 bits joins on 32-bit keys, radius 3 on 16-bit keys —
+    * band selectivity degrades no further than the requested
+    * tolerance forces.
+    *
+    * Scale shape: signatures are one map pass over payload bytes;
+    * the only shuffle is the (band, key) equi-join on 3-long rows,
+    * whose fan-out tracks true signature collisions at the band
+    * width, not corpus size (the 100 TB regime); a degenerate payload
+    * distribution that floods one bucket is bounded the same way
+    * [[graft.ops.Dedup.minhashPairs]] bounds hot bands — here by the
+    * verify's ≤ `maxHamming` cut. */
+  def phashNearDupPairs(spark: SparkSession, assets: DataFrame,
+      dim: Int = 64, maxHamming: Int = 3): DataFrame = {
+    require(dim >= 8 && dim <= 64, s"dim must be in [8, 64], got $dim")
+    require(maxHamming >= 0 && maxHamming < dim,
+      s"maxHamming must be in [0, dim), got $maxHamming")
+    val numBands = maxHamming + 1
+    // uneven split is fine: band b covers [b·dim/nb, (b+1)·dim/nb) —
+    // pigeonhole needs only that the bands partition the bits
+    val bounds = (0 to numBands).map(b => b * dim / numBands)
+    val sigs = perceptualHash(spark, assets, dim).toDF()
+    val banded = sigs.select(col("asset_id"), col("phash"),
+      explode(array((0 until numBands).map { b =>
+        val width = bounds(b + 1) - bounds(b)
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), bounds(b)).bitwiseAND(lit(mask))
+            .as("key"))
+      }: _*)).as("bk"))
+      .select(col("asset_id"), col("phash"), col("bk.band"), col("bk.key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** STUB resize: truncate payload to the target byte budget and
     * update metadata — the map shape of a real thumbnailer. */
   def resizeStub(assets: DataFrame, maxBytes: Int): DataFrame =

@@ -744,20 +744,7 @@ object Similarity {
     * label set. */
   def labelCentroidSimilarity(emb: DataFrame, labelCol: String = "label",
       vecCol: String = "embedding", quantScale: Double = 1e6): DataFrame = {
-    val qv = transform(col(vecCol),
-      x => floor(x.cast(DoubleType) * lit(quantScale)).cast(LongType))
-    val sums = emb
-      .select(col(labelCol).as("__lab"), posexplode(qv).as(Seq("__pos", "__v")))
-      .groupBy(col("__lab"), col("__pos")).agg(sum(col("__v")).as("__s"))
-    val counts = emb.groupBy(col(labelCol).as("__labn"))
-      .agg(count(lit(1)).as("__n"))
-    val cents = sums.join(counts, col("__lab") === col("__labn"))
-      .select(col("__lab"), col("__pos"), col("__n"),
-        floor(col("__s").cast(DoubleType) / col("__n").cast(DoubleType))
-          .cast(LongType).as("__m"))
-      .groupBy(col("__lab"), col("__n"))
-      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
-        st => st("__m")).as("__c"))
+    val cents = quantizedCentroids(emb, labelCol, vecCol, quantScale)
     val a = cents.select(col("__lab").as("label_a"), col("__n").as("n_a"),
       col("__c").as("__ca"))
     val b = cents.select(col("__lab").as("label_b"), col("__n").as("n_b"),
@@ -771,5 +758,71 @@ object Similarity {
         (dot.cast(DoubleType) /
           (sqrt(n2(col("__ca")).cast(DoubleType)) *
             sqrt(n2(col("__cb")).cast(DoubleType)))).as("cosine"))
+  }
+
+  /** Quantize each component to an exact integer (·quantScale, floor)
+    * and aggregate per-label fixed-point centroid means — the shared
+    * bit-stable centroid frame of [[labelCentroidSimilarity]] and
+    * [[centroidOutliers]]: (\_\_lab, \_\_n, \_\_c) with `__c` the
+    * dim-ordered BIGINT mean vector. See [[labelCentroidSimilarity]]
+    * for the exactness argument. */
+  private def quantizedCentroids(emb: DataFrame, labelCol: String,
+      vecCol: String, quantScale: Double): DataFrame = {
+    val qv = quantized(vecCol, quantScale)
+    val sums = emb
+      .select(col(labelCol).as("__lab"), posexplode(qv).as(Seq("__pos", "__v")))
+      .groupBy(col("__lab"), col("__pos")).agg(sum(col("__v")).as("__s"))
+    val counts = emb.groupBy(col(labelCol).as("__labn"))
+      .agg(count(lit(1)).as("__n"))
+    sums.join(counts, col("__lab") === col("__labn"))
+      .select(col("__lab"), col("__pos"), col("__n"),
+        floor(col("__s").cast(DoubleType) / col("__n").cast(DoubleType))
+          .cast(LongType).as("__m"))
+      .groupBy(col("__lab"), col("__n"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        st => st("__m")).as("__c"))
+  }
+
+  private def quantized(vecCol: String, quantScale: Double): Column =
+    transform(col(vecCol),
+      x => floor(x.cast(DoubleType) * lit(quantScale)).cast(LongType))
+
+  /** Embedding OUTLIER detection against the label centroid: each
+    * vector's exact integer squared distance to its label's
+    * fixed-point centroid, flagged as an outlier when its distance²
+    * exceeds `factor` × the label's mean distance² — mislabeled or
+    * noise vectors, the cleaning pass embedding-keyed curation runs
+    * before centroids/ANN indexes are trusted. The verdict is pure
+    * integer arithmetic: `dist2 · n > factor · Σ dist2` cross-
+    * multiplies instead of dividing, so there is no rounding to
+    * disagree on — bit-replayable at any partitioning, like the
+    * centroids themselves ([[labelCentroidSimilarity]]'s quantize-
+    * before-aggregate argument).
+    *
+    * Scale shape: centroids are a labels×dims aggregation; the
+    * per-vector pass joins the L-row centroid frame (broadcast) and
+    * computes one zip_with fold — map-only over the corpus. The
+    * mean-distance stats are a second L-row broadcast. */
+  def centroidOutliers(emb: DataFrame, labelCol: String = "label",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      factor: Long = 2L, quantScale: Double = 1e6): DataFrame = {
+    require(factor >= 1L)
+    val cents = quantizedCentroids(emb, labelCol, vecCol, quantScale)
+    val d = emb
+      .select(col(idCol), col(labelCol), quantized(vecCol, quantScale).as("__q"))
+      .join(broadcast(cents), col(labelCol) === col("__lab"))
+      .select(col(idCol), col(labelCol),
+        aggregate(zip_with(col("__q"), col("__c"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("dist2"))
+    // DECIMAL(38,0) keeps the sum and the cross-multiply EXACT at any
+    // label size (BIGINT would overflow past ~4·10⁵ vectors/label at
+    // this quantScale); DuckDB's SUM(BIGINT) → HUGEINT is its twin
+    val stats = d.groupBy(col(labelCol).as("__labs"))
+      .agg(sum(col("dist2").cast(DecimalType(38, 0))).as("__sumd"),
+        count(lit(1)).as("__nd"))
+    d.join(broadcast(stats), col(labelCol) === col("__labs"))
+      .select(col(idCol), col(labelCol), col("dist2"),
+        (col("dist2").cast(DecimalType(38, 0)) * col("__nd") >
+          lit(factor) * col("__sumd")).as("is_outlier"))
   }
 }

@@ -626,9 +626,11 @@ object Round13 {
     graft.ops.Similarity.labelCentroidSimilarity(Tables.embeddings(s, dir))
       .orderBy("label_a", "label_b")
 
-  private val q123Sql =
-    """WITH q AS (
-      |  SELECT label, list_transform(embedding,
+  /** Shared quantize → integer-sum → fixed-point-mean centroid CTEs
+    * (q123 pairwise cosine, q126 outlier distances). */
+  private val centroidCtes =
+    """q AS (
+      |  SELECT vec_id, label, list_transform(embedding,
       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
       |  FROM embeddings
       |),
@@ -643,7 +645,10 @@ object Round13 {
       |    CAST(floor(CAST(s.sv AS DOUBLE) / CAST(n.n AS DOUBLE)) AS BIGINT) AS mv
       |  FROM s JOIN n USING (label)
       |),
-      |c AS (SELECT label, list(mv ORDER BY pos) AS cv FROM m GROUP BY label)
+      |c AS (SELECT label, list(mv ORDER BY pos) AS cv FROM m GROUP BY label)""".stripMargin
+
+  private val q123Sql =
+    s"""WITH $centroidCtes
       |SELECT a.label AS label_a, b.label AS label_b, na.n AS n_a, nb.n AS n_b,
       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
       |      list_transform(range(len(a.cv)),
@@ -696,6 +701,90 @@ object Round13 {
       |FROM t
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** Multimodal NEAR-dup pairs ([[graft.ops.Multimodal
+    * .phashNearDupPairs]]): 64-bit perceptual hashes, 4×16-bit
+    * pigeonhole bands, Hamming verify ≤ 3 — the re-encoded-copy net
+    * q93's exact phash grouping cannot catch, recall 1 by pigeonhole
+    * so the exact all-pairs Hamming SQL is a true oracle (the q32
+    * SimHash contract on the multimodal column). Oracle: q93's
+    * byte-histogram phash replay generalized to 64 bins, pairwise
+    * Hamming counted bit-row-wise (no signed-64-bit packing needed).
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    // maxHamming 1, not the operator's default 3: the stub phash is a
+    // byte histogram, and synthetic same-language text collides so
+    // heavily that radius 3 emits ~20% of ALL pairs (measured 50k
+    // rows at sf0.01) — radius 1 keeps the battery output
+    // near-dup-shaped while exercising the identical band+verify path
+    graft.ops.Multimodal.phashNearDupPairs(s,
+        graft.ops.Multimodal.packAsAssets(Tables.documents(s, dir)),
+        maxHamming = 1)
+      .orderBy("asset_a", "asset_b")
+
+  private val q125Sql =
+    """WITH h AS (
+      |  SELECT doc_id AS asset_id, lower(to_hex(encode(text))) AS hx,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |counts AS (
+      |  SELECT asset_id,
+      |    16 * ((strpos('0123456789abcdef', substr(hx, CAST(2*i - 1 AS INTEGER), 1)) - 1) % 4)
+      |      + (strpos('0123456789abcdef', substr(hx, CAST(2*i AS INTEGER), 1)) - 1) AS bin,
+      |    COUNT(*) AS c
+      |  FROM (SELECT asset_id, hx, unnest(range(1, n + 1)) AS i FROM h) u
+      |  GROUP BY 1, 2
+      |),
+      |bins AS (
+      |  SELECT h.asset_id, g.bin, COALESCE(c.c, 0) AS c
+      |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS bin) g
+      |  LEFT JOIN counts c ON c.asset_id = h.asset_id AND c.bin = g.bin
+      |),
+      |bits AS (
+      |  SELECT a.asset_id, a.bin, CASE WHEN a.c > b.c THEN 1 ELSE 0 END AS bit
+      |  FROM bins a JOIN bins b
+      |    ON a.asset_id = b.asset_id AND b.bin = (a.bin + 1) % 64
+      |),
+      |hp AS (
+      |  SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+      |    CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+      |  FROM bits x JOIN bits y ON x.bin = y.bin AND x.asset_id < y.asset_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT asset_a, asset_b, hamming FROM hp
+      |WHERE hamming <= 1
+      |ORDER BY asset_a, asset_b""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+  /** Embedding outliers vs label centroid ([[graft.ops.Similarity
+    * .centroidOutliers]]): exact integer distance² to the q123
+    * fixed-point centroid; outlier iff dist²·n > 2·Σdist² per label
+    * (cross-multiplied in DECIMAL(38,0)/HUGEINT — no division, no
+    * rounding to disagree on). The mislabeled-vector cleaning pass
+    * run before centroids or ANN lists are trusted. Oracle: the q123
+    * centroid CTEs plus the same integer arithmetic. */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.centroidOutliers(Tables.embeddings(s, dir))
+      .orderBy("vec_id")
+
+  private val q126Sql =
+    s"""WITH $centroidCtes,
+      |d AS (
+      |  SELECT q.vec_id, q.label,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(len(qv)),
+      |        i -> (qv[CAST(i+1 AS INTEGER)] - cv[CAST(i+1 AS INTEGER)])
+      |           * (qv[CAST(i+1 AS INTEGER)] - cv[CAST(i+1 AS INTEGER)]))),
+      |      (acc, x) -> acc + x) AS BIGINT) AS dist2
+      |  FROM q JOIN c ON c.label = q.label
+      |),
+      |st AS (SELECT label, SUM(dist2) AS sumd, COUNT(*) AS nd FROM d GROUP BY label)
+      |SELECT d.vec_id, d.label, d.dist2,
+      |  (CAST(d.dist2 AS HUGEINT) * st.nd > 2 * st.sumd) AS is_outlier
+      |FROM d JOIN st USING (label)
+      |ORDER BY d.vec_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
     QueryDef("q113_bpe_train", q113, Some(q113Sql)),
@@ -709,5 +798,7 @@ object Round13 {
     QueryDef("q121_source_vocab_overlap", q121, Some(q121Sql)),
     QueryDef("q122_target_affinity", q122, Some(q122Sql)),
     QueryDef("q123_label_centroid_sim", q123, Some(q123Sql)),
-    QueryDef("q124_epoch_plan", q124, Some(q124Sql)))
+    QueryDef("q124_epoch_plan", q124, Some(q124Sql)),
+    QueryDef("q125_phash_neardup", q125, Some(q125Sql)),
+    QueryDef("q126_centroid_outliers", q126, Some(q126Sql)))
 }

@@ -352,4 +352,54 @@ class Round13OpsSpec extends AnyFunSuite {
       ("A", 1L, 4L, 6L, 1500L),
       ("B", 4L, 16L, 13L, 812L)))
   }
+
+  // ------------------------------------------ phash near-dup (q125)
+  test("phashNearDupPairs: banded pairs equal brute-force all-pairs Hamming (recall 1)") {
+    val assets = graft.ops.Multimodal.packAsAssets(
+      Seq(
+        (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"), // identical → hamming 0
+        (3L, "aa bb cc dd ef"), (4L, "zz yy xx ww vv"),
+        (5L, "aa bb cc dd"), (6L, "mm nn oo pp qq rr")).toDF("doc_id", "text"))
+    val spark0 = spark
+    def brute(maxH: Int): Set[(Long, Long, Int)] = {
+      val s = graft.ops.Multimodal.perceptualHash(spark0, assets).toDF()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      (for {
+        (ia, ha) <- s; (ib, hb) <- s if ia < ib
+        hm = java.lang.Long.bitCount(ha ^ hb) if hm <= maxH
+      } yield (ia, ib, hm)).toSet
+    }
+    for (maxH <- Seq(0, 1, 3, 7)) {
+      val banded = graft.ops.Multimodal.phashNearDupPairs(spark0, assets,
+          maxHamming = maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded === brute(maxH), s"maxHamming=$maxH")
+    }
+    // the identical payloads must surface at radius 0
+    assert(brute(0).contains((1L, 2L, 0)))
+  }
+
+  // ------------------------------------- centroid outliers (q126)
+  test("centroidOutliers: exact integer verdicts, strict cross-multiply, repartition-stable") {
+    val emb = Seq(
+      (1L, Seq(0.0f), 0), (2L, Seq(2.0f), 0),            // symmetric: nobody flagged
+      (3L, Seq(0.0f), 1), (4L, Seq(0.0f), 1),
+      (5L, Seq(0.0f), 1), (6L, Seq(8.0f), 1)             // 6 is the outlier
+    ).toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.centroidOutliers(df)
+        .orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val rows = run(emb)
+    // label 0: m=1e6, dist2=1e12 each; 1e12·2 > 2·2e12 is false for both
+    // label 1: m=2e6, dist2=(4e12,4e12,4e12,36e12); only 36e12·4 > 2·48e12
+    assert(rows === Array(
+      (1L, 0, 1000000000000L, false),
+      (2L, 0, 1000000000000L, false),
+      (3L, 1, 4000000000000L, false),
+      (4L, 1, 4000000000000L, false),
+      (5L, 1, 4000000000000L, false),
+      (6L, 1, 36000000000000L, true)))
+    assert(run(emb.repartition(5)) === rows)
+  }
 }
