@@ -42,13 +42,19 @@ object Sharding {
     *
     * @param countExpr token-count override (defaults to whitespace
     *                  [[TextStats.tokenCount]]); pass a subword count
-    *                  (q104/q113) to shard in model-token units. */
+    *                  (q104/q113) to shard in model-token units.
+    * @param startOffset token offset the stream starts at — 0 for a
+    *                  fresh corpus; [[appendShards]] passes the
+    *                  existing manifest's token total so an increment
+    *                  continues the shard sequence instead of
+    *                  restarting it. */
   def assignShards(docs: DataFrame, budget: Long,
       idCol: String = "doc_id", textCol: String = "text",
       bucketSpan: Long = 1L << 20,
-      countExpr: Option[Column] = None): DataFrame = {
+      countExpr: Option[Column] = None,
+      startOffset: Long = 0L): DataFrame = {
     require(budget > 0 && budget <= (1L << 33), "0 < budget <= 2^33")
-    require(bucketSpan > 0)
+    require(bucketSpan > 0 && startOffset >= 0)
     val counted = docs.select(
       col(idCol).cast("long").as("doc_id"),
       countExpr.getOrElse(TextStats.tokenCount(col(textCol))).as("n_tok"),
@@ -68,10 +74,43 @@ object Sharding {
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(broadcast(offsets), "bucket")
       .withColumn("start",
-        col("boffset") + coalesce(sum(col("n_tok")).over(inBucket), lit(0L)))
+        lit(startOffset) + col("boffset") +
+          coalesce(sum(col("n_tok")).over(inBucket), lit(0L)))
       .filter(col("n_tok") > 0)
       .select(col("doc_id"), col("n_tok"), col("start"),
         expr(s"start div $budget").as("shard_id"), col("doc_fp"))
+  }
+
+  /** Append an increment to an existing shard MANIFEST without
+    * rewriting any existing shard — the writer-side increment loop
+    * that mirrors q112's index append: the new batch's token stream
+    * continues at the manifest's total-token offset, so it first
+    * tops up the last (partial) shard and then opens fresh ones,
+    * and existing shard files are never touched. Returns the merged
+    * manifest: per-shard counts and token sums add, the
+    * order-independent content hashes combine as (h₁+h₂) mod p —
+    * exactly the hash a from-scratch rollup of the union at these
+    * start offsets would produce, so the merged manifest stays a
+    * byte-integrity check for the grown corpus.
+    *
+    * Scale shape: one bounded driver scalar (the manifest's token
+    * total — the manifest is shards-count-sized by construction),
+    * the increment's own prefix sum (batch-sized), and a shard-keyed
+    * merge aggregation over manifest ∪ increment-rollup rows. */
+  def appendShards(manifest: DataFrame, newDocs: DataFrame, budget: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      countExpr: Option[Column] = None): DataFrame = {
+    val offset = manifest.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+      .head.getLong(0)
+    val newRoll = shardManifest(assignShards(newDocs, budget, idCol, textCol,
+      countExpr = countExpr, startOffset = offset))
+    manifest.unionByName(newRoll)
+      .groupBy("shard_id").agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        pmod(sum(col("content_hash")), lit(1000000007L)).as("content_hash"),
+        min(col("first_doc")).as("first_doc"),
+        max(col("last_doc")).as("last_doc"))
   }
 
   /** Manifest rollup over an [[assignShards]] frame: one row per shard

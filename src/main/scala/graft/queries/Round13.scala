@@ -785,6 +785,79 @@ object Round13 {
       |FROM d JOIN st USING (label)
       |ORDER BY d.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** Shard-manifest APPEND ([[graft.ops.Sharding.appendShards]]): the
+    * writer-side increment loop mirroring q112's index append —
+    * assign the base corpus, roll up its manifest, then place an
+    * increment CONTINUING at the manifest's token offset (topping up
+    * the last partial shard, opening fresh ones, never touching
+    * existing shard files) and merge the manifests, content hashes
+    * combining mod p. Oracle: two q115-style prefix-sum replays, the
+    * increment's offset by a scalar subquery, and the rollup-merge
+    * arithmetic. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val m0 = graft.ops.Sharding.shardManifest(graft.ops.Sharding.assignShards(
+      docs.filter(col("doc_id") % 5 =!= 0), budget = 2000L))
+    graft.ops.Sharding.appendShards(m0,
+        docs.filter(col("doc_id") % 5 === 0), budget = 2000L)
+      .orderBy("shard_id")
+  }
+
+  /** q115's (n_tok, rolling-fingerprint) scan CTE body, parametrized
+    * by split predicate — shared by q127's two replay arms. */
+  private def shardScanSql(pred: String): String =
+    s"""SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+       |    CAST(list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(regexp_split_to_array(text, '\\s+'),
+       |          t -> CAST(ascii(t) AS BIGINT)*131 + CAST(length(t) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS doc_fp
+       |  FROM documents WHERE $pred""".stripMargin
+
+  private val q127Sql =
+    s"""WITH cb AS (
+       |  ${shardScanSql("doc_id % 5 <> 0")}
+       |),
+       |pb AS (
+       |  SELECT doc_id, n_tok, doc_fp,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM cb
+       |),
+       |mb AS (
+       |  SELECT start // 2000 AS shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(doc_fp) % 1000000007 AS BIGINT) AS content_hash,
+       |    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |  FROM pb WHERE n_tok > 0 GROUP BY 1
+       |),
+       |off AS (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS o FROM mb),
+       |ci AS (
+       |  ${shardScanSql("doc_id % 5 = 0")}
+       |),
+       |pi AS (
+       |  SELECT doc_id, n_tok, doc_fp,
+       |    (SELECT o FROM off) + CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM ci
+       |),
+       |mi AS (
+       |  SELECT start // 2000 AS shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(doc_fp) % 1000000007 AS BIGINT) AS content_hash,
+       |    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |  FROM pi WHERE n_tok > 0 GROUP BY 1
+       |),
+       |u AS (SELECT * FROM mb UNION ALL SELECT * FROM mi)
+       |SELECT shard_id, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(content_hash) % 1000000007 AS BIGINT) AS content_hash,
+       |  MIN(first_doc) AS first_doc, MAX(last_doc) AS last_doc
+       |FROM u GROUP BY shard_id
+       |ORDER BY shard_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
     QueryDef("q113_bpe_train", q113, Some(q113Sql)),
@@ -800,5 +873,6 @@ object Round13 {
     QueryDef("q123_label_centroid_sim", q123, Some(q123Sql)),
     QueryDef("q124_epoch_plan", q124, Some(q124Sql)),
     QueryDef("q125_phash_neardup", q125, Some(q125Sql)),
-    QueryDef("q126_centroid_outliers", q126, Some(q126Sql)))
+    QueryDef("q126_centroid_outliers", q126, Some(q126Sql)),
+    QueryDef("q127_shard_append", q127, Some(q127Sql)))
 }

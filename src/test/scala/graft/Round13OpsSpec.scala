@@ -402,4 +402,38 @@ class Round13OpsSpec extends AnyFunSuite {
       (6L, 1, 36000000000000L, true)))
     assert(run(emb.repartition(5)) === rows)
   }
+
+  // -------------------------------------------- shard append (q127)
+  test("appendShards: increment continues the token stream, existing shards untouched") {
+    import graft.ops.Sharding
+    // budget 10. Base: starts 0,4,9 → all shard 0 (12 tokens, bounded
+    // overrun). Increment: offset 12 → starts 12,18 → both shard 1.
+    val base = Seq(
+      (1L, "a b c d"), (2L, "e f g h i"), (3L, "j k l")).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "m n o p q r"), (11L, "s t")).toDF("doc_id", "text")
+    val m0 = Sharding.shardManifest(Sharding.assignShards(base, budget = 10L))
+    val merged = Sharding.appendShards(m0, inc, budget = 10L)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(merged.map(t => (t._1, t._2, t._3, t._4, t._5)) === Array(
+      (0L, 3L, 12L, 1L, 3L),
+      (1L, 2L, 8L, 10L, 11L)))
+    // the pre-existing shard's manifest row is bit-identical after the
+    // append (content_hash included): nothing about shard 0 was rewritten
+    val row0Before = m0.orderBy("shard_id").collect().head
+    val row0After = Sharding.appendShards(m0, inc, budget = 10L)
+      .orderBy("shard_id").collect().head
+    assert(row0Before.toSeq === row0After.toSeq)
+    // merged manifest ≡ a from-scratch rollup of the union at the same
+    // start offsets (hash-combine correctness, not just counts)
+    val offset = 12L
+    val unionAssigned = Sharding.assignShards(base, budget = 10L)
+      .unionByName(Sharding.assignShards(inc, budget = 10L, startOffset = offset))
+    val rebuilt = Sharding.shardManifest(unionAssigned)
+      .orderBy("shard_id").collect().map(_.toSeq)
+    val full = Sharding.appendShards(m0, inc, budget = 10L)
+      .orderBy("shard_id").collect().map(_.toSeq)
+    assert(full === rebuilt)
+  }
 }
