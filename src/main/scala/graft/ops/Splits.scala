@@ -272,4 +272,46 @@ object Splits {
     spark.createDataFrame(rows.toIndexedSeq)
       .toDF(sourceCol, "n_docs", "n_tokens", "target_tokens", "epochs_x1000")
   }
+
+  /** EXACT stratified split: per stratum (any column combination),
+    * exactly ⌊n·num/den⌋ rows are held out, chosen in the
+    * deterministic (knuth-hash, id) order every sampler here uses —
+    * the eval-set construction that guarantees every (source, lang,
+    * …) cell is represented at its exact quota, where [[assignSplit]]
+    * only hits fractions in expectation (a small stratum can land
+    * entirely in train by hash luck). The verdict is an integer
+    * cross-multiply (`rank·den ≤ n·num`) — no float quota to round
+    * differently anywhere.
+    *
+    * Scale shape: ranking within strata uses [[Ranks.exactGroupRank]]
+    * (radix order statistics — every window partition ≤ 4096 rows,
+    * never a stratum-sized sort partition, the q88/q109 contract);
+    * stratum sizes are an S-row broadcast. The hash-order value fed
+    * to the ranker is `(2³² − hv)/2³²` — exact in binary (power-of-
+    * two divisor), strictly decreasing in hv, so rank-by-value-desc
+    * IS hash-ascending order. */
+  def stratifiedSplit(df: DataFrame, strataCols: Seq[String],
+      heldNum: Long, heldDen: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(strataCols.nonEmpty && heldDen > 0 &&
+      heldNum >= 0 && heldNum <= heldDen)
+    val stratum = concat_ws("", strataCols.map(col): _*)
+    val base = df.select(
+      (col(idCol) +: strataCols.map(col)) :+
+        stratum.as("__stratum") :+
+        hashBucketN(col(idCol), 1L << 32).as("hv"): _*)
+    val value = (lit(4294967296.0) - col("hv").cast("double")) /
+      lit(4294967296.0)
+    val ranked = Ranks.exactGroupRank(
+      base.withColumn("__v0", value), "__stratum", idCol, col("__v0"))
+      .select(col(idCol), col("rnk"))
+    val sizes = base.groupBy(col("__stratum"))
+      .agg(count(lit(1)).as("n_stratum"))
+    base.join(ranked, Seq(idCol))
+      .join(broadcast(sizes), Seq("__stratum"))
+      .withColumn("split",
+        when(col("rnk") * lit(heldDen) <= col("n_stratum") * lit(heldNum),
+          lit("held")).otherwise(lit("train")))
+      .drop("__stratum")
+  }
 }

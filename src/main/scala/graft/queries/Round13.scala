@@ -858,6 +858,41 @@ object Round13 {
        |FROM u GROUP BY shard_id
        |ORDER BY shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** Exact stratified eval split ([[graft.ops.Splits
+    * .stratifiedSplit]]): per (source, lang) stratum, exactly
+    * ⌊n/10⌋ held-out docs in deterministic hash order — where q50's
+    * hash-bucket split only hits 10% in expectation and can miss a
+    * small stratum entirely. Ranking is the q88 radix order
+    * statistic composed over the stratum key (no stratum-sized
+    * window partitions); the verdict is an integer cross-multiply.
+    * Oracle: the HUGEINT Knuth hash (q106 spelling), a stratum
+    * window rank, and the same integer quota arithmetic. */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.stratifiedSplit(Tables.documents(s, dir),
+        Seq("source", "lang"), heldNum = 1L, heldDen = 10L)
+      .select("doc_id", "source", "lang", "hv", "rnk", "n_stratum", "split")
+      .orderBy("doc_id")
+
+  private val q128Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source, lang,
+      |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      |         % 4294967296 AS BIGINT) AS hv
+      |  FROM documents
+      |),
+      |r AS (
+      |  SELECT doc_id, source, lang, hv,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+      |      ORDER BY hv, doc_id) AS BIGINT) AS rnk,
+      |    CAST(COUNT(*) OVER (PARTITION BY source, lang) AS BIGINT) AS n_stratum
+      |  FROM h
+      |)
+      |SELECT doc_id, source, lang, hv, rnk, n_stratum,
+      |  CASE WHEN rnk * 10 <= n_stratum * 1 THEN 'held' ELSE 'train' END AS split
+      |FROM r
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
     QueryDef("q113_bpe_train", q113, Some(q113Sql)),
@@ -874,5 +909,6 @@ object Round13 {
     QueryDef("q124_epoch_plan", q124, Some(q124Sql)),
     QueryDef("q125_phash_neardup", q125, Some(q125Sql)),
     QueryDef("q126_centroid_outliers", q126, Some(q126Sql)),
-    QueryDef("q127_shard_append", q127, Some(q127Sql)))
+    QueryDef("q127_shard_append", q127, Some(q127Sql)),
+    QueryDef("q128_stratified_split", q128, Some(q128Sql)))
 }

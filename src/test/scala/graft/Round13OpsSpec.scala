@@ -436,4 +436,33 @@ class Round13OpsSpec extends AnyFunSuite {
       .orderBy("shard_id").collect().map(_.toSeq)
     assert(full === rebuilt)
   }
+
+  // ---------------------------------------- stratified split (q128)
+  test("stratifiedSplit: exact per-stratum quotas in hash order, repartition-stable") {
+    // strata sizes 12, 3, 25 → held quotas floor(n/10) = 1, 0, 2
+    val docs = (
+      (1L to 12L).map(i => (i, "A", "en")) ++
+      (101L to 103L).map(i => (i, "A", "de")) ++
+      (201L to 225L).map(i => (i, "B", "en"))).toDF("doc_id", "source", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Splits.stratifiedSplit(df, Seq("source", "lang"), 1L, 10L)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))
+    val rows = run(docs)
+    val byStratum = rows.groupBy(t => (t._2, t._3))
+    assert(byStratum(("A", "en")).count(_._7 == "held") === 1)
+    assert(byStratum(("A", "de")).count(_._7 == "held") === 0)
+    assert(byStratum(("B", "en")).count(_._7 == "held") === 2)
+    // held rows are exactly the smallest-(hv, id) prefix of each stratum
+    for ((_, g) <- byStratum) {
+      val sorted = g.sortBy(t => (t._4, t._1))
+      val k = g.length / 10
+      assert(sorted.take(k).forall(_._7 == "held"))
+      assert(sorted.drop(k).forall(_._7 == "train"))
+      // ranks are 1..n within the stratum
+      assert(g.map(_._5).sorted === (1L to g.length.toLong).toArray)
+    }
+    assert(run(docs.repartition(9)) === rows)
+  }
 }
