@@ -879,6 +879,85 @@ object Dedup {
     exact.join(losers, exact(idCol) === losers("__loser"), "left_anti")
   }
 
+  /** [[deduplicate]] with MULTIPLICITY: survivors carry
+    * `n_copies` — how many original documents (exact twins + near-dup
+    * cluster members) they represent. The "soft dedup" shape: instead
+    * of silently discarding duplication, training reweights by it
+    * (count-aware sampling, or simply auditing how much mass dedup
+    * removed per survivor). Exact groups aggregate (text-keyed count),
+    * near-dup clusters sum their members' exact counts; the survivor
+    * is the cluster-min id exactly as [[deduplicate]] picks it, so
+    * survivors here ≡ q55's survivors with one extra column.
+    *
+    * Scale shape: one text-keyed count agg (map-side combinable, the
+    * q16 shape), the banded funnel, and a cluster-keyed sum — no new
+    * shuffle classes over [[deduplicate]]. */
+  def deduplicateWithMultiplicity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3,
+      maxJaccardDist: Double = 0.3): DataFrame = {
+    ensureCheckpointDir(docs.sparkSession.sparkContext)
+    // group on the fingerprint first, raw text second — the dropExact
+    // rationale (long compares, not document compares) applied to an
+    // aggregation instead of a window
+    val groups = docs
+      .groupBy(xxhash64(col(textCol)).as("__fp"), col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__exact_n"))
+      .select(col(idCol), col("__exact_n"))
+    // cache: representative rows feed the funnel, the cluster-sum join
+    // and the survivor anti-join (deduplicate's `exact` contract)
+    val reps = docs.join(groups, Seq(idCol)).cache()
+    val pairs = minhashPairs(reps, idCol, textCol,
+      shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
+    val clusters = connectedComponents(pairs)
+    val clusterTotals = clusters
+      .join(reps.select(col(idCol).as("id"), col("__exact_n")), "id")
+      .groupBy(col("cluster")).agg(sum(col("__exact_n")).as("__n_copies"))
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    val kept = reps.join(losers, reps(idCol) === col("__loser"), "left_anti")
+    // a survivor's id IS its cluster label (CC labels components by
+    // their min id), so the totals attach by id = cluster
+    kept.join(clusterTotals, kept(idCol) === clusterTotals("cluster"), "left")
+      .withColumn("n_copies",
+        coalesce(col("__n_copies"), col("__exact_n")))
+      .drop("cluster", "__n_copies", "__exact_n")
+  }
+
+  /** Split-leakage REPAIR — the fix q111's audit motivates: near-dup
+    * clusters that span train/val/test are moved ENTIRELY to train,
+    * so no eval document has a near-duplicate in training data.
+    * Moving the whole cluster (rather than individual pair sides) is
+    * the only stable rule: a pairwise move can create new cross-split
+    * pairs transitively, while the cluster verdict is a pure function
+    * of the component — deterministic, order-independent, replayable.
+    * Docs in no cluster keep their hash split ([[Splits.assignSplit]]).
+    * Returns (id, orig_split, final_split, moved).
+    *
+    * Scale shape: the banded pair funnel + CC (never all-pairs), one
+    * cluster-keyed distinct-split count, one cluster-keyed join back
+    * — same exchange classes as [[deduplicate]]. */
+  def repairSplitLeakage(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3,
+      maxJaccardDist: Double = 0.4,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    ensureCheckpointDir(docs.sparkSession.sparkContext)
+    val pairs = minhashPairs(docs, idCol, textCol,
+      shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
+    val clusters = connectedComponents(pairs)
+    val orig = docs.select(col(idCol),
+      Splits.assignSplit(col(idCol), trainPct, valPct).as("orig_split"))
+    val withCluster = orig.join(
+      clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
+    val spanning = withCluster.filter(col("cluster").isNotNull)
+      .groupBy(col("cluster"))
+      .agg(countDistinct(col("orig_split")).as("__ns"))
+    withCluster.join(spanning, Seq("cluster"), "left")
+      .select(col(idCol), col("orig_split"),
+        when(col("__ns") > 1, lit("train")).otherwise(col("orig_split"))
+          .as("final_split"))
+      .withColumn("moved", col("final_split") =!= col("orig_split"))
+  }
+
   // ----------------------------------------------- decontamination
   /** Benchmark decontamination scores: for every corpus document, the
     * number of distinct word n-grams it shares with ANY document of a

@@ -893,6 +893,122 @@ object Round13 {
       |FROM r
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** Split-leakage repair ([[graft.ops.Dedup.repairSplitLeakage]]):
+    * q111 AUDITS cross-split near-dup pairs; this FIXES them — any
+    * near-dup cluster spanning splits moves entirely to train, docs
+    * outside clusters keep their q50 hash split. Oracle: q111's
+    * exact all-pairs layer, the q55 recursive-CTE components, the
+    * HUGEINT-guarded split hash, and the per-cluster
+    * distinct-split-count verdict. */
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    Dedup.repairSplitLeakage(Tables.documents(s, dir),
+        shingleSize = 3, maxJaccardDist = 0.4)
+      .orderBy("doc_id")
+
+  private val q129Sql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+      |),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach AS (
+      |  SELECT DISTINCT s AS id, s AS lab FROM edges
+      |  UNION
+      |  SELECT e.d AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+      |),
+      |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+      |sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS orig_split
+      |  FROM (SELECT doc_id,
+      |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      |         % 4294967296 % 100 AS BIGINT) AS b FROM documents) t
+      |),
+      |cf AS (
+      |  SELECT c.cluster, COUNT(DISTINCT s.orig_split) AS ns
+      |  FROM comp c JOIN sp s ON s.doc_id = c.id GROUP BY 1
+      |)
+      |SELECT s.doc_id, s.orig_split,
+      |  CASE WHEN cf.ns > 1 THEN 'train' ELSE s.orig_split END AS final_split,
+      |  (CASE WHEN cf.ns > 1 THEN 'train' ELSE s.orig_split END) <> s.orig_split AS moved
+      |FROM sp s
+      |LEFT JOIN comp c ON c.id = s.doc_id
+      |LEFT JOIN cf ON cf.cluster = c.cluster
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q130
+  /** Dedup with multiplicity ([[graft.ops.Dedup
+    * .deduplicateWithMultiplicity]]): q55's survivors plus
+    * `n_copies` — the mass each survivor represents (exact twins +
+    * near-dup members), the count-aware-reweighting input where hard
+    * dedup would silently discard duplication signal. Oracle: exact
+    * group counts, the q55 CC replay, per-cluster count sums, and
+    * the survivor-id-equals-cluster-label attach. */
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    Dedup.deduplicateWithMultiplicity(Tables.documents(s, dir),
+        maxJaccardDist = 0.4)
+      .select(col("doc_id"), col("lang"), col("n_copies"))
+      .orderBy("doc_id")
+
+  private val q130Sql =
+    """WITH RECURSIVE eg AS (
+      |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS en
+      |  FROM documents GROUP BY text
+      |),
+      |kept_exact AS (
+      |  SELECT d.doc_id, d.lang, d.text, e.en
+      |  FROM documents d JOIN eg e ON d.doc_id = e.doc_id
+      |),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM kept_exact
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (CAST(len(a.g) + len(b.g) AS DOUBLE) - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+      |),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach AS (
+      |  SELECT DISTINCT s AS id, s AS lab FROM edges
+      |  UNION
+      |  SELECT e.d AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+      |),
+      |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+      |ct AS (
+      |  SELECT c.cluster, CAST(SUM(k.en) AS BIGINT) AS nc
+      |  FROM comp c JOIN kept_exact k ON k.doc_id = c.id GROUP BY 1
+      |)
+      |SELECT k.doc_id, k.lang, CAST(COALESCE(ct.nc, k.en) AS BIGINT) AS n_copies
+      |FROM kept_exact k
+      |LEFT JOIN ct ON ct.cluster = k.doc_id
+      |WHERE k.doc_id NOT IN (SELECT id FROM comp WHERE cluster < id)
+      |ORDER BY k.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q112_append_index_dedup", q112, Some(q112Sql)),
     QueryDef("q113_bpe_train", q113, Some(q113Sql)),
@@ -910,5 +1026,7 @@ object Round13 {
     QueryDef("q125_phash_neardup", q125, Some(q125Sql)),
     QueryDef("q126_centroid_outliers", q126, Some(q126Sql)),
     QueryDef("q127_shard_append", q127, Some(q127Sql)),
-    QueryDef("q128_stratified_split", q128, Some(q128Sql)))
+    QueryDef("q128_stratified_split", q128, Some(q128Sql)),
+    QueryDef("q129_split_repair", q129, Some(q129Sql)),
+    QueryDef("q130_dedup_multiplicity", q130, Some(q130Sql)))
 }

@@ -465,4 +465,46 @@ class Round13OpsSpec extends AnyFunSuite {
     }
     assert(run(docs.repartition(9)) === rows)
   }
+
+  // ------------------------------------- dedup multiplicity (q130)
+  test("deduplicateWithMultiplicity: exact twins + cluster members sum into n_copies") {
+    val x = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, x, "en"), (2L, x, "en"),          // exact twins → rep 1, en=2
+      (3L, x + " extra", "en"),              // near-dup of the rep
+      (4L, "completely different words entirely separate content here now", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = graft.ops.Dedup.deduplicateWithMultiplicity(docs,
+        maxJaccardDist = 0.5)
+      .select("doc_id", "n_copies").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows === Array((1L, 3L), (4L, 1L)))
+  }
+
+  // ------------------------------------- split-leakage repair (q129)
+  test("repairSplitLeakage: spanning clusters move wholly to train; audit is clean after") {
+    // id→bucket (knuth): 1,2,4→train, 3→val, 11→test
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (1L, a), (3L, a + " iota"),            // cluster spans train/val
+      (2L, b), (4L, b + " ten"),             // cluster all-train
+      (11L, "lonely unmatched document with no duplicate partner here")
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.Dedup.repairSplitLeakage(docs, maxJaccardDist = 0.4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(rows === Array(
+      (1L, "train", "train", false),
+      (2L, "train", "train", false),
+      (3L, "val", "train", true),
+      (4L, "train", "train", false),
+      (11L, "test", "test", false)))
+    // the q111 audit property: after repair, no near-dup pair crosses splits
+    val finals = rows.map(t => t._1 -> t._3).toMap
+    val pairs = graft.ops.Dedup.minhashPairs(docs, maxJaccardDist = 0.4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (p, q) => finals(p) === finals(q) })
+  }
 }
