@@ -212,9 +212,19 @@ object Bench {
         val base = if (cut >= 0) old.substring(0, cut) else old.stripSuffix("}")
         base + scaling + "}"
       } else json
-    try java.nio.file.Files.write(benchPath, (fileJson + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench.json: ${e.getMessage}") }
+    // a query-SUBSET run is a local iteration tool: it must never
+    // replace the committed full-battery record (round-13 lesson — a
+    // four-query subset run clobbered the battery + all five scaling
+    // curves; the same clobber class as round 12's truncated driver
+    // re-run). Subset results still print to stdout below.
+    val subsetRun = args.nonEmpty && !scalingOnly
+    if (subsetRun)
+      System.err.println("[bench] query-subset run: bench.json NOT written")
+    else {
+      try java.nio.file.Files.write(benchPath, (fileJson + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench.json: ${e.getMessage}") }
+    }
     System.err.println(f"[bench] peak storage ${peakStorageBytes / 1048576} MB; persistent RDDs after battery: $leakedAfterBattery; swept: $sweptJson")
 
     // the headline is the LAST stdout line and stays SHORT (top-5
