@@ -49,8 +49,16 @@ object TrainDataBench {
     }
     val nCapped = capped.count()
 
+    // QUALITY-AWARE survivors (q119): each near-dup cluster keeps its
+    // best-classifier-score member instead of the min id — the score
+    // is computed once here and REUSED by the gate below (real
+    // pipelines run the quality model before dedup for exactly this
+    // double duty)
     val (kept, dedupS) = Timing.timed {
-      val k = Dedup.deduplicate(capped, maxJaccardDist = 0.4).cache()
+      val k = Dedup.deduplicateKeepBest(capped,
+          Classifier.hashedLinearScore(col("text")),
+          maxJaccardDist = 0.4)
+        .withColumnRenamed("__score", "clf_score").cache()
       k.count()
       k
     }
@@ -58,9 +66,8 @@ object TrainDataBench {
 
     val (gated, qualS) = Timing.timed {
       val g = kept.select(
-          col("doc_id"), col("text"), col("lang"),
+          col("doc_id"), col("text"), col("lang"), col("clf_score"),
           TextStats.qualityScore(col("text")).as("quality"),
-          Classifier.hashedLinearScore(col("text")).as("clf_score"),
           TextStats.predictedLang(col("text")).as("lang_pred"),
           TextStats.bagFingerprint(col("text")).as("fingerprint"))
         // heuristic gate ~p10 of this corpus; the classifier gate is
@@ -119,19 +126,34 @@ object TrainDataBench {
     val nShards = manifest.count()
     val shardTokens = manifest.agg(sum(col("n_tokens"))).head().getLong(0)
 
+    // mixture EPOCH plan (q124) over the gated corpus: per-source
+    // repeat factors for a 2×-corpus token budget — the upsampling
+    // table a trainer's data loader consumes; S rows, one aggregate
+    val (epochs, epochS) = Timing.timed {
+      val totalTok = gated.agg(
+        sum(TextStats.tokenCount(col("text")))).head().getLong(0)
+      val gatedWithSource = gated.join(
+        docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Splits.epochPlan(gatedWithSource, budgetTokens = totalTok * 2)
+        .orderBy("source").collect()
+    }
+    val maxEpochs = epochs.map(_.getLong(4)).max
+    val minEpochs = epochs.map(_.getLong(4)).min
+
     val splitCounts = spark.read.parquet(out).groupBy("split").count()
       .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
       .mkString("{", ",", "}")
-    val total = capS + dedupS + qualS + chunkS + packS + writeS + shardS
+    val total = capS + dedupS + qualS + chunkS + packS + writeS + shardS + epochS
     println(
       s"""{"metric":"traindata_pipeline","raw_docs":$nRaw,"after_cap":$nCapped,""" +
         s""""after_dedup":$nKept,""" +
         s""""after_quality":$nGated,"chunks":$nChunks,"splits":$splitCounts,""" +
         s""""train_pack_rows":$nPackRows,"train_seqs":$nSeqs,""" +
         s""""train_shards":$nShards,"shard_tokens":$shardTokens,""" +
+        s""""epoch_sources":${epochs.length},"epochs_x1000_min":$minEpochs,"epochs_x1000_max":$maxEpochs,""" +
         s""""cap_s":${f"$capS%.1f"},"dedup_s":${f"$dedupS%.1f"},"quality_s":${f"$qualS%.1f"},""" +
         s""""chunk_s":${f"$chunkS%.1f"},"pack_s":${f"$packS%.1f"},""" +
-        s""""write_s":${f"$writeS%.1f"},"shard_s":${f"$shardS%.1f"},"total_s":${f"$total%.1f"}}""")
+        s""""write_s":${f"$writeS%.1f"},"shard_s":${f"$shardS%.1f"},"epoch_s":${f"$epochS%.1f"},"total_s":${f"$total%.1f"}}""")
     spark.stop()
   }
 }
