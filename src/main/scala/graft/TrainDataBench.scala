@@ -58,7 +58,7 @@ object TrainDataBench {
       val k = Dedup.deduplicateKeepBest(capped,
           Classifier.hashedLinearScore(col("text")),
           maxJaccardDist = 0.4)
-        .withColumnRenamed("__score", "clf_score").cache()
+        .withColumnRenamed("score", "clf_score").cache()
       k.count()
       k
     }
@@ -137,8 +137,11 @@ object TrainDataBench {
       Splits.epochPlan(gatedWithSource, budgetTokens = totalTok * 2)
         .orderBy("source").collect()
     }
-    val maxEpochs = epochs.map(_.getLong(4)).max
-    val minEpochs = epochs.map(_.getLong(4)).min
+    // maxOption: a fully-gated corpus yields zero sources and a bare
+    // .max on the empty array would crash the whole pipeline bench at
+    // the final reporting step
+    val maxEpochs = epochs.map(_.getLong(4)).maxOption.getOrElse(0L)
+    val minEpochs = epochs.map(_.getLong(4)).minOption.getOrElse(0L)
 
     val splitCounts = spark.read.parquet(out).groupBy("split").count()
       .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted

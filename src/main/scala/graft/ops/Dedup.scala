@@ -839,27 +839,39 @@ object Dedup {
     * (e.g. [[Classifier.hashedLinearScore]]); ties break to the
     * SMALLEST id so the choice is total and replayable.
     *
-    * Survivor semantics compose with the exact layer: exact twins
-    * share their text, hence their text-derived score, so collapsing
-    * them to the min-id representative first (cheap hash-window) and
-    * then arg-maxing over near-dup cluster representatives picks
-    * exactly the (max score, min id) member of the FULL cluster —
-    * the same answer as scoring every original member.
+    * The score is evaluated on EVERY original row before any
+    * collapse: exact twins are first reduced to their (max score,
+    * min id) member — scores that depend on non-text columns (a
+    * stored quality column, crawl metadata) keep their best copy —
+    * and near-dup clusters then arg-max over those representatives,
+    * which is exactly the (max score, min id) member of the full
+    * cluster. For a score that is a pure function of `textCol`,
+    * twins tie and this degenerates to [[dropExact]]'s min-id pick.
     *
     * Scale shape: identical to [[deduplicate]] (banded MinHash, never
     * all-pairs; pointer-halving CC) plus ONE cluster-keyed aggregation
     * — `max(struct(score, -id))` is map-side combinable, so no window
     * over corpus-sized partitions and no skew exposure beyond what CC
-    * already bounds. Returns the kept corpus with its `score` column.
-    */
+    * already bounds. Returns the kept corpus with the computed score
+    * in a `score` column (replacing any pre-existing column of that
+    * name). */
   def deduplicateKeepBest(docs: DataFrame, score: Column,
       idCol: String = "doc_id", textCol: String = "text",
       shingleSize: Int = 3, maxJaccardDist: Double = 0.3): DataFrame = {
     ensureCheckpointDir(docs.sparkSession.sparkContext)
-    // cache: feeds the MinHash funnel, the cluster-score join and the
-    // final survivor anti-join (same retained-past-call contract as
-    // deduplicate's `exact`)
-    val exact = dropExact(docs, textCol, idCol).withColumn("__score", score)
+    // exact-twin collapse by (score DESC, id): same fingerprint-led
+    // window as dropExact (8-byte compares, raw key as the collision
+    // guard) but the survivor is the best-scoring twin, so a
+    // non-text-derived score is never discarded before the cluster
+    // argmax. cache: feeds the MinHash funnel, the cluster-score join
+    // and the final survivor anti-join (same retained-past-call
+    // contract as deduplicate's `exact`)
+    val wBest = Window
+      .partitionBy(xxhash64(col(textCol)), col(textCol))
+      .orderBy(col("__score").desc, col(idCol))
+    val exact = docs.withColumn("__score", score)
+      .withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1).drop("__rn")
       .cache()
     val pairs = minhashPairs(exact, idCol, textCol,
       shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
@@ -877,6 +889,7 @@ object Dedup {
       .filter(col("id") =!= col("__surv"))
       .select(col("id").as("__loser"))
     exact.join(losers, exact(idCol) === losers("__loser"), "left_anti")
+      .drop("score").withColumnRenamed("__score", "score")
   }
 
   /** [[deduplicate]] with MULTIPLICITY: survivors carry

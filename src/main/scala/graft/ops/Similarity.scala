@@ -774,10 +774,15 @@ object Similarity {
       .groupBy(col("__lab"), col("__pos")).agg(sum(col("__v")).as("__s"))
     val counts = emb.groupBy(col(labelCol).as("__labn"))
       .agg(count(lit(1)).as("__n"))
+    // exact floor division on the Long sum: floorDiv(s, n) spelled as
+    // (s - pmod(s, n)) div n (n = count > 0, so pmod is the true
+    // non-negative remainder and the div is exact) — a Double
+    // round-trip is only exact while |sum| < 2^53, and quantScale is
+    // caller-tunable, so large scales or large-magnitude embeddings
+    // would silently break the bit-replayability contract
     sums.join(counts, col("__lab") === col("__labn"))
       .select(col("__lab"), col("__pos"), col("__n"),
-        floor(col("__s").cast(DoubleType) / col("__n").cast(DoubleType))
-          .cast(LongType).as("__m"))
+        expr("(__s - pmod(__s, __n)) div __n").cast(LongType).as("__m"))
       .groupBy(col("__lab"), col("__n"))
       .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
         st => st("__m")).as("__c"))

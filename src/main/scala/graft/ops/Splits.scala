@@ -265,8 +265,18 @@ object Splits {
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
     val sumW = stats.foldLeft(0.0) { case (acc, (_, _, t)) => acc + w(t) }
     val rows = stats.map { case (s, d, t) =>
-      val target = math.floor((budgetTokens.toDouble * w(t)) / sumW).toLong
-      val epochsX1000 = if (t == 0) 0L else target * 1000L / t
+      // sumW == 0 ⇔ every source has 0 tokens: there is nothing to
+      // allocate, so every target is 0 (instead of floor(NaN) = 0 by
+      // accident — made explicit so a guard change can't regress it)
+      val target =
+        if (sumW == 0.0) 0L
+        else math.floor((budgetTokens.toDouble * w(t)) / sumW).toLong
+      // ×1000 fixed-point through BigInt: target·1000 overflows Long
+      // for budgets above ~9.2e15 tokens (within range for a 100 TB
+      // corpus plan), and this is O(S) driver arithmetic, so the
+      // arbitrary-precision hop costs nothing
+      val epochsX1000 =
+        if (t == 0) 0L else ((BigInt(target) * 1000) / t).toLong
       (s, d, t, target, epochsX1000)
     }
     spark.createDataFrame(rows.toIndexedSeq)
@@ -295,7 +305,19 @@ object Splits {
       idCol: String = "doc_id"): DataFrame = {
     require(strataCols.nonEmpty && heldDen > 0 &&
       heldNum >= 0 && heldNum <= heldDen)
-    val stratum = concat_ws("", strataCols.map(col): _*)
+    // INJECTIVE stratum key: each component is length-prefixed
+    // ("V<len>:<value>", nulls -> "N"), so the encoding parses
+    // unambiguously left-to-right and distinct tuples can never
+    // collide -- concat_ws (any delimiter) SKIPS nulls, merging
+    // (null,"x") and ("x",null) into one stratum with a single
+    // combined quota, and a delimiter character appearing inside a
+    // value would do the same; either silently diverges from the
+    // per-tuple PARTITION BY the oracle runs
+    val stratum = concat(strataCols.map { c =>
+      val sc = col(c).cast("string")
+      when(sc.isNull, lit("N"))
+        .otherwise(concat(lit("V"), length(sc), lit(":"), sc))
+    }: _*)
     val base = df.select(
       (col(idCol) +: strataCols.map(col)) :+
         stratum.as("__stratum") :+

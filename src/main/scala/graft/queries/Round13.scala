@@ -419,7 +419,7 @@ object Round13 {
     Dedup.deduplicateKeepBest(Tables.documents(s, dir),
         graft.ops.Classifier.hashedLinearScore(col("text"), 64L),
         maxJaccardDist = 0.4)
-      .select(col("doc_id"), col("lang"), col("__score").as("score"))
+      .select(col("doc_id"), col("lang"), col("score"))
       .orderBy("doc_id")
 
   /** q105's codepoint-hash linear score as a DuckDB scalar over
@@ -641,8 +641,10 @@ object Round13 {
       |s AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS sv FROM e GROUP BY 1, 2),
       |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
       |m AS (
+      |  -- exact floorDiv on BIGINTs (mirrors the engine): subtract the
+      |  -- non-negative remainder, then the // is exact at any magnitude
       |  SELECT s.label, s.pos,
-      |    CAST(floor(CAST(s.sv AS DOUBLE) / CAST(n.n AS DOUBLE)) AS BIGINT) AS mv
+      |    CAST((s.sv - (((s.sv % n.n) + n.n) % n.n)) // n.n AS BIGINT) AS mv
       |  FROM s JOIN n USING (label)
       |),
       |c AS (SELECT label, list(mv ORDER BY pos) AS cv FROM m GROUP BY label)""".stripMargin
@@ -697,7 +699,10 @@ object Round13 {
       |)
       |SELECT source, n_docs, n_tokens, target_tokens,
       |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
-      |       ELSE target_tokens * 1000 // n_tokens END AS epochs_x1000
+      |       -- HUGEINT hop mirrors the engine's BigInt fixed-point step:
+      |       -- target·1000 overflows BIGINT for budgets above ~9.2e15
+      |       ELSE CAST(CAST(target_tokens AS HUGEINT) * 1000 // n_tokens AS BIGINT)
+      |       END AS epochs_x1000
       |FROM t
       |ORDER BY source""".stripMargin
 

@@ -259,6 +259,23 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(kept === Array(2L, 4L, 5L))
   }
 
+  test("deduplicateKeepBest: non-text score keeps the best EXACT twin, output column is score") {
+    val base = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, base, 1L),            // exact twin of 3, lower stored score
+      (2L, base + " extra", 7L), // near-dup of {1,3}
+      (3L, base, 9L)             // best twin AND best of the whole cluster
+    ).toDF("doc_id", "text", "q")
+    val kept = graft.ops.Dedup.deduplicateKeepBest(docs, col("q"),
+        maxJaccardDist = 0.5)
+    // score is evaluated per ORIGINAL row, so twin 3 (score 9) survives
+    // the exact collapse and then beats 2 (score 7) in the cluster —
+    // min-id twin collapse would have discarded the 9 before the argmax
+    val rows = kept.select("doc_id", "score").as[(Long, Long)].collect()
+    assert(rows === Array((3L, 9L)))
+    assert(kept.columns.contains("score") && !kept.columns.contains("__score"))
+  }
+
   // ------------------------------------- duplicated-span excision (q120)
   test("exciseDuplicatedSpans: keep-first cuts later occurrences only") {
     val docs = Seq(
@@ -464,6 +481,49 @@ class Round13OpsSpec extends AnyFunSuite {
       assert(g.map(_._5).sorted === (1L to g.length.toLong).toArray)
     }
     assert(run(docs.repartition(9)) === rows)
+  }
+
+  test("stratifiedSplit: concat-colliding and null-bearing tuples stay separate strata") {
+    // four DISTINCT strata whose naive string concats collide:
+    // ("ab","c")/("a","bc") and (null,"x")/("x",null); 10 rows each,
+    // quota floor(10·1/2) = 5 per stratum — a merged key would pool
+    // 20 rows into one stratum and hold 10 from the pool instead
+    val docs = (
+      (1L to 10L).map(i => (i, "ab", "c")) ++
+      (11L to 20L).map(i => (i, "a", "bc")) ++
+      (21L to 30L).map(i => (i, null.asInstanceOf[String], "x")) ++
+      (31L to 40L).map(i => (i, "x", null.asInstanceOf[String])))
+      .toDF("doc_id", "source", "lang")
+    val rows = graft.ops.Splits.stratifiedSplit(docs, Seq("source", "lang"), 1L, 2L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getString(6)))
+    val byStratum = rows.groupBy(t => (t._2, t._3))
+    assert(byStratum.size === 4)
+    for ((_, g) <- byStratum) {
+      assert(g.length === 10)
+      assert(g.count(_._4 == "held") === 5) // exact per-tuple quota
+    }
+  }
+
+  test("epochPlan: huge budgets don't overflow the fixed-point step") {
+    // (the sumW == 0 branch is defensive only: tokenCount is ≥ 1 for
+    // every non-null string — split of "" yields one empty token, the
+    // same semantics the oracle's regexp_split_to_array replays — so
+    // no public input reaches it)
+    // budget near Long.Max: target·1000 overflows Long (~9.2e18/1000);
+    // the BigInt fixed-point hop must keep epochs_x1000 exact
+    val docs = Seq((1L, Seq.fill(2000)("a").mkString(" "), "A"))
+      .toDF("doc_id", "text", "source")
+    val budget = 8000000000000000000L // 8e18
+    val r = graft.ops.Splits.epochPlan(docs, budgetTokens = budget)
+      .head()
+    // single source gets ~the whole budget (the w/sumW double round
+    // trip may slip an ulp at 8e18 — that slack is not what's under
+    // test); the ×1000 fixed-point step must be BigInt-exact: Long
+    // arithmetic would wrap target·1000 to a wildly different value
+    val target = r.getLong(3)
+    assert(math.abs(target - budget) <= 4096L)
+    assert(r.getLong(4) === (BigInt(target) * 1000 / 2000).toLong)
   }
 
   // ------------------------------------- dedup multiplicity (q130)
