@@ -49,6 +49,39 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** The C4/Gopher-style canonical form for "fuzzy-exact" dedup:
+    * casefold, strip everything but letters∕digits∕whitespace,
+    * collapse whitespace runs, trim. Catches the re-hosted copy that
+    * differs only in punctuation, capitalization or spacing — which
+    * byte-exact dedup misses and MinHash wastes a full near-dup
+    * funnel on. ASCII-exact parity with the oracle's RE2 classes;
+    * non-ASCII casefold can differ between JVM and RE2 locales (the
+    * documented boundary — run ICU normalization upstream if the
+    * corpus needs it). */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]+", " "),
+      "\\s+", " "))
+
+  /** Exact dedup on [[canonicalText]]: one row per canonical form
+    * (survivor = min id), carrying `n_copies` — the multiplicity the
+    * canonical class collapsed. Scale shape: identical to
+    * [[dropExact]]'s (the canonicalization is a codegen'd map in the
+    * same pass; the aggregation keys lead with the 8-byte xxhash64
+    * fingerprint so sort∕agg compares are long compares), one
+    * shuffle total. */
+  def normalizedExactDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val canon = canonicalText(col(textCol))
+    val groups = docs
+      .select(col(idCol), xxhash64(canon).as("__fp"), canon.as("__canon"))
+      .groupBy(col("__fp"), col("__canon"))
+      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("n_copies"))
+      .select(col("__keep"), col("n_copies"))
+    docs.join(groups, docs(idCol) === groups("__keep"))
+      .drop("__keep")
+  }
+
   // ---------------------------------------------------------- minhash
   /** Native banded-MinHash near-dup pairs: shingle → k integer
     * minhashes (codegen'd array folds over xxhash64) → band keys →

@@ -336,4 +336,76 @@ object Splits {
           lit("held")).otherwise(lit("train")))
       .drop("__stratum")
   }
+
+  /** EXACT weighted systematic sample: draw `k` picks with
+    * probability proportional to an integer `weight` (e.g. token
+    * count), WITHOUT any transcendental priority math. The corpus is
+    * laid on a line in deterministic (knuth-hash, id) order, each row
+    * occupying an interval of its weight; the k midpoint targets
+    * `t_j = ⌊(2j+1)·W ∕ 2k⌋` (W = total weight, j = 0..k−1) are
+    * systematic-resampling pointers, and a row is picked once per
+    * target falling inside its interval — the particle-filter /
+    * mixture-loader "systematic resampling" scheme, where a row
+    * heavier than W∕k is legitimately picked MULTIPLE times
+    * (`n_picks` carries the multiplicity, Σ n_picks = k always).
+    * Everything is integer arithmetic — the per-row verdict counts
+    * odd multiples m with `2k·cum ≤ m·W < 2k·(cum+w)` via ceil-
+    * division bounds — so the oracle replays it bit-for-bit; the
+    * Efraimidis–Spirakis `u^(1∕w)` alternative would hang the result
+    * on `ln`∕`pow` ulps that differ across runtimes.
+    *
+    * Scale shape: the global prefix sum is the [[Packing]] two-phase
+    * scheme keyed by hash-range buckets — per-bucket totals are one
+    * map-side-combinable aggregate, the running offset over buckets
+    * windows only that tiny frame, and in-bucket offsets window
+    * hash-range partitions (uniform by construction). The per-row
+    * verdict is a broadcast of the 1-row total plus DECIMAL(38,0)
+    * products (2k·cum reaches ~4e28 at 100 TB-scale W and large k —
+    * past BIGINT, nowhere near decimal38). No corpus-sized sort
+    * partition anywhere. */
+  def systematicWeightedSample(df: DataFrame, k: Int, weight: Column,
+      idCol: String = "doc_id", bucketSpan: Long = 1L << 22): DataFrame = {
+    require(k > 0 && bucketSpan > 0)
+    // assert_true folds the ≥0 contract into the weight column itself
+    // (a standalone check column would be pruned away unevaluated)
+    val base = df.select(
+      col(idCol),
+      coalesce(assert_true(weight.cast("long") >= 0,
+          lit(s"systematicWeightedSample: negative weight")).cast("long"),
+        weight.cast("long")).as("__w"),
+      hashBucketN(col(idCol), 1L << 32).as("hv"))
+    val bucketed = base.withColumn("__bucket", expr(s"hv div $bucketSpan"))
+    val bucketTotals = bucketed.groupBy("__bucket")
+      .agg(sum(col("__w")).as("__btotal"))
+    val overBuckets = Window.orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("__boff",
+        coalesce(sum(col("__btotal")).over(overBuckets), lit(0L)))
+      .select("__bucket", "__boff")
+    val inBucket = Window.partitionBy("__bucket").orderBy("hv", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = bucketed.join(broadcast(offsets), "__bucket")
+      .withColumn("__cum",
+        col("__boff") + coalesce(sum(col("__w")).over(inBucket), lit(0L)))
+    val total = base.agg(sum(col("__w")).as("__total"))
+    val dec = "decimal(38,0)"
+    val withT = placed.crossJoin(broadcast(total))
+      .withColumn("__a",
+        (lit(2L * k).cast(dec) * col("__cum").cast(dec)))
+      .withColumn("__b",
+        (lit(2L * k).cast(dec) * (col("__cum") + col("__w")).cast(dec)))
+      .withColumn("__t", col("__total").cast(dec))
+    // lo = ⌈A∕W⌉, hi = ⌈B∕W⌉ − 1: the odd multiples of 1 in [lo, hi]
+    // are exactly the targets inside [cum, cum+w); count of odd ints
+    // in [lo, hi] = ⌊(hi+1)∕2⌋ − ⌊lo∕2⌋ (all values non-negative)
+    val counted = withT
+      .withColumn("__lo", expr("(__a + __t - 1) div __t"))
+      .withColumn("__hi", expr("(__b + __t - 1) div __t") - 1)
+      .withColumn("n_picks",
+        when(col("__total") === 0 || col("__hi") < col("__lo"), lit(0L))
+          .otherwise(expr("(__hi + 1) div 2") - expr("__lo div 2")))
+    counted.filter(col("n_picks") > 0)
+      .select(col(idCol), col("__w").as("weight"), col("n_picks"))
+  }
 }

@@ -255,27 +255,18 @@ object Documents {
     * for a similarity operator, which the float32-vs-double cosine
     * paths (q21/q42) can't have; ranks+ids output keeps the contract
     * uniform with them anyway. */
-  private def q69(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Similarity
-    val q = Tables.embeddings(s, dir)
-      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
-      .select(col("vec_id"), col("z.scale").as("scale"), col("z.q").as("qv"))
-    val probe = q.filter(col("vec_id") === 0)
-      .select(col("scale").as("qscale"), col("qv").as("qqv"))
-    q.crossJoin(broadcast(probe))
-      .select(col("vec_id"),
-        Similarity.quantizedDot(col("qv"), col("scale"), col("qqv"), col("qscale"))
-          .as("score"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col("vec_id"))))
-      .filter(col("rk") <= 20)
-      .select(col("rk"), col("vec_id"))
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    // round 14: lifted into Similarity.quantizedKnn (shared with the
+    // q135 recall audit) and switched from a global rank window to
+    // orderBy().limit(k) — TakeOrderedAndProject's bounded heaps
+    graft.ops.Similarity.quantizedKnn(Tables.embeddings(s, dir),
+        queryId = 0L, k = 20)
       .orderBy("rk")
-  }
 
-  private val q69Sql =
-    """WITH s AS (
+  /** Shared int8-quantize → integer-dot scoring CTEs (s, q, probe,
+    * scored) — q69's replay, reused by the q135 recall audit. */
+  private[queries] val quantScoreCtes =
+    """s AS (
       |  SELECT vec_id,
       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS rawscale
       |  FROM embeddings
@@ -293,7 +284,10 @@ object Documents {
       |        i -> CAST(q.qv[i] AS BIGINT) * CAST(probe.qqv[i] AS BIGINT))) AS BIGINT)
       |      AS DOUBLE) * q.scale) * probe.qscale AS score
       |  FROM q, probe
-      |)
+      |)""".stripMargin
+
+  private val q69Sql =
+    s"""WITH $quantScoreCtes
       |SELECT rk, vec_id FROM (
       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rk
       |  FROM scored) t

@@ -47,7 +47,7 @@ object Round12 {
     * (word, position) as a plain join + MAX, and a recursive CTE
     * walks the greedy positions — same semantics, no nested-lambda
     * evaluation anywhere near a join. */
-  private val subwordPerwordCtes =
+  private[queries] val subwordPerwordCtes =
     """vocab AS (
       |  SELECT token FROM (
       |    SELECT tok AS token, COUNT(*) AS cnt

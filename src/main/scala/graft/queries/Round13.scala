@@ -424,7 +424,7 @@ object Round13 {
 
   /** q105's codepoint-hash linear score as a DuckDB scalar over
     * column `text` — shared by the q119 survivor argmax. */
-  private val scoreFold =
+  private[queries] val scoreFold =
     """CAST(COALESCE(list_sum(list_transform(
       |    list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0), tok ->
       |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),

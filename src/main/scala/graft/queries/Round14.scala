@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.{Dedup, Lineage, Similarity, SkewJoin, Splits, TextStats}
+
+/** Round-14 battery additions: exact weighted systematic sampling,
+  * normalized ("fuzzy-exact") dedup, the per-document funnel-lineage
+  * audit, tokenizer fertility, the quantization recall audit, and the
+  * join-skew key audit. All reference-scope-none LLM-pipeline
+  * extensions (SURVEY §8).
+  */
+object Round14 {
+
+  // ---------------------------------------------------------------- q131
+  /** EXACT weighted systematic sample ([[graft.ops.Splits
+    * .systematicWeightedSample]]): k = 50 picks proportional to token
+    * count, laid out on the deterministic (knuth-hash, id) line with
+    * integer midpoint targets — the particle-filter resampling scheme
+    * a mixture loader uses to draw a token-weighted subcorpus, with
+    * `n_picks` multiplicity for rows heavier than W∕k. Every verdict
+    * is integer ceil-division arithmetic, so the oracle replays the
+    * whole sample bit-for-bit (an Efraimidis–Spirakis `u^(1∕w)` key
+    * would hang on ln∕pow ulps). Oracle: the same exclusive prefix
+    * sum as a window, HUGEINT bounds arithmetic. */
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    Splits.systematicWeightedSample(Tables.documents(s, dir), k = 50,
+        weight = TextStats.tokenCount(col("text")))
+      .orderBy("doc_id")
+
+  private val q131Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS w,
+      |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      |         % 4294967296 AS BIGINT) AS hv
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, w,
+      |    COALESCE(SUM(w) OVER (ORDER BY hv, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM h
+      |),
+      |t AS (SELECT CAST(SUM(w) AS HUGEINT) AS tw FROM h),
+      |p AS (
+      |  SELECT doc_id, w,
+      |    (CAST(100 AS HUGEINT) * cum + tw - 1) // tw AS lo,
+      |    (CAST(100 AS HUGEINT) * (cum + w) + tw - 1) // tw - 1 AS hi
+      |  FROM c, t
+      |)
+      |SELECT doc_id, w AS weight,
+      |  CAST((hi + 1) // 2 - lo // 2 AS BIGINT) AS n_picks
+      |FROM p
+      |WHERE hi >= lo AND (hi + 1) // 2 - lo // 2 > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+  /** Normalized "fuzzy-exact" dedup ([[graft.ops.Dedup
+    * .normalizedExactDedup]]): casefold + punctuation-strip +
+    * whitespace-collapse canonical form, then exact dedup with
+    * multiplicity — the C4/Gopher cleaning pass that catches
+    * re-hosted copies differing only in case∕punctuation∕spacing,
+    * which byte-exact dedup misses and MinHash wastes a full funnel
+    * on. Survivor = min id per canonical class. Oracle: the identical
+    * regex chain (RE2 ∕ Java class parity is ASCII-exact; the corpus
+    * is ASCII). */
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    Dedup.normalizedExactDedup(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_copies"))
+      .orderBy("doc_id")
+
+  private val q132Sql =
+    """WITH canon AS (
+      |  SELECT doc_id, lang, source,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^\p{L}\p{N}\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS c
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT c, MIN(doc_id) AS keep, CAST(COUNT(*) AS BIGINT) AS n_copies
+      |  FROM canon GROUP BY c
+      |)
+      |SELECT d.doc_id, d.lang, d.source, g.n_copies
+      |FROM canon d JOIN g ON d.doc_id = g.keep
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+  /** Per-document funnel LINEAGE ([[graft.ops.Lineage.funnelLineage]]):
+    * one disposition row per input doc — capped ∕ exact_dup ∕
+    * near_dup ∕ low_quality ∕ kept, in pipeline precedence — the
+    * audit table production corpus builds keep so "why is doc X not
+    * in the training set?" is a lookup, not an investigation. Oracle:
+    * the q106 cap rank, q16-style exact min-id, the q119 all-pairs
+    * Jaccard + recursive-CTE components (true pairs — the banded
+    * engine path is recall-1 here, the q31/q55/q119 argument), and
+    * the q105 score fold, stitched with left joins into one CASE. */
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    Lineage.funnelLineage(Tables.documents(s, dir), capK = 20)
+      .orderBy("doc_id")
+
+  private val q133Sql =
+    s"""WITH RECURSIVE
+       |h AS (
+       |  SELECT doc_id, text, source,
+       |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+       |         % 4294967296 AS BIGINT) AS hv
+       |  FROM documents
+       |),
+       |adm AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+       |    FROM h)
+       |  WHERE rk <= 20
+       |),
+       |exact AS (SELECT MIN(doc_id) AS doc_id FROM adm GROUP BY text),
+       |kept_exact AS (
+       |  SELECT a.doc_id, a.text FROM adm a JOIN exact e USING (doc_id)
+       |),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM kept_exact
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t) - 2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+       |  FROM toks WHERE len(t) >= 3
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+       |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / (CAST(len(a.g) + len(b.g) AS DOUBLE)
+       |         - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+       |),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach AS (
+       |  SELECT DISTINCT s AS id, s AS lab FROM edges
+       |  UNION
+       |  SELECT e.d AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+       |),
+       |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+       |losers AS (SELECT id FROM comp WHERE id <> cluster),
+       |sc AS (
+       |  SELECT doc_id, ${Round13.scoreFold} AS score
+       |  FROM kept_exact
+       |  WHERE doc_id NOT IN (SELECT id FROM losers)
+       |)
+       |SELECT d.doc_id,
+       |  CASE WHEN a.doc_id IS NULL THEN 'capped'
+       |       WHEN ke.doc_id IS NULL THEN 'exact_dup'
+       |       WHEN l.id IS NOT NULL THEN 'near_dup'
+       |       WHEN s.score < 0 THEN 'low_quality'
+       |       ELSE 'kept' END AS stage
+       |FROM documents d
+       |LEFT JOIN adm a ON a.doc_id = d.doc_id
+       |LEFT JOIN kept_exact ke ON ke.doc_id = d.doc_id
+       |LEFT JOIN losers l ON l.id = d.doc_id
+       |LEFT JOIN sc s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+  /** Tokenizer FERTILITY by language: subword pieces per whitespace
+    * word, per `lang` — the per-language tokenizer-efficiency table
+    * every multilingual data plan consults (a high-fertility language
+    * pays more compute per word, so token budgets must be specced in
+    * pieces, not words). Composes the q104 WordPiece stats (exact
+    * integer triple per doc) with one map-side-combinable rollup;
+    * the ratio is exact ppm integer division. Oracle: the q104
+    * per-word greedy replay rolled up per lang. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.text.Subword.subwordStats(docs, vocabN = 10)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"),
+        sum("n_unk_words").as("n_unk_words"))
+      .withColumn("fertility_ppm",
+        expr("(CAST(n_pieces AS decimal(38,0)) * 1000000) div n_words"))
+      .orderBy("lang")
+  }
+
+  private val q134Sql =
+    s"""WITH RECURSIVE
+       |${Round12.subwordPerwordCtes},
+       |perdoc AS (
+       |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+       |    CAST(SUM(p.np) AS BIGINT) AS np_, CAST(SUM(p.unk) AS BIGINT) AS nu
+       |  FROM words w JOIN perword p USING (tok)
+       |  GROUP BY w.doc_id
+       |)
+       |SELECT d.lang,
+       |  CAST(SUM(nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(np_) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nu) AS BIGINT) AS n_unk_words,
+       |  CAST(CAST(SUM(np_) AS HUGEINT) * 1000000
+       |       // CAST(SUM(nw) AS HUGEINT) AS BIGINT) AS fertility_ppm
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  /** Quantization RECALL audit: recall@k of the int8-quantized kNN
+    * (q69 path) against exact float cosine (q21 path), k ∈
+    * {1, 5, 10, 20} — the production gate run before shipping a
+    * quantized index ("how much retrieval does 4× compression
+    * cost?"). Both rankings are already oracle-replayable, so the
+    * overlap counts are a FULL hash oracle — rare for an ANN quality
+    * metric; recall is exact ppm integer division, no float ratio to
+    * round. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select("embedding").limit(1).collect()
+      .head.getSeq[Float](0).map(_.toDouble)
+    val ex = Similarity.bruteForceKnn(emb, qvec, 20)
+      .select(col("rank"), col("vec_id"))
+    val qu = Similarity.quantizedKnn(emb, queryId = 0L, k = 20)
+    val j = ex.join(qu, "vec_id")
+    val ks = s.range(0, 4).select(
+      element_at(typedLit(Seq(1, 5, 10, 20)), col("id").cast("int") + 1)
+        .as("k"))
+    ks.crossJoin(broadcast(j))
+      .groupBy("k")
+      .agg(sum(when(col("rank") <= col("k") && col("rk") <= col("k"), 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy("k")
+  }
+
+  private val q135Sql =
+    s"""WITH ${Documents.quantScoreCtes},
+       |ex AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (
+       |    ORDER BY list_cosine_similarity(embedding,
+       |      (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id) AS rank
+       |  FROM embeddings
+       |),
+       |qu AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rk
+       |  FROM scored
+       |),
+       |j AS (
+       |  SELECT ex.rank, qu.rk FROM ex JOIN qu USING (vec_id)
+       |  WHERE ex.rank <= 20 AND qu.rk <= 20
+       |),
+       |ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
+       |SELECT k,
+       |  CAST(SUM(CASE WHEN j.rank <= k AND j.rk <= k THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(CAST(SUM(CASE WHEN j.rank <= k AND j.rk <= k THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000000 // k AS BIGINT) AS recall_ppm
+       |FROM ks, j
+       |GROUP BY k
+       |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q136
+  /** Join-skew KEY audit ([[graft.ops.SkewJoin.skewKeyAudit]]): which
+    * `user_id`s carry > 1.2× the mean per-key row count, their exact
+    * ppm share, and the salt count that would level each — the
+    * measurement pass that decides whether the q81 salted join (or
+    * AQE skew handling) is needed, run before the 100 TB shuffle
+    * instead of diagnosed from its stragglers. All integer
+    * cross-multiplied verdicts through DECIMAL(38,0) ∕ HUGEINT. */
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    SkewJoin.skewKeyAudit(Tables.events(s, dir), "user_id")
+      .orderBy(col("n_rows").desc, col("user_id"))
+
+  private val q136Sql =
+    """WITH c AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM events GROUP BY user_id
+      |),
+      |t AS (
+      |  SELECT CAST(SUM(n_rows) AS HUGEINT) AS total,
+      |    CAST(COUNT(*) AS HUGEINT) AS nkeys
+      |  FROM c
+      |)
+      |SELECT user_id, n_rows,
+      |  CAST(CAST(n_rows AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST((CAST(n_rows AS HUGEINT) * nkeys + total - 1) // total AS BIGINT) AS salts
+      |FROM c, t
+      |WHERE CAST(n_rows AS HUGEINT) * nkeys * 10 > 12 * total
+      |ORDER BY n_rows DESC, user_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q131_systematic_sample", q131, Some(q131Sql)),
+    QueryDef("q132_normalized_dedup", q132, Some(q132Sql)),
+    QueryDef("q133_funnel_lineage", q133, Some(q133Sql)),
+    QueryDef("q134_subword_fertility", q134, Some(q134Sql)),
+    QueryDef("q135_quant_recall", q135, Some(q135Sql)),
+    QueryDef("q136_skew_keys", q136, Some(q136Sql)))
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round14OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --------------------------------- weighted systematic sample (q131)
+  test("systematicWeightedSample: exactly k picks, weight-proportional, multiplicity") {
+    val docs = Seq(
+      (1L, 10L), (2L, 0L), (3L, 1L), (4L, 89L) // total W = 100
+    ).toDF("doc_id", "w")
+    val out = graft.ops.Splits.systematicWeightedSample(
+        docs, k = 10, weight = col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // Σ n_picks is ALWAYS k (systematic resampling invariant)
+    assert(out.map(_._3).sum === 10L)
+    // a zero-weight row can never be picked
+    assert(!out.exists(_._1 == 2L))
+    // doc 4 holds 89% of the mass at step W/k = 10 → picked ≥ 8 times
+    val heavy = out.find(_._1 == 4L).get
+    assert(heavy._3 >= 8L)
+    // weights echo the input
+    assert(out.find(_._1 == 4L).get._2 === 89L)
+  }
+
+  test("systematicWeightedSample: repartition-stable and uniform-weight ≡ one pick each") {
+    val docs = (1L to 20L).map(i => (i, 5L)).toDF("doc_id", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Splits.systematicWeightedSample(df, k = 20, weight = col("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val rows = run(docs)
+    // equal weights, k = n → every row picked exactly once
+    assert(rows.map(_._1) === (1L to 20L).toArray)
+    assert(rows.forall(_._2 == 1L))
+    assert(run(docs.repartition(7)) === rows)
+  }
+
+  test("systematicWeightedSample: all-zero weights yield an empty sample") {
+    val docs = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "w")
+    assert(graft.ops.Splits.systematicWeightedSample(
+      docs, k = 5, weight = col("w")).count() === 0L)
+  }
+
+  // ------------------------------------- normalized dedup (q132)
+  test("normalizedExactDedup: case/punct/whitespace variants collapse, min-id survivor") {
+    val docs = Seq(
+      (1L, "Hello, World!  How are you?"),
+      (2L, "hello world how are you"),      // same canonical form as 1, 3
+      (3L, "HELLO WORLD -- how ARE you."),
+      (4L, "entirely different text here"),
+      (5L, "entirely  different\ttext here") // ws-collapse twin of 4
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.normalizedExactDedup(docs)
+      .select("doc_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out === Array((1L, 3L), (4L, 2L)))
+  }
+
+  // ------------------------------------- funnel lineage (q133)
+  test("funnelLineage: every doc gets exactly one stage, precedence respected") {
+    val base = "the quick brown fox jumps over the lazy dog today"
+    // source A: 3 docs, cap 2 → highest-hash doc capped; the admitted
+    // pair are exact twins → one exact_dup. source B: near-dup pair +
+    // one clean doc. Scores: synthetic words score via the hashed
+    // classifier; we only assert structural properties, not which
+    // specific doc lands low_quality.
+    val docs = Seq(
+      (1L, base, "A"),                               // exact twin of 2
+      (2L, base, "A"),
+      (3L, base + " extra words appended here", "A"), // near-dup of 1/2
+      (10L, "red green blue yellow purple orange pink gray colors list", "B"),
+      (11L, "red green blue yellow purple orange pink gray colors lists", "B"),
+      (12L, "completely unrelated content about different things entirely", "C")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.Lineage.funnelLineage(docs, capK = 2,
+        maxJaccardDist = 0.5, scoreThreshold = Long.MinValue)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // exactly one disposition per input doc
+    assert(out.map(_._1) === Array(1L, 2L, 3L, 10L, 11L, 12L))
+    val stages = out.toMap
+    // threshold Long.MinValue means nothing is low_quality
+    assert(!out.exists(_._2 == "low_quality"))
+    // only source A exceeds the cap: exactly one of {1,2,3} is capped
+    assert(out.count(_._2 == "capped") === 1)
+    assert(Set(1L, 2L, 3L).contains(out.find(_._2 == "capped").get._1))
+    // A's two admitted docs: one survives, one is a dup — exact_dup if
+    // the twins {1,2} were both admitted, near_dup otherwise
+    val aAdmitted = out.filter(t => t._1 <= 3L && t._2 != "capped").map(_._2).sorted
+    assert(aAdmitted === Array("exact_dup", "kept") ||
+      aAdmitted === Array("kept", "near_dup"))
+    // B under cap: near-dup pair resolves to min-id survivor
+    assert(stages(10L) === "kept" && stages(11L) === "near_dup")
+    assert(stages(12L) === "kept")
+  }
+
+  test("funnelLineage + funnelReport: rollup counts match the lineage frame") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "A"),
+      (2L, "alpha beta gamma delta epsilon zeta", "A"),
+      (3L, "one two three four five six seven", "B")
+    ).toDF("doc_id", "text", "source")
+    val lin = graft.ops.Lineage.funnelLineage(docs, capK = 5,
+      scoreThreshold = Long.MinValue)
+    val rep = graft.ops.Lineage.funnelReport(docs, lin)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rep(("A", "exact_dup")) === 1L)
+    assert(rep(("A", "kept")) === 1L)
+    assert(rep(("B", "kept")) === 1L)
+    assert(rep.values.sum === 3L)
+  }
+
+  // ------------------------------------- skew audit (q136)
+  test("skewKeyAudit: flags only keys above factor×mean, with ppm share and salts") {
+    // key 1: 60 rows, keys 2..11: 4 rows each → total 100, 11 keys,
+    // mean ≈ 9.09; factor 1.2 → threshold ≈ 10.9: only key 1 flagged
+    val rows = Seq.fill(60)(1L) ++ (2L to 11L).flatMap(k => Seq.fill(4)(k))
+    val df = rows.toDF("k")
+    val out = graft.ops.SkewJoin.skewKeyAudit(df, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array((1L, 60L, 600000L, 7L))) // 60·11/100 = 6.6 → 7 salts
+  }
+
+  test("skewKeyAudit: uniform keys yield an empty report") {
+    val df = (1L to 10L).flatMap(k => Seq.fill(3)(k)).toDF("k")
+    assert(graft.ops.SkewJoin.skewKeyAudit(df, "k").count() === 0L)
+  }
+
+  // ------------------------------------- quantized knn (q69/q135)
+  test("quantizedKnn: rank 1 is the query vector itself") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.quantizedKnn(emb, queryId = 0L, k = 3)
+      .orderBy("rk").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.head === ((1, 0L)))
+    assert(out.map(_._2) === Array(0L, 1L, 2L))
+  }
+}
