@@ -408,4 +408,62 @@ object Splits {
     counted.filter(col("n_picks") > 0)
       .select(col(idCol), col("__w").as("weight"), col("n_picks"))
   }
+
+  /** [[systematicWeightedSample]] PER GROUP: k weight-proportional
+    * picks within every `groupCol` value independently — the
+    * stratified mixture draw ("k token-weighted picks per source")
+    * that builds a balanced subcorpus in one pass, where the global
+    * sampler would let a giant source swallow every slot. Same exact
+    * integer arithmetic, same Σ n_picks = k invariant, now per group.
+    *
+    * Scale shape: the prefix sum runs per (group, hash-bucket) — the
+    * bucket-offset window partitions by GROUP (≤ buckets rows each,
+    * never corpus-sized), in-bucket windows partition by (group,
+    * bucket), and per-group totals are an S-row aggregate joined
+    * back. The offsets frame is S × buckets rows — joined on (group,
+    * bucket) without a broadcast hint so AQE can pick sides at real
+    * scale. */
+  def systematicWeightedSamplePerGroup(df: DataFrame, k: Int,
+      weight: Column, groupCol: String, idCol: String = "doc_id",
+      bucketSpan: Long = 1L << 22): DataFrame = {
+    require(k > 0 && bucketSpan > 0)
+    val base = df.select(
+      col(groupCol),
+      col(idCol),
+      coalesce(assert_true(weight.cast("long") >= 0,
+          lit(s"systematicWeightedSamplePerGroup: negative weight")).cast("long"),
+        weight.cast("long")).as("__w"),
+      hashBucketN(col(idCol), 1L << 32).as("hv"))
+    val bucketed = base.withColumn("__bucket", expr(s"hv div $bucketSpan"))
+    val bucketTotals = bucketed.groupBy(groupCol, "__bucket")
+      .agg(sum(col("__w")).as("__btotal"))
+    val overBuckets = Window.partitionBy(groupCol).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("__boff",
+        coalesce(sum(col("__btotal")).over(overBuckets), lit(0L)))
+      .select(col(groupCol), col("__bucket"), col("__boff"))
+    val inBucket = Window.partitionBy(groupCol, "__bucket").orderBy("hv", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = bucketed.join(offsets, Seq(groupCol, "__bucket"))
+      .withColumn("__cum",
+        col("__boff") + coalesce(sum(col("__w")).over(inBucket), lit(0L)))
+    val totals = base.groupBy(groupCol).agg(sum(col("__w")).as("__total"))
+    val dec = "decimal(38,0)"
+    val withT = placed.join(broadcast(totals), Seq(groupCol))
+      .withColumn("__a",
+        (lit(2L * k).cast(dec) * col("__cum").cast(dec)))
+      .withColumn("__b",
+        (lit(2L * k).cast(dec) * (col("__cum") + col("__w")).cast(dec)))
+      .withColumn("__t", col("__total").cast(dec))
+    val counted = withT
+      .withColumn("__lo", expr("(__a + __t - 1) div __t"))
+      .withColumn("__hi", expr("(__b + __t - 1) div __t") - 1)
+      .withColumn("n_picks",
+        when(col("__total") === 0 || col("__hi") < col("__lo"), lit(0L))
+          .otherwise(expr("(__hi + 1) div 2") - expr("__lo div 2")))
+    counted.filter(col("n_picks") > 0)
+      .select(col(groupCol), col(idCol), col("__w").as("weight"),
+        col("n_picks"))
+  }
 }

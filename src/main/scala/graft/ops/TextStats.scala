@@ -351,4 +351,51 @@ object TextStats {
         (col("vocab_a") + col("vocab_b") - col("shared_vocab")).cast(DoubleType))
   }
 
+  /** Truncate every document at the corpus's EXACT length percentile:
+    * cap = the ⌈n·pctNum∕pctDen⌉-th smallest token count, docs longer
+    * than the cap keep their first `cap` tokens — the Gopher-style
+    * outlier-length rule ("cut the 1% of pathological megabyte docs")
+    * with an exact, replayable cap instead of an approx-percentile
+    * guess that shifts between runs. Output: (id, n_tok, kept_tokens,
+    * truncated, trunc_text), trunc_text re-joined single-spaced on
+    * BOTH engine and oracle sides so the comparison is well-defined.
+    *
+    * Scale shape: the cap comes from [[Ranks.exactGroupRank]]'s radix
+    * order statistics (every window partition ≤ 4096 rows — never the
+    * `row_number() OVER (ORDER BY len)` corpus-in-one-task killer),
+    * filtered to one row and broadcast; the truncation itself is a
+    * map-only slice. The rank's [0, 1] value is n∕(n+1) — strictly
+    * monotone in n and collision-free in double for any real document
+    * length (adjacent gap 1∕(n(n+1)) stays above ulp ≈ 2.2e-16 up to
+    * n ≈ 2e7 tokens ≈ an 80 MB document). The asc-rank target is read
+    * from the DESC radix rank as n − target + 1: tie ORDER may differ
+    * between the two spellings but the VALUE at a sorted position is
+    * order-unique, and only the value leaves the frame. */
+  def truncateAtLengthPercentile(docs: DataFrame,
+      pctNum: Long = 99L, pctDen: Long = 100L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(pctNum > 0 && pctDen > 0 && pctNum <= pctDen)
+    val counted = docs.select(col(idCol), col(textCol),
+      tokenCount(col(textCol)).as("n_tok"))
+    val v = col("n_tok").cast(DoubleType) /
+      (col("n_tok").cast(DoubleType) + lit(1.0))
+    val ranked = Ranks.exactGroupRank(
+      counted.withColumn("__g", lit(1)).withColumn("__v0", v),
+      "__g", idCol, col("__v0"))
+      .select(col(idCol), col("rnk"))
+    val n = counted.agg(count(lit(1)).as("__n"))
+    val capFrame = ranked.crossJoin(broadcast(n))
+      .filter(col("rnk") ===
+        expr(s"__n - (($pctNum * __n + $pctDen - 1) div $pctDen) + 1"))
+      .join(counted.select(col(idCol), col("n_tok").as("cap_tok")), idCol)
+      .select("cap_tok")
+    counted.crossJoin(broadcast(capFrame))
+      .select(
+        col(idCol),
+        col("n_tok"),
+        least(col("n_tok"), col("cap_tok")).as("kept_tokens"),
+        (col("n_tok") > col("cap_tok")).as("truncated"),
+        concat_ws(" ", slice(tokens(col(textCol)), lit(1),
+          least(col("n_tok"), col("cap_tok")).cast("int"))).as("trunc_text"))
+  }
 }

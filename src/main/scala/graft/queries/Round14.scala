@@ -289,11 +289,90 @@ object Round14 {
       |WHERE CAST(n_rows AS HUGEINT) * nkeys * 10 > 12 * total
       |ORDER BY n_rows DESC, user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  /** Per-group weighted systematic sample ([[graft.ops.Splits
+    * .systematicWeightedSamplePerGroup]]): k = 5 token-proportional
+    * picks within EVERY source independently — the stratified mixture
+    * draw that builds a balanced subcorpus in one pass, where the
+    * global q131 sampler would let a giant source swallow every slot.
+    * Same exact integer arithmetic, Σ n_picks = k per source. Oracle:
+    * the q131 replay with PARTITION BY source windows and per-source
+    * totals. */
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    Splits.systematicWeightedSamplePerGroup(Tables.documents(s, dir),
+        k = 5, weight = TextStats.tokenCount(col("text")),
+        groupCol = "source")
+      .orderBy("source", "doc_id")
+
+  private val q137Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS w,
+      |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      |         % 4294967296 AS BIGINT) AS hv
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT doc_id, source, w,
+      |    COALESCE(SUM(w) OVER (PARTITION BY source ORDER BY hv, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM h
+      |),
+      |t AS (SELECT source, CAST(SUM(w) AS HUGEINT) AS tw FROM h GROUP BY source),
+      |p AS (
+      |  SELECT c.source, c.doc_id, c.w,
+      |    (CAST(10 AS HUGEINT) * cum + tw - 1) // tw AS lo,
+      |    (CAST(10 AS HUGEINT) * (cum + w) + tw - 1) // tw - 1 AS hi
+      |  FROM c JOIN t USING (source)
+      |)
+      |SELECT source, doc_id, w AS weight,
+      |  CAST((hi + 1) // 2 - lo // 2 AS BIGINT) AS n_picks
+      |FROM p
+      |WHERE hi >= lo AND (hi + 1) // 2 - lo // 2 > 0
+      |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q138
+  /** Exact-percentile length truncation ([[graft.ops.TextStats
+    * .truncateAtLengthPercentile]]): cap every document at the
+    * corpus's exact P99 token count — the Gopher-style outlier-length
+    * rule with a replayable cap (the radix-ranked order statistic)
+    * instead of an approx-percentile guess. Oracle: a row_number
+    * window picks the ⌈0.99·n⌉-th smallest count (value-identical to
+    * the engine's desc radix rank at the mirrored position), then the
+    * same slice + single-space reassembly. */
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    TextStats.truncateAtLengthPercentile(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val q138Sql =
+    """WITH c AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+      |r AS (
+      |  SELECT n_tok, row_number() OVER (ORDER BY n_tok, doc_id) AS rn FROM c
+      |),
+      |cap AS (
+      |  SELECT r.n_tok AS cap_tok FROM r, n
+      |  WHERE rn = (99 * n.n + 99) // 100
+      |)
+      |SELECT c.doc_id, c.n_tok,
+      |  LEAST(c.n_tok, cap_tok) AS kept_tokens,
+      |  c.n_tok > cap_tok AS truncated,
+      |  array_to_string(t[1:CAST(LEAST(c.n_tok, cap_tok) AS INT)], ' ')
+      |    AS trunc_text
+      |FROM c, cap
+      |ORDER BY c.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q131_systematic_sample", q131, Some(q131Sql)),
     QueryDef("q132_normalized_dedup", q132, Some(q132Sql)),
     QueryDef("q133_funnel_lineage", q133, Some(q133Sql)),
     QueryDef("q134_subword_fertility", q134, Some(q134Sql)),
     QueryDef("q135_quant_recall", q135, Some(q135Sql)),
-    QueryDef("q136_skew_keys", q136, Some(q136Sql)))
+    QueryDef("q136_skew_keys", q136, Some(q136Sql)),
+    QueryDef("q137_group_systematic_sample", q137, Some(q137Sql)),
+    QueryDef("q138_length_truncation", q138, Some(q138Sql)))
 }

@@ -128,6 +128,47 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(graft.ops.SkewJoin.skewKeyAudit(df, "k").count() === 0L)
   }
 
+  // ------------------------- per-group systematic sample (q137)
+  test("systematicWeightedSamplePerGroup: k picks per group, independent lines") {
+    val docs = Seq(
+      (1L, 10L, "A"), (2L, 90L, "A"),            // A: heavy doc 2
+      (10L, 5L, "B"), (11L, 5L, "B"), (12L, 5L, "B") // B: uniform
+    ).toDF("doc_id", "w", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Splits.systematicWeightedSamplePerGroup(
+          df, k = 3, weight = col("w"), groupCol = "source")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+    val rows = run(docs)
+    // Σ n_picks = k within EVERY group
+    assert(rows.filter(_._1 == "A").map(_._3).sum === 3L)
+    assert(rows.filter(_._1 == "B").map(_._3).sum === 3L)
+    // A's 90% doc takes ≥ 2 of A's 3 slots; B uniform → one pick each
+    assert(rows.find(t => t._1 == "A" && t._2 == 2L).get._3 >= 2L)
+    assert(rows.filter(_._1 == "B").map(_._3).toSet === Set(1L))
+    assert(run(docs.repartition(5)) === rows)
+  }
+
+  // ------------------------------- length truncation (q138)
+  test("truncateAtLengthPercentile: exact cap, slice content, flags") {
+    val docs = (1L to 10L).map(i =>
+      (i, (1L to i).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    // lengths 1..10, pct 80/100 → cap = 8th smallest = 8 tokens
+    val out = graft.ops.TextStats.truncateAtLengthPercentile(
+        docs, pctNum = 80L, pctDen = 100L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4)))
+    assert(out.map(_._2) === (1L to 10L).toArray)
+    assert(out.map(_._3) === Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 8L, 8L))
+    assert(out.map(_._4) === Array(false, false, false, false, false,
+      false, false, false, true, true))
+    // truncated docs keep exactly their first cap tokens
+    assert(out(9)._5 === (1L to 8L).map(j => s"w$j").mkString(" "))
+    // untruncated docs round-trip their single-spaced text
+    assert(out(4)._5 === (1L to 5L).map(j => s"w$j").mkString(" "))
+  }
+
   // ------------------------------------- quantized knn (q69/q135)
   test("quantizedKnn: rank 1 is the query vector itself") {
     val emb = Seq(
