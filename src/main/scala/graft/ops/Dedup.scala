@@ -969,6 +969,49 @@ object Dedup {
       .drop("cluster", "__n_copies", "__exact_n")
   }
 
+  /** Dedup PROVENANCE map: one row per DROPPED document naming the
+    * survivor it was collapsed into and how — the `(dropped_id,
+    * kept_id, jaccard_dist, via)` table an incident review joins
+    * against when a shipped corpus is questioned ("where did doc X
+    * go, and on what evidence?"). `via` ∈ {`exact`: byte-identical
+    * twin of the min-id rep (dist 0.0); `direct`: a verified MinHash
+    * pair connects the loser straight to its cluster survivor, dist =
+    * that pair's exact Jaccard; `transitive`: connected only through
+    * a chain — dist NULL, because no single pairwise measurement
+    * backs the collapse (precisely the cases a human reviews first)}.
+    *
+    * Scale shape: the exact layer is one fingerprint-led window; the
+    * near-dup layer reuses the banded funnel + CC; the dist
+    * attachment is a left join of the (small) loser set against the
+    * verified-pair frame on (cluster, loser) — survivors are
+    * component-min ids, so the canonical (doc_a < doc_b) pair
+    * orientation always has the survivor on the a-side. */
+  def dupProvenance(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleSize: Int = 3,
+      maxJaccardDist: Double = 0.3): DataFrame = {
+    ensureCheckpointDir(docs.sparkSession.sparkContext)
+    val wRep = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+    val withRep = docs.select(col(idCol),
+      min(col(idCol)).over(wRep).as("__rep"))
+    val exactRows = withRep.filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol).as("dropped_id"), col("__rep").as("kept_id"),
+        lit(0.0).as("jaccard_dist"), lit("exact").as("via"))
+    val exact = dropExact(docs, textCol, idCol).cache()
+    val pairs = minhashPairs(exact, idCol, textCol,
+      shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+    val nearRows = losers
+      .join(pairs,
+        pairs("doc_a") === losers("cluster") && pairs("doc_b") === losers("id"),
+        "left")
+      .select(col("id").as("dropped_id"), col("cluster").as("kept_id"),
+        col("jaccard_dist"),
+        when(col("jaccard_dist").isNull, lit("transitive"))
+          .otherwise(lit("direct")).as("via"))
+    exactRows.unionByName(nearRows)
+  }
+
   /** Split-leakage REPAIR — the fix q111's audit motivates: near-dup
     * clusters that span train/val/test are moved ENTIRELY to train,
     * so no eval document has a near-duplicate in training data.

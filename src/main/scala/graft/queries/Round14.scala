@@ -366,6 +366,122 @@ object Round14 {
       |FROM c, cap
       |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** Interleaved VISION-LANGUAGE sequence packing: each document
+    * carries a stub image asset ([[graft.ops.Multimodal
+    * .packAsAssets]] — typed width∕height metadata), its sequence
+    * cost is text tokens + ViT-style patch count
+    * (⌈w∕16⌉·⌈h∕16⌉ — the image's share of the context window), and
+    * the combined stream packs through the q82 two-phase prefix sum.
+    * This is the packing arithmetic every multimodal training loader
+    * runs: images consume context budget as patches, so text-only
+    * counts under-fill or overflow sequences. The asset join models
+    * the real shape (metadata lives in a separate asset store).
+    * Oracle: the stub metadata formulas + the q82 LATERAL cut at
+    * budget 512. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val assets = graft.ops.Multimodal.packAsAssets(docs)
+      .select(col("asset_id").as("doc_id"), col("width"), col("height"))
+    val joined = docs.join(assets, "doc_id")
+    val patches =
+      expr("((width + 15) div 16) * ((height + 15) div 16)").cast("long")
+    graft.ops.Packing.packSequences(joined, budget = 512L,
+        countExpr = Some(TextStats.tokenCount(col("text")) + patches))
+      .orderBy("seq_id", "doc_id")
+  }
+
+  private val q139Sql =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) % 640 + 32 AS BIGINT) AS w,
+      |    CAST(length(text) % 480 + 32 AS BIGINT) AS h,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ntext
+      |  FROM documents
+      |),
+      |counted AS (
+      |  SELECT doc_id,
+      |    ntext + ((w + 15) // 16) * ((h + 15) // 16) AS n_tok
+      |  FROM meta
+      |),
+      |placed AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM counted
+      |)
+      |SELECT s.seq_id, doc_id,
+      |  GREATEST(start, s.seq_id * 512) - start AS doc_off,
+      |  GREATEST(start, s.seq_id * 512) - s.seq_id * 512 AS seq_off,
+      |  LEAST(start + n_tok, (s.seq_id + 1) * 512)
+      |    - GREATEST(start, s.seq_id * 512) AS len
+      |FROM placed, LATERAL (
+      |  SELECT unnest(range(start // 512, (start + n_tok - 1) // 512 + 1)) AS seq_id) s
+      |WHERE n_tok > 0
+      |ORDER BY seq_id, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q140
+  /** Dedup PROVENANCE map ([[graft.ops.Dedup.dupProvenance]]): every
+    * dropped document names its survivor and the evidence — exact
+    * twin (dist 0), a directly verified MinHash pair (its exact
+    * Jaccard), or transitive chain membership (dist NULL — the cases
+    * a human reviews first). The audit table that makes "where did
+    * doc X go?" a lookup. Oracle: the q119 exact∕pairs∕CC replay
+    * keeping the pair DISTANCE, left-joined on the (survivor, loser)
+    * canonical orientation. */
+  private def q140(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupProvenance(Tables.documents(s, dir), maxJaccardDist = 0.4)
+      .orderBy("dropped_id")
+
+  private val q140Sql =
+    """WITH RECURSIVE
+      |exact0 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+      |rep AS (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep
+      |  FROM documents
+      |),
+      |kept_exact AS (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN exact0 e USING (doc_id)
+      |),
+      |toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM kept_exact
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(len(t) - 2),
+      |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+      |  FROM toks WHERE len(t) >= 3
+      |),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, jd FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |        / (CAST(len(a.g) + len(b.g) AS DOUBLE)
+      |           - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) AS jd
+      |    FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+      |  WHERE jd <= 0.4
+      |),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach AS (
+      |  SELECT DISTINCT s AS id, s AS lab FROM edges
+      |  UNION
+      |  SELECT e.d AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+      |),
+      |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+      |losers AS (SELECT id, cluster FROM comp WHERE id <> cluster)
+      |SELECT doc_id AS dropped_id, rep AS kept_id,
+      |  CAST(0.0 AS DOUBLE) AS jaccard_dist, 'exact' AS via
+      |FROM rep WHERE doc_id <> rep
+      |UNION ALL
+      |SELECT l.id, l.cluster, p.jd,
+      |  CASE WHEN p.jd IS NULL THEN 'transitive' ELSE 'direct' END
+      |FROM losers l
+      |LEFT JOIN pairs p ON p.doc_a = l.cluster AND p.doc_b = l.id
+      |ORDER BY dropped_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q131_systematic_sample", q131, Some(q131Sql)),
     QueryDef("q132_normalized_dedup", q132, Some(q132Sql)),
@@ -374,5 +490,7 @@ object Round14 {
     QueryDef("q135_quant_recall", q135, Some(q135Sql)),
     QueryDef("q136_skew_keys", q136, Some(q136Sql)),
     QueryDef("q137_group_systematic_sample", q137, Some(q137Sql)),
-    QueryDef("q138_length_truncation", q138, Some(q138Sql)))
+    QueryDef("q138_length_truncation", q138, Some(q138Sql)),
+    QueryDef("q139_multimodal_packing", q139, Some(q139Sql)),
+    QueryDef("q140_dedup_provenance", q140, Some(q140Sql)))
 }

@@ -169,6 +169,30 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out(4)._5 === (1L to 5L).map(j => s"w$j").mkString(" "))
   }
 
+  // ------------------------------------- dedup provenance (q140)
+  test("dupProvenance: exact, direct and transitive evidence kinds") {
+    // 30-token docs; 2 differs from 1 in the LAST token (dist 2/29),
+    // 3 differs from 2 in the FIRST token (dist 2/29 vs 2), but 3 vs 1
+    // differs in both ends (dist 4/30 > threshold 0.1) — so cluster
+    // {1,2,3} has a verified pair (1,2) but only a CHAIN to 3.
+    val w = (1 to 30).map(i => s"w$i")
+    val d1 = w.mkString(" ")
+    val d2 = (w.dropRight(1) :+ "x30").mkString(" ")
+    val d3 = ("y1" +: w.drop(1).dropRight(1) :+ "x30").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d1))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupProvenance(docs, maxJaccardDist = 0.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2, t._4)) ===
+      Array((2L, 1L, "direct"), (3L, 1L, "transitive"), (4L, 1L, "exact")))
+    assert(out(0)._3 === Some(1.0 - 27.0 / 29.0)) // the verified pair's dist
+    assert(out(1)._3 === None)                    // no pairwise evidence
+    assert(out(2)._3 === Some(0.0))               // byte-identical twin
+  }
+
   // ------------------------------------- quantized knn (q69/q135)
   test("quantizedKnn: rank 1 is the query vector itself") {
     val emb = Seq(
