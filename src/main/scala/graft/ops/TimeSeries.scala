@@ -67,4 +67,57 @@ object TimeSeries {
         coalesce(col("n_active"), lit(0L)).as("n_events"),
         last(col("v"), ignoreNulls = true).over(w).as("last_value_sum"))
   }
+
+  /** Ordered FUNNEL conversion: per user, greedy first-occurrence
+    * chain matching over `stages` — a user reaches stage i+1 only
+    * with an event of that type STRICTLY AFTER their stage-i match
+    * time (the product-analytics funnel; an unordered "did all of
+    * view∕click∕purchase" count silently overstates conversion).
+    * Returns (stage, n_users), stages labeled `1_view`, `2_click`, …
+    * so the output orders itself.
+    *
+    * Scale shape: one filtered min-aggregate per stage, each joined
+    * forward on the user key — every shuffle is on the SAME key, so
+    * consecutive stages are co-partitioned; no per-user event sort,
+    * no corpus-sized window. Stage count is the (small) driver-side
+    * fold bound. */
+  def funnelCounts(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty)
+    val reached = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, i)) =>
+        val base = events.filter(col(typeCol) === stage)
+        val gated = prev match {
+          case None => base
+          case Some(p) =>
+            base.join(p.select(col(userCol), col("__t")
+                .as("__tprev")), userCol)
+              .filter(col(tsCol) > col("__tprev"))
+        }
+        Some(gated.groupBy(userCol).agg(min(col(tsCol)).as("__t")))
+    }.flatten
+    reached.zip(stages).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$name").as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** COHORT retention: users grouped by first-activity week (Monday-
+    * truncated), distinct actives per (cohort_week, week_offset) —
+    * the standard retention triangle. One min-aggregate for cohorts,
+    * a distinct (user, week) projection, exact integer day arithmetic
+    * for the offset. */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val cohorts = events.groupBy(userCol)
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).cast("date").as("week"))
+      .distinct()
+    active.join(cohorts, userCol)
+      .withColumn("week_offset", expr("datediff(week, cohort_week) div 7"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

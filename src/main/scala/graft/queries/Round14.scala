@@ -482,6 +482,136 @@ object Round14 {
       |LEFT JOIN pairs p ON p.doc_a = l.cluster AND p.doc_b = l.id
       |ORDER BY dropped_id""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Contamination mapped through packing to TRAINING SEQUENCES:
+    * which packed sequences contain a benchmark-contaminated document
+    * — the loader-side verdict ("drop the tainted sequences") that
+    * doc-level q89 can't give once documents are cut across sequence
+    * boundaries. Composes the q89 span-contamination verdict with the
+    * q82 span map (budget 256) and one seq-keyed rollup. Oracle: the
+    * q89 matched-gram CTEs + the q82 LATERAL cut + a left-join count.
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    val contaminated = Dedup.spanContaminationScores(corpus, ref,
+        shingleSize = 13)
+      .select(col("doc_id"), lit(true).as("__c"))
+    graft.ops.Packing.packSequences(corpus, budget = 256L)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__c"), 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("tainted", col("n_contaminated") > 0)
+      .orderBy("seq_id")
+  }
+
+  private val q141Sql =
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |ct AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM corpus),
+      |rt AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM ref),
+      |cg AS (
+      |  SELECT ct.doc_id, i AS pos, array_to_string(t[i+1:i+13], ' ') AS g
+      |  FROM ct, UNNEST(range(greatest(len(t) - 12, 0))) AS u(i)
+      |),
+      |rg AS (
+      |  SELECT DISTINCT array_to_string(t[i+1:i+13], ' ') AS g
+      |  FROM rt, UNNEST(range(greatest(len(t) - 12, 0))) AS u(i)
+      |),
+      |cdocs AS (SELECT DISTINCT cg.doc_id FROM cg JOIN rg USING (g)),
+      |counted AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
+      |  FROM corpus
+      |),
+      |placed AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+      |  FROM counted
+      |),
+      |spans AS (
+      |  SELECT s.seq_id, doc_id
+      |  FROM placed, LATERAL (
+      |    SELECT unnest(range(start // 256, (start + n_tok - 1) // 256 + 1)) AS seq_id) s
+      |  WHERE n_tok > 0
+      |)
+      |SELECT seq_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) > 0 AS tainted
+      |FROM spans LEFT JOIN cdocs c ON c.doc_id = spans.doc_id
+      |GROUP BY seq_id
+      |ORDER BY seq_id""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** Ordered FUNNEL conversion over the event stream: users who
+    * viewed, then clicked after their first view, then purchased
+    * after that click — greedy first-occurrence chain matching, the
+    * classic product-analytics funnel the relational battery lacked.
+    * Each stage is one filtered min-aggregate joined forward on
+    * `user_id` (three shuffles on the same key — co-partitioned), no
+    * per-user event-sequence sort anywhere. Oracle: the same three
+    * chained min-filters. */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.funnelCounts(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))
+      .orderBy("stage")
+
+  private val q142Sql =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN t1 ON t1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+      |  GROUP BY e.user_id
+      |),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN t2 ON t2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM t1
+      |UNION ALL
+      |SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM t2
+      |UNION ALL
+      |SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  /** COHORT retention over the event stream: users grouped by their
+    * first-activity week, distinct actives per (cohort, week offset)
+    * — the other classic product-analytics table. Cohorts are one
+    * min-aggregate; activity is a distinct projection; the offset is
+    * exact integer day arithmetic (`datediff div 7` on Monday-
+    * truncated weeks — ISO in both dialects). */
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.cohortRetention(Tables.events(s, dir))
+      .orderBy("cohort_week", "week_offset")
+
+  private val q143Sql =
+    """WITH cohorts AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id
+      |),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events
+      |)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', c.cohort_week, a.week) // 7 AS BIGINT) AS week_offset,
+      |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM active a JOIN cohorts c ON c.user_id = a.user_id
+      |GROUP BY c.cohort_week, date_diff('day', c.cohort_week, a.week) // 7
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q131_systematic_sample", q131, Some(q131Sql)),
     QueryDef("q132_normalized_dedup", q132, Some(q132Sql)),
@@ -492,5 +622,8 @@ object Round14 {
     QueryDef("q137_group_systematic_sample", q137, Some(q137Sql)),
     QueryDef("q138_length_truncation", q138, Some(q138Sql)),
     QueryDef("q139_multimodal_packing", q139, Some(q139Sql)),
-    QueryDef("q140_dedup_provenance", q140, Some(q140Sql)))
+    QueryDef("q140_dedup_provenance", q140, Some(q140Sql)),
+    QueryDef("q141_tainted_sequences", q141, Some(q141Sql)),
+    QueryDef("q142_event_funnel", q142, Some(q142Sql)),
+    QueryDef("q143_cohort_retention", q143, Some(q143Sql)))
 }

@@ -193,6 +193,42 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(out(2)._3 === Some(0.0))               // byte-identical twin
   }
 
+  // ------------------------------------- event funnel (q142)
+  test("funnelCounts: strict first-occurrence ORDER, not mere membership") {
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)), // full chain
+      (2L, "click", t(1)), (2L, "view", t(2)), (2L, "purchase", t(3)), // click BEFORE view
+      (3L, "view", t(1)), (3L, "purchase", t(2)), (3L, "click", t(3)), // purchase before click
+      (4L, "click", t(1))                                              // never viewed
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.ops.TimeSeries.funnelCounts(
+        ev, Seq("view", "click", "purchase"))
+      .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1)))
+    // u2's click precedes their first view — an unordered count would
+    // say 2 clicks and 2 purchases; the ordered chain says 2 and 1
+    assert(out === Array(("1_view", 3L), ("2_click", 2L), ("3_purchase", 1L)))
+  }
+
+  test("cohortRetention: first-week cohorts with exact week offsets") {
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday; day d (0-based) at noon
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    val ev = Seq(
+      (1L, t(0)), (1L, t(8)),   // cohort wk0, active wk0 and wk1
+      (2L, t(1)),               // cohort wk0, active wk0 only
+      (3L, t(8)), (3L, t(9))    // cohort wk1, active wk1 (two events, one week)
+    ).toDF("user_id", "ts")
+    val out = graft.ops.TimeSeries.cohortRetention(ev)
+      .orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out === Array(
+      ("2024-01-01", 0L, 2L),
+      ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
   // ------------------------------------- quantized knn (q69/q135)
   test("quantizedKnn: rank 1 is the query vector itself") {
     val emb = Seq(
