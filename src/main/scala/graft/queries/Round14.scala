@@ -101,9 +101,10 @@ object Round14 {
     Lineage.funnelLineage(Tables.documents(s, dir), capK = 20)
       .orderBy("doc_id")
 
-  private val q133Sql =
-    s"""WITH RECURSIVE
-       |h AS (
+  /** Shared q133/q144 lineage CTE block, ending in a `stages`
+    * (doc_id, source, stage) frame. */
+  private val lineageCtes =
+    s"""h AS (
        |  SELECT doc_id, text, source,
        |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
        |         % 4294967296 AS BIGINT) AS hv
@@ -151,19 +152,26 @@ object Round14 {
        |  SELECT doc_id, ${Round13.scoreFold} AS score
        |  FROM kept_exact
        |  WHERE doc_id NOT IN (SELECT id FROM losers)
-       |)
-       |SELECT d.doc_id,
-       |  CASE WHEN a.doc_id IS NULL THEN 'capped'
-       |       WHEN ke.doc_id IS NULL THEN 'exact_dup'
-       |       WHEN l.id IS NOT NULL THEN 'near_dup'
-       |       WHEN s.score < 0 THEN 'low_quality'
-       |       ELSE 'kept' END AS stage
-       |FROM documents d
-       |LEFT JOIN adm a ON a.doc_id = d.doc_id
-       |LEFT JOIN kept_exact ke ON ke.doc_id = d.doc_id
-       |LEFT JOIN losers l ON l.id = d.doc_id
-       |LEFT JOIN sc s ON s.doc_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |),
+       |stages AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE WHEN a.doc_id IS NULL THEN 'capped'
+       |         WHEN ke.doc_id IS NULL THEN 'exact_dup'
+       |         WHEN l.id IS NOT NULL THEN 'near_dup'
+       |         WHEN s.score < 0 THEN 'low_quality'
+       |         ELSE 'kept' END AS stage
+       |  FROM documents d
+       |  LEFT JOIN adm a ON a.doc_id = d.doc_id
+       |  LEFT JOIN kept_exact ke ON ke.doc_id = d.doc_id
+       |  LEFT JOIN losers l ON l.id = d.doc_id
+       |  LEFT JOIN sc s ON s.doc_id = d.doc_id
+       |)""".stripMargin
+
+  private val q133Sql =
+    s"""WITH RECURSIVE
+       |$lineageCtes
+       |SELECT doc_id, stage FROM stages
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q134
   /** Tokenizer FERTILITY by language: subword pieces per whitespace
@@ -612,6 +620,99 @@ object Round14 {
       |GROUP BY c.cohort_week, date_diff('day', c.cohort_week, a.week) // 7
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  /** Per-source funnel REPORT ([[graft.ops.Lineage.funnelReport]]):
+    * the q133 lineage rolled up to (source, stage, n_docs) — the
+    * corpus-build summary table ("how much did each stage remove,
+    * per feed?") that closes funnelReport's spec-only gap with a
+    * battery row. Oracle: the shared lineage CTEs + one GROUP BY. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Lineage.funnelReport(docs, Lineage.funnelLineage(docs, capK = 20))
+      .orderBy("source", "stage")
+  }
+
+  private val q144Sql =
+    s"""WITH RECURSIVE
+       |$lineageCtes
+       |SELECT source, stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM stages
+       |GROUP BY source, stage
+       |ORDER BY source, stage""".stripMargin
+
+  // ---------------------------------------------------------------- q145
+  /** CURRICULUM packing: documents bucketed into quality terciles by
+    * the exact radix rank (phase 0 = cleanest third), each phase
+    * packed into its own sequence space — the curriculum-learning
+    * data order ("train on clean text first") expressed as a pure
+    * function of the corpus, with phase boundaries at exact order
+    * statistics instead of approximate score thresholds. Composes
+    * q109's rank machinery (no corpus-sized sort partition) with the
+    * q82 prefix-sum cut per phase. Oracle: the q17 quality fold, a
+    * global rank window, the q68-style bucket arithmetic, and a
+    * PARTITION BY phase prefix sum + LATERAL cut. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ranked = graft.ops.Ranks.exactGroupRank(
+      docs.withColumn("__g", lit(1)), "__g", "doc_id",
+      TextStats.qualityScore(col("text")))
+    val phased = graft.ops.Ranks.withQuantileBucket(ranked, "__g", 3)
+      .select(col("doc_id"), col("bucket").as("phase"))
+    val withPhase = docs.join(phased, "doc_id")
+    (0L until 3L).map { p =>
+      graft.ops.Packing.packSequences(
+          withPhase.filter(col("phase") === p), budget = 256L)
+        .withColumn("phase", lit(p))
+    }.reduce(_ unionByName _)
+      .select("phase", "seq_id", "doc_id", "doc_off", "seq_off", "len")
+      .orderBy("phase", "seq_id", "doc_id")
+  }
+
+  private val q145Sql = {
+    val stops = graft.ops.TextStats.miniStopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS tk
+       |  FROM documents
+       |),
+       |q AS (
+       |  SELECT doc_id,
+       |    (least(CAST(len(tk) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |     + least(CAST(len(list_filter(tk, x -> list_contains($stops, x))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) * 5.0, 1.0) * 0.3
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
+       |     + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1)
+       |    AS value
+       |  FROM t
+       |),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY value DESC, doc_id) AS BIGINT) AS rnk,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM q
+       |),
+       |phased AS (SELECT doc_id, (3 * (rnk - 1)) // n AS phase FROM r),
+       |counted AS (
+       |  SELECT p.phase, c.doc_id,
+       |    CAST(len(regexp_split_to_array(c.text, '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents c JOIN phased p ON p.doc_id = c.doc_id
+       |),
+       |placed AS (
+       |  SELECT phase, doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY phase ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM counted
+       |)
+       |SELECT phase, s.seq_id, doc_id,
+       |  GREATEST(start, s.seq_id * 256) - start AS doc_off,
+       |  GREATEST(start, s.seq_id * 256) - s.seq_id * 256 AS seq_off,
+       |  LEAST(start + n_tok, (s.seq_id + 1) * 256)
+       |    - GREATEST(start, s.seq_id * 256) AS len
+       |FROM placed, LATERAL (
+       |  SELECT unnest(range(start // 256, (start + n_tok - 1) // 256 + 1)) AS seq_id) s
+       |WHERE n_tok > 0
+       |ORDER BY phase, seq_id, doc_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q131_systematic_sample", q131, Some(q131Sql)),
     QueryDef("q132_normalized_dedup", q132, Some(q132Sql)),
@@ -625,5 +726,7 @@ object Round14 {
     QueryDef("q140_dedup_provenance", q140, Some(q140Sql)),
     QueryDef("q141_tainted_sequences", q141, Some(q141Sql)),
     QueryDef("q142_event_funnel", q142, Some(q142Sql)),
-    QueryDef("q143_cohort_retention", q143, Some(q143Sql)))
+    QueryDef("q143_cohort_retention", q143, Some(q143Sql)),
+    QueryDef("q144_funnel_report", q144, Some(q144Sql)),
+    QueryDef("q145_curriculum_packing", q145, Some(q145Sql)))
 }

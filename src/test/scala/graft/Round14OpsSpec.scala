@@ -229,6 +229,22 @@ class Round14OpsSpec extends AnyFunSuite {
       ("2024-01-08", 0L, 1L)))
   }
 
+  // ------------------------------------- curriculum packing (q145)
+  test("curriculum phases: terciles partition the corpus by exact quality rank") {
+    val docs = (1L to 9L).map(i =>
+      (i, (1L to (i * 5)).map(j => s"tok$j").mkString(" "))).toDF("doc_id", "text")
+    val ranked = graft.ops.Ranks.exactGroupRank(
+      docs.withColumn("__g", lit(1)), "__g", "doc_id",
+      graft.ops.TextStats.qualityScore(col("text")))
+    val phased = graft.ops.Ranks.withQuantileBucket(ranked, "__g", 3)
+      .select("doc_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 9 docs → exactly 3 per tercile, every doc in exactly one phase
+    assert(phased.length === 9)
+    assert(phased.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map(0L -> 3, 1L -> 3, 2L -> 3))
+  }
+
   // ------------------------------------- quantized knn (q69/q135)
   test("quantizedKnn: rank 1 is the query vector itself") {
     val emb = Seq(
