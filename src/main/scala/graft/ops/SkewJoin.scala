@@ -64,7 +64,14 @@ object SkewJoin {
   def skewKeyAudit(df: DataFrame, keyCol: String,
       factorNum: Long = 12L, factorDen: Long = 10L): DataFrame = {
     require(factorNum > 0 && factorDen > 0)
+    // localCheckpoint: the keys-sized count frame feeds BOTH the
+    // global rollup and the verdict pass, and Spark plans no exchange
+    // reuse across the two subtrees — uncheckpointed, the corpus
+    // aggregation would scan and shuffle the table twice (verified in
+    // the physical plan). Same materialization stance as
+    // spanContaminationScores' refGrams.
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(true)
     val totals = counts.agg(sum(col("n_rows")).as("__total"),
       count(lit(1)).as("__nkeys"))
     val dec = "decimal(38,0)"

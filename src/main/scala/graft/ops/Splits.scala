@@ -375,8 +375,13 @@ object Splits {
         weight.cast("long")).as("__w"),
       hashBucketN(col(idCol), 1L << 32).as("hv"))
     val bucketed = base.withColumn("__bucket", expr(s"hv div $bucketSpan"))
+    // localCheckpoint: the (≤ buckets)-row phase-1 frame feeds BOTH
+    // the offsets window and the grand total, and Spark plans no
+    // exchange reuse across the two subtrees — uncheckpointed, the
+    // corpus aggregation would run twice (verified in the plan)
     val bucketTotals = bucketed.groupBy("__bucket")
       .agg(sum(col("__w")).as("__btotal"))
+      .localCheckpoint(true)
     val overBuckets = Window.orderBy("__bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketTotals
@@ -388,7 +393,11 @@ object Splits {
     val placed = bucketed.join(broadcast(offsets), "__bucket")
       .withColumn("__cum",
         col("__boff") + coalesce(sum(col("__w")).over(inBucket), lit(0L)))
-    val total = base.agg(sum(col("__w")).as("__total"))
+    // total from the (≤ buckets)-row phase-1 frame, NOT a second
+    // corpus aggregate: Spark plans no exchange reuse across the
+    // self-referencing subtrees, so base.agg here would scan and
+    // shuffle the corpus twice (verified in the physical plan)
+    val total = bucketTotals.agg(sum(col("__btotal")).as("__total"))
     val dec = "decimal(38,0)"
     val withT = placed.crossJoin(broadcast(total))
       .withColumn("__a",
@@ -435,8 +444,11 @@ object Splits {
         weight.cast("long")).as("__w"),
       hashBucketN(col(idCol), 1L << 32).as("hv"))
     val bucketed = base.withColumn("__bucket", expr(s"hv div $bucketSpan"))
+    // localCheckpoint: shared by the offsets window and the per-group
+    // totals (see the ungrouped variant)
     val bucketTotals = bucketed.groupBy(groupCol, "__bucket")
       .agg(sum(col("__w")).as("__btotal"))
+      .localCheckpoint(true)
     val overBuckets = Window.partitionBy(groupCol).orderBy("__bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketTotals
@@ -448,7 +460,11 @@ object Splits {
     val placed = bucketed.join(offsets, Seq(groupCol, "__bucket"))
       .withColumn("__cum",
         col("__boff") + coalesce(sum(col("__w")).over(inBucket), lit(0L)))
-    val totals = base.groupBy(groupCol).agg(sum(col("__w")).as("__total"))
+    // per-group totals from the S × buckets phase-1 frame (see the
+    // ungrouped variant: a second corpus aggregate would not be
+    // exchange-reused)
+    val totals = bucketTotals.groupBy(groupCol)
+      .agg(sum(col("__btotal")).as("__total"))
     val dec = "decimal(38,0)"
     val withT = placed.join(broadcast(totals), Seq(groupCol))
       .withColumn("__a",
