@@ -837,7 +837,7 @@ object Dedup {
     * a temp dir is a correct default (one machine, one filesystem);
     * on a real cluster the dir must be SHARED storage (HDFS/object
     * store), which the engine cannot guess — warn loudly instead. */
-  private def ensureCheckpointDir(sc: org.apache.spark.SparkContext): Unit = {
+  private[ops] def ensureCheckpointDir(sc: org.apache.spark.SparkContext): Unit = {
     if (sc.getCheckpointDir.isEmpty) {
       if (sc.isLocal) {
         // note: setCheckpointDir is CONTEXT-global — this default only

@@ -183,4 +183,38 @@ object Multimodal {
       .withColumn("n_bytes", least(col("n_bytes"), lit(maxBytes.toLong)))
       .withColumn("width", least(col("width"), lit(maxBytes)))
       .withColumn("height", least(col("height"), lit(maxBytes)))
+
+  /** CROSS-SIGNAL dedup: near-dup edges from the TEXT funnel (banded
+    * MinHash) unioned with edges from the PERCEPTUAL-HASH banding,
+    * one connected-components pass over the merged graph, min-id
+    * survivors — the multimodal production rule "two pages are
+    * duplicates if their text OR their imagery matches", which
+    * single-signal dedup misses whenever one modality was re-encoded
+    * (paraphrased caption over the same image, same article with
+    * re-compressed figures).
+    *
+    * Scale shape: both edge generators are banded (never all-pairs —
+    * [[graft.ops.Dedup.minhashPairs]]'s skew-guarded bands;
+    * [[phashNearDupPairs]]'s pigeonhole bands), the union is
+    * edge-count-sized, and CC is the shared pointer-halving pass. The
+    * exact layer runs once, up front, exactly as in
+    * [[graft.ops.Dedup.deduplicate]]. */
+  def deduplicateCrossModal(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, maxJaccardDist: Double = 0.4,
+      maxHamming: Int = 1): DataFrame = {
+    Dedup.ensureCheckpointDir(docs.sparkSession.sparkContext)
+    val exact = Dedup.dropExact(docs, textCol, idCol).cache()
+    val textPairs = Dedup.minhashPairs(exact, idCol, textCol,
+        shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
+      .select(col("doc_a"), col("doc_b"))
+    val imagePairs = phashNearDupPairs(spark,
+        packAsAssets(exact, idCol, textCol), maxHamming = maxHamming)
+      .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+    val edges = textPairs.unionByName(imagePairs).distinct()
+    val losers = Dedup.connectedComponents(edges)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    exact.join(losers, exact(idCol) === col("__loser"), "left_anti")
+  }
 }

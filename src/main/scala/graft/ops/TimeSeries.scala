@@ -103,6 +103,29 @@ object TimeSeries {
     }.reduce(_ unionByName _)
   }
 
+  /** TOP event PATHS: the k most frequent 3-step event-type
+    * sequences across users (consecutive by timestamp, ties broken by
+    * `idCol` so the walk is total and replayable) — the path-analysis
+    * table behind "what do users do right before purchasing?". Two
+    * `lead`s over a per-user window (partitions bounded by per-user
+    * activity, never table-sized), one map-side-combinable count,
+    * top-k as orderBy().limit(k) bounded heaps with a full
+    * deterministic tiebreak. */
+  def topEventPaths(events: DataFrame, k: Int = 10,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events.select(col(userCol), col(typeCol).as("e1"), col(tsCol), col(idCol))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   /** COHORT retention: users grouped by first-activity week (Monday-
     * truncated), distinct actives per (cohort_week, week_offset) —
     * the standard retention triangle. One min-aggregate for cohorts,

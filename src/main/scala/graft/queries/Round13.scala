@@ -727,11 +727,15 @@ object Round13 {
         maxHamming = 1)
       .orderBy("asset_a", "asset_b")
 
-  private val q125Sql =
-    """WITH h AS (
+  /** The 64-bin byte-histogram phash + pairwise Hamming replay over
+    * `src` (doc_id, text), ending in `hp(asset_a, asset_b, hamming)`
+    * — q125's oracle body, parametrized so q146's cross-modal union
+    * can run it over the exact-survivor frame. */
+  private[queries] def phashPairCtes(src: String): String =
+    s"""h AS (
       |  SELECT doc_id AS asset_id, lower(to_hex(encode(text))) AS hx,
       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
-      |  FROM documents
+      |  FROM $src
       |),
       |counts AS (
       |  SELECT asset_id,
@@ -756,7 +760,10 @@ object Round13 {
       |    CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
       |  FROM bits x JOIN bits y ON x.bin = y.bin AND x.asset_id < y.asset_id
       |  GROUP BY 1, 2
-      |)
+      |)""".stripMargin
+
+  private val q125Sql =
+    s"""WITH ${phashPairCtes("documents")}
       |SELECT asset_a, asset_b, hamming FROM hp
       |WHERE hamming <= 1
       |ORDER BY asset_a, asset_b""".stripMargin

@@ -713,6 +713,87 @@ object Round14 {
        |ORDER BY phase, seq_id, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q146
+  /** CROSS-SIGNAL dedup ([[graft.ops.Multimodal
+    * .deduplicateCrossModal]]): text MinHash edges ∪ perceptual-hash
+    * edges, ONE connected-components pass over the merged graph —
+    * "duplicates if text OR imagery matches", which single-signal
+    * dedup misses when one modality was re-encoded. Oracle: the exact
+    * layer + true text pairs (≤ 0.4) + the q125 phash replay over the
+    * exact survivors, unioned into one recursive-CTE component
+    * search. */
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.deduplicateCrossModal(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private val q146Sql =
+    s"""WITH RECURSIVE
+       |exact0 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |kept_exact AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN exact0 e USING (doc_id)
+       |),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM kept_exact
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t) - 2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+       |  FROM toks WHERE len(t) >= 3
+       |),
+       |tpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+       |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / (CAST(len(a.g) + len(b.g) AS DOUBLE)
+       |         - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+       |),
+       |${Round13.phashPairCtes("kept_exact")},
+       |allp AS (
+       |  SELECT doc_a, doc_b FROM tpairs
+       |  UNION
+       |  SELECT asset_a, asset_b FROM hp WHERE hamming <= 1
+       |),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM allp
+       |  UNION ALL SELECT doc_b, doc_a FROM allp
+       |),
+       |reach AS (
+       |  SELECT DISTINCT s AS id, s AS lab FROM edges
+       |  UNION
+       |  SELECT e.d AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+       |),
+       |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+       |losers AS (SELECT id FROM comp WHERE id <> cluster)
+       |SELECT doc_id, lang FROM kept_exact
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q147
+  /** Top event PATHS ([[graft.ops.TimeSeries.topEventPaths]]): the 10
+    * most frequent consecutive 3-step event-type sequences — the
+    * path-analysis ("what precedes a purchase?") companion to q142's
+    * funnel. Deterministic tiebreaks end to end: the per-user walk
+    * orders by (ts, event_id), the top-k by (count desc, path).
+    * Oracle: two window leads + a count + LIMIT under the same total
+    * order. */
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.topEventPaths(Tables.events(s, dir), k = 10)
+
+  private val q147Sql =
+    """WITH s AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      |  FROM events
+      |)
+      |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+      |FROM s WHERE e3 IS NOT NULL
+      |GROUP BY e1, e2, e3
+      |ORDER BY n_paths DESC, e1, e2, e3
+      |LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q131_systematic_sample", q131, Some(q131Sql)),
     QueryDef("q132_normalized_dedup", q132, Some(q132Sql)),
@@ -728,5 +809,7 @@ object Round14 {
     QueryDef("q142_event_funnel", q142, Some(q142Sql)),
     QueryDef("q143_cohort_retention", q143, Some(q143Sql)),
     QueryDef("q144_funnel_report", q144, Some(q144Sql)),
-    QueryDef("q145_curriculum_packing", q145, Some(q145Sql)))
+    QueryDef("q145_curriculum_packing", q145, Some(q145Sql)),
+    QueryDef("q146_crossmodal_dedup", q146, Some(q146Sql)),
+    QueryDef("q147_event_paths", q147, Some(q147Sql)))
 }

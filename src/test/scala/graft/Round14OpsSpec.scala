@@ -245,6 +245,49 @@ class Round14OpsSpec extends AnyFunSuite {
       Map(0L -> 3, 1L -> 3, 2L -> 3))
   }
 
+  // ------------------------------------- cross-modal dedup (q146)
+  test("deduplicateCrossModal: text-only OR image-only match both collapse") {
+    // 1 and 2: heavy text overlap (near-dup by MinHash), different
+    // byte histograms are unlikely but irrelevant — the text edge
+    // connects them. 3 and 4: disjoint vocabularies (no text edge at
+    // 0.4) but IDENTICAL byte multisets (anagram payloads) → phash
+    // Hamming 0 connects them.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),
+      (3L, "abc def"),
+      (4L, "fed cba"), // same bytes as 3 reordered → identical histogram
+      (5L, "zz qq rr ss tt uu vv ww xx yy zz2 qq2 rr2 ss2")
+    ).toDF("doc_id", "text")
+    val kept = graft.ops.Multimodal.deduplicateCrossModal(spark, docs,
+        maxJaccardDist = 0.4, maxHamming = 0)
+      .select("doc_id").as[Long].collect().sorted
+    // {1,2} collapse via text, {3,4} via imagery, 5 survives alone
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L) && !kept.contains(4L))
+    assert(kept.contains(5L))
+  }
+
+  // ------------------------------------- event paths (q147)
+  test("topEventPaths: consecutive triples with deterministic tie order") {
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val ev = Seq(
+      (1L, 1L, "a", t(1)), (2L, 1L, "b", t(2)), (3L, 1L, "c", t(3)),
+      (4L, 1L, "d", t(4)), // user 1 paths: abc, bcd
+      (5L, 2L, "a", t(1)), (6L, 2L, "b", t(2)), (7L, 2L, "c", t(3)),
+      // same-ts tie for user 3: event_id breaks it → path xyz not xzy
+      (8L, 3L, "x", t(1)), (9L, 3L, "y", t(2)), (10L, 3L, "z", t(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.ops.TimeSeries.topEventPaths(ev, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // abc twice (users 1, 2); then bcd and xyz once, path-ordered
+    assert(out === Array(
+      ("a", "b", "c", 2L), ("b", "c", "d", 1L), ("x", "y", "z", 1L)))
+  }
+
   // ------------------------------------- quantized knn (q69/q135)
   test("quantizedKnn: rank 1 is the query vector itself") {
     val emb = Seq(
