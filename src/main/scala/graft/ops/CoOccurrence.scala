@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Co-occurrence mining, in two granularities a training/analytics
+  * pipeline both needs: SET co-occurrence (two items seen by the same
+  * user — the co-visitation matrix behind "users who viewed X also
+  * viewed Y" and behind building an item graph to feed
+  * [[PageRank]]), and ADJACENCY co-occurrence (two tokens next to
+  * each other more often than their frequencies predict — collocation
+  * / phrase mining, the corpus-statistics view of what a BPE trainer
+  * ends up merging). Both are exact integer computations end to end.
+  */
+object CoOccurrence {
+
+  /** Top-k co-visitation pairs: items co-occurring in the most
+    * distinct user sets. Returns (item_a, item_b, n_users) with
+    * item_a < item_b, ranked by (n_users desc, item_a, item_b) —
+    * a deterministic total order, so top-k is stable.
+    *
+    * Shape at scale: the distinct (user, item) projection is one
+    * map-side-combined aggregation; the pair join is user-keyed and
+    * co-partitioned (both sides ARE the same frame — one exchange,
+    * reused), producing Σ_u m_u² rows for per-user activity m_u. That
+    * quadratic is in USER ACTIVITY, not corpus size — bounded data
+    * (sessions) keeps it linear-ish; for power users/bots cap
+    * activity first ([[Splits.capPerGroup]] on the user key — the
+    * same guard the dedup funnel applies to hot band buckets). The
+    * final top-k is a TakeOrdered, never a full sort. */
+  def coVisitation(interactions: DataFrame, k: Int = 15,
+      userCol: String = "user_id", itemCol: String = "item"): DataFrame = {
+    require(k > 0)
+    val ui = interactions.select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .distinct()
+    val a = ui.alias("a"); val b = ui.alias("b")
+    a.join(b, col("a.__u") === col("b.__u") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** Top-k collocations: adjacent token pairs occurring at least
+    * `minCount` times, ranked by raw pair count, each carrying an
+    * exact integer LIFT in ppm — `n_pair · N · 1e6 ∕∕ (n_w1 · n_w2)`,
+    * the cross-multiplied "observed over expected-if-independent"
+    * ratio (1e6 ≈ independent; ≫ 1e6 ≈ a phrase). A log-PMI spelling
+    * would rank identically per count tier but cost ln() ulps and the
+    * oracle replay; the ppm integer is exact in both engines.
+    * Occurrence counts are over the RAW token stream (not distinct
+    * per doc) — collocation strength is a property of the stream.
+    *
+    * Shape at scale: pair extraction is a map-only transform+explode
+    * (no self-join on position), then one pair-keyed aggregation with
+    * map-side combine; unigram counts are a second aggregation and
+    * join back onto the (already much smaller, `minCount`-filtered)
+    * pair frame by each word — AQE broadcasts when the vocabulary
+    * fits. Products run in DECIMAL(38,0): `n_pair · N · 1e6` stays
+    * exact to N ≈ 10¹⁴ tokens against BIGINT's 9.2e18 ceiling on the
+    * middle term alone.
+    *
+    * Returns (w1, w2, n_pair, n_w1, n_w2, lift_ppm). */
+  def collocations(docs: DataFrame, k: Int = 20, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0 && minCount >= 1)
+    val toks = filter(split(col(textCol), "\\s+"), x => length(x) > lit(0))
+    val tokenStream = docs.select(toks.as("__t"))
+    val uni = tokenStream.select(explode(col("__t")).as("__w"))
+    val counts = uni.groupBy("__w").agg(count(lit(1)).as("__n"))
+    val total = uni.agg(count(lit(1)).cast(DecimalType(38, 0)).as("__nt"))
+    val pairs = tokenStream
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minCount)
+    pairs
+      .join(counts.select(col("__w").as("__wa"), col("__n").as("__na")),
+        col("w1") === col("__wa"))
+      .join(counts.select(col("__w").as("__wb"), col("__n").as("__nb")),
+        col("w2") === col("__wb"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        col("__np").as("n_pair"),
+        col("__na").as("n_w1"),
+        col("__nb").as("n_w2"),
+        // IntegralDivide (`div`) on DECIMAL(38,0) operands is an exact
+        // integer quotient — `.divide` would re-scale and could ROUND
+        // at precision 38, silently breaking oracle parity
+        expr("""CAST((CAST(__np AS DECIMAL(38,0)) * __nt * 1000000)
+                 div (CAST(__na AS DECIMAL(38,0)) * CAST(__nb AS DECIMAL(38,0)))
+               AS BIGINT)""").as("lift_ppm"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+}

@@ -676,6 +676,68 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** ASYMMETRIC containment pairs: (small, big) where
+    * `|grams(small) ∩ grams(big)| / |grams(small)| ≥ tauPct∕100` over
+    * distinct word n-gram sets — the quote-inside-article / excerpt
+    * detector. Symmetric Jaccard misses exactly these: a 50-token
+    * quote fully contained in a 5000-token article has Jaccard ≈ 0.01
+    * but containment 1.0, and excerpt-dup is how most press-release /
+    * syndication duplication appears in a crawl.
+    *
+    * Orientation is deterministic: "small" is the side with fewer
+    * distinct grams, ties toward the lower id. The verdict is an
+    * integer cross-multiply (`inter · 100 ≥ tauPct · n_small`) and
+    * the reported score an exact `inter · 1e6 ∕∕ n_small` ppm — no
+    * float division for an oracle to disagree with.
+    *
+    * Candidate generation is an inverted-index self-join on shared
+    * grams (recall 1 for any tauPct > 0: a qualifying pair shares
+    * ≥ ⌈τ·n_small⌉ ≥ 1 grams), with the pair count collapsed by a
+    * map-side-combined `count(*)` per (a, b) — the intersection size
+    * falls out of the join itself, so gram ARRAYS never travel through
+    * the shuffle (only 8-byte gram hashes do, the [[ngramJaccardPairs]]
+    * trick). Worst case is Σ_g df(g)² over hot grams — the same
+    * stop-shingle exposure [[minhashPairs]] caps with `maxBandBucket`;
+    * at flood risk run this AFTER [[normalizedExactDedup]] (collapsing
+    * the exact/near-exact mass that creates hot grams) or raise `n`
+    * (longer shingles have exponentially thinner document frequency).
+    * An LSH prefilter cannot replace it: banded MinHash bounds
+    * Jaccard, which is exactly the metric containment escapes.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, tauPct: Int = 80,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tauPct >= 1 && tauPct <= 100)
+    val grams = docs
+      .select(col(idCol).as("__id"),
+        TextStats.tokens(col(textCol)).as("toks"))
+      .select(col("__id"),
+        transform(wordNgrams(col("toks"), n), g => xxhash64(g)).as("__g"))
+      .filter(size(col("__g")) > 0)
+      .cache() // sizes join re-reads it after the pair-count collapse
+    val inv = grams.select(col("__id"), explode(col("__g")).as("__gram"))
+    val a = inv.alias("a"); val b = inv.alias("b")
+    val inter = a.join(b,
+        col("a.__gram") === col("b.__gram") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("ia"), col("b.__id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = grams.select(col("__id"), size(col("__g")).cast(LongType).as("__n"))
+    val sized = inter
+      .join(sizes.select(col("__id").as("ia2"), col("__n").as("na")), col("ia") === col("ia2"))
+      .join(sizes.select(col("__id").as("ib2"), col("__n").as("nb")), col("ib") === col("ib2"))
+    val aIsSmall = col("na") < col("nb") || (col("na") === col("nb") && col("ia") < col("ib"))
+    val out = sized.select(
+        when(aIsSmall, col("ia")).otherwise(col("ib")).as("doc_small"),
+        when(aIsSmall, col("ib")).otherwise(col("ia")).as("doc_big"),
+        when(aIsSmall, col("na")).otherwise(col("nb")).as("n_small"),
+        when(aIsSmall, col("nb")).otherwise(col("na")).as("n_big"),
+        col("inter"))
+      .filter(col("inter") * 100 >= lit(tauPct.toLong) * col("n_small"))
+      .withColumn("containment_ppm",
+        expr("(inter * 1000000L) div n_small"))
+    grams.unpersist()
+    out
+  }
+
   // ------------------------------------------- clusters and survivors
   /** Connected components over near-dup pair edges by min-label
     * propagation WITH pointer halving: each round every vertex takes

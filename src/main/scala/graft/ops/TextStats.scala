@@ -398,4 +398,44 @@ object TextStats {
         concat_ws(" ", slice(tokens(col(textCol)), lit(1),
           least(col("n_tok"), col("cap_tok")).cast("int"))).as("trunc_text"))
   }
+
+  /** N-gram NOVELTY vs a reference corpus: for each scored doc, the
+    * exact fraction (ppm) of its DISTINCT word n-grams that appear
+    * nowhere in `ref` — the "is this new text or a remix of what we
+    * already have" curation signal. Low novelty flags paraphrased
+    * boilerplate and templated spam that exact/MinHash dedup passes
+    * (no single reference doc is similar, but every phrase is known);
+    * high novelty up-weights genuinely fresh sources in a mixture.
+    * The complement of [[unigramFamiliarity]] at phrase granularity —
+    * and order-sensitive where a unigram measure is not.
+    *
+    * Exactness: counts of distinct grams are integers; the score is
+    * `n_novel · 1e6 ∕∕ n_grams` (floor), so the oracle replays it
+    * bit-for-bit. Docs with fewer than `n` tokens have no grams and
+    * are excluded (a 0∕0 score is meaningless).
+    *
+    * Scale shape: the reference gram set is a distinct aggregation
+    * (map-side combined), the membership probe a left join on the
+    * 8-byte gram hash — Σ(doc grams) join rows, output-bound, never
+    * |docs|·|ref|. AQE broadcasts the reference side when it fits
+    * (a curated reference usually does); otherwise it is a plain
+    * co-partitioned hash join both sides of which are hash keys only
+    * — gram STRINGS never shuffle ([[Dedup.ngramJaccardPairs]]'s
+    * hash-the-set trick, same ~1e-10 corpus-wide collision odds).
+    */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame, n: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def gramHashes(df: DataFrame, cols: Column*) = df
+      .select(cols :+ Dedup.wordNgrams(tokens(col(textCol)), n).as("__gs"): _*)
+      .filter(size(col("__gs")) > 0)
+      .select(cols :+ explode(col("__gs")).as("__gstr"): _*)
+      .select(cols :+ xxhash64(col("__gstr")).as("__gram"): _*)
+    val refGrams = gramHashes(ref).distinct()
+    gramHashes(docs, col(idCol))
+      .join(refGrams.withColumn("__hit", lit(1)), Seq("__gram"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000L) div n_grams"))
+  }
 }

@@ -143,4 +143,56 @@ object TimeSeries {
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** FIRST/LAST-touch attribution: for every conversion event, the
+    * earliest and latest `touchType` event by the same user in the
+    * `[conv.ts − windowMinutes, conv.ts]` window — "which click gets
+    * credit for this purchase", the two canonical single-touch
+    * attribution models, emitted side by side so their disagreement
+    * rate (a multi-touch journey) is one filter away. Conversions
+    * with no touch in window are kept with `n_touches = 0` and null
+    * touch ids (the un-attributable share is itself the metric that
+    * decides whether a lookback window is too short).
+    *
+    * Determinism: first∕last are `min∕max(struct(ts, id))` — the
+    * struct order makes same-timestamp touches break on event id, so
+    * the result is partitioning-independent without assuming unique
+    * timestamps. A touch at exactly `conv.ts` counts (the window is
+    * closed on both ends).
+    *
+    * Shape at scale: a self-join equi-keyed on the user with the time
+    * window as a post-join range predicate — both sides hash-exchange
+    * on `userCol` once (co-partitioned, never a cross product), and
+    * the per-conversion rollup reuses that same partitioning, so the
+    * whole op is one user-keyed exchange end to end. Per-user row
+    * traffic is conversions × in-window touches — bounded by the
+    * window, not by history length.
+    */
+  def touchAttribution(events: DataFrame, convType: String = "purchase",
+      touchType: String = "click", windowMinutes: Int = 30,
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(windowMinutes > 0)
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(idCol).as("__cid"), col(tsCol).as("__cts"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("__tu"), col(idCol).as("__tid"), col(tsCol).as("__tts"))
+    conv.join(touch,
+        col("__u") === col("__tu") &&
+          col("__tts") <= col("__cts") &&
+          col("__tts") >= col("__cts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .groupBy(col("__cid"), col("__u"), col("__cts"))
+      .agg(
+        count(col("__tid")).as("n_touches"),
+        // the `when` wraps the unmatched left-join row in a true NULL
+        // (a struct OF nulls would not be skipped by min/max)
+        min(when(col("__tid").isNotNull, struct(col("__tts"), col("__tid"))))
+          .getField("__tid").as("first_touch_id"),
+        max(when(col("__tid").isNotNull, struct(col("__tts"), col("__tid"))))
+          .getField("__tid").as("last_touch_id"))
+      .select(col("__cid").as(idCol), col("__u").as(userCol),
+        col("__cts").as(tsCol), col("n_touches"),
+        col("first_touch_id"), col("last_touch_id"))
+  }
 }

@@ -1,0 +1,212 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round14bOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --------------------------------------------- fixed-point k-means (q148)
+  test("kmeans: hand-computed 2-round Lloyd on exactly-representable floats") {
+    // components are sums of powers of two, so float→double→·1e6→floor
+    // quantizes with NO representation surprises
+    val emb = Seq(
+      (1L, Array(0f, 0f)),
+      (2L, Array(0.25f, 0f)),
+      (3L, Array(1f, 1f)),
+      (4L, Array(0.75f, 1f))
+    ).toDF("vec_id", "embedding")
+    // init c0=(0,0) c1=(250000,0); after round 1 c1=(666666,666666);
+    // after round 2 c0=(125000,0), c1=(875000,1000000) — every final
+    // distance is 125000² = 15_625_000_000
+    val out = graft.ops.Clustering.kmeans(emb, k = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(out === Array(
+      (1L, 0, 15625000000L), (2L, 0, 15625000000L),
+      (3L, 1, 15625000000L), (4L, 1, 15625000000L)))
+  }
+
+  test("kmeans: centroid mean FLOOR-divides on negatives (not truncation)") {
+    // sum = -250000 + 0 + 125000 = -125000, n = 3 →
+    // floorDiv(-125000, 3) = -41667 (truncation would say -41666);
+    // the (0,) point's final dist² pins the digit: 41667² exactly
+    val emb = Seq(
+      (1L, Array(-0.25f)), (2L, Array(0f)), (3L, Array(0.125f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ops.Clustering.kmeans(emb, k = 1, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(out.forall(_._2 == 0))
+    assert(out.find(_._1 == 2L).get._3 === 41667L * 41667L)
+  }
+
+  test("kmeans: duplicate init points — ties to lower cid, empty cluster carried") {
+    // both vectors identical → both argmin-tie to cluster 0; cluster 1
+    // goes empty on round 1 and must keep its centroid (no crash, no NaN)
+    val emb = Seq((1L, Array(0.5f, 0.5f)), (2L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Clustering.kmeans(emb, k = 2, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(out === Array((1L, 0, 0L), (2L, 0, 0L)))
+  }
+
+  test("kmeans: partitioning-independent (repartition yields identical rows)") {
+    val emb = (1L to 40L).map(i =>
+      (i, Array((i % 7).toFloat / 8f, (i % 5).toFloat / 4f, -(i % 3).toFloat / 2f)))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Clustering.kmeans(df, k = 4, iterations = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(run(emb.repartition(13)) === run(emb))
+  }
+
+  // --------------------------------------------- containment pairs (q149)
+  test("containmentPairs: excerpt found at 100%, sub-threshold pair dropped") {
+    val docs = Seq(
+      (1L, "a b c d e"),                    // 3 grams, all inside doc 2
+      (2L, "a b c d e f g h i j"),          // 8 grams
+      (3L, "x y z w q r"),                  // 4 grams, one shared with 4
+      (4L, "x y z k l m")                   // 4 grams: xyz shared → 25% < 80
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.containmentPairs(docs, n = 3, tauPct = 80)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out === Array((1L, 2L, 3L, 8L, 3L, 1000000L)))
+  }
+
+  test("containmentPairs: equal set sizes orient small = lower id; ppm floors") {
+    val docs = Seq(
+      (7L, "a b c d e"),   // 3 grams
+      (9L, "a b c d x")    // 3 grams, shares 2 (abc, bcd) → 2/3 = 66% ≥ 60
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.containmentPairs(docs, n = 3, tauPct = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out === Array((7L, 9L, 3L, 666666L)))
+  }
+
+  test("containmentPairs: docs under n tokens never pair") {
+    val docs = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.containmentPairs(docs, n = 3, tauPct = 1).count() === 0L)
+  }
+
+  // --------------------------------------------- n-gram novelty (q150)
+  test("ngramNovelty: exact novel-bigram ppm vs the reference set") {
+    val ref = Seq((100L, "a b c"), (101L, "p q")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d"),  // bigrams ab bc cd; ref has ab bc → 1/3 novel
+      (2L, "x y"),      // xy → 1/1 novel
+      (3L, "p q"),      // pq in ref → 0/1
+      (4L, "solo")      // no bigrams → excluded
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.ngramNovelty(docs, ref, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out === Array(
+      (1L, 3L, 1L, 333333L), (2L, 1L, 1L, 1000000L), (3L, 1L, 0L, 0L)))
+  }
+
+  // --------------------------------------------- touch attribution (q151)
+  test("touchAttribution: window edges, no-touch conversions, same-ts tie by id") {
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      // user 1: clicks at :00 and :10, purchase at :20, late click :50
+      (10L, ts(0), 1L, "click"),
+      (11L, ts(10), 1L, "click"),
+      (12L, ts(20), 1L, "purchase"),
+      (13L, ts(50), 1L, "click"),
+      // user 2: click 31 min before purchase → outside the 30-min window
+      (20L, ts(0), 2L, "click"),
+      (21L, ts(31), 2L, "purchase"),
+      // user 3: two clicks at the SAME ts as the purchase → ids break the tie
+      (31L, ts(5), 3L, "click"),
+      (30L, ts(5), 3L, "click"),
+      (32L, ts(5), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.TimeSeries.touchAttribution(events)
+      .collect().map(r => (r.getLong(0), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).sortBy(_._1)
+    assert(out === Array(
+      (12L, 2L, 10L, 11L),   // first=:00 click, last=:10 click
+      (21L, 0L, -1L, -1L),   // outside window → un-attributed
+      (32L, 2L, 30L, 31L)))  // same ts: min/max struct falls to event id
+  }
+
+  test("touchAttribution: a click exactly windowMinutes before counts (closed window)") {
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0), 1L, "click"),
+      (2L, ts(30), 1L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.TimeSeries.touchAttribution(events).collect()
+    assert(out.length === 1 && out(0).getLong(3) === 1L)
+  }
+
+  // --------------------------------------------- mixture drift (q152)
+  test("mixtureDrift: exact ppm shares, one-sided keys get zero") {
+    val a = Seq(("s1", 10L), ("s2", 30L)).toDF("source", "w")
+    val b = Seq(("s1", 20L), ("s3", 20L)).toDF("source", "w")
+    val out = graft.ops.Drift.mixtureDrift(a, b, "source", col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out === Array(
+      ("s1", 10L, 20L, 250000L, 500000L, 250000L),
+      ("s2", 30L, 0L, 750000L, 0L, 750000L),
+      ("s3", 0L, 20L, 0L, 500000L, 500000L)))
+  }
+
+  test("mixtureDrift: floor ppm (shares need not sum to 1e6) and TVD recovery") {
+    val a = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("source", "w") // thirds
+    val b = Seq(("x", 3L)).toDF("source", "w")
+    val rows = graft.ops.Drift.mixtureDrift(a, b, "source", col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(5))).sortBy(_._1)
+    assert(rows === Array(
+      ("x", 333333L, 666667L), ("y", 333333L, 333333L), ("z", 333333L, 333333L)))
+    // TVD ppm = half the drift sum
+    assert(rows.map(_._3).sum / 2 === 666666L) // floor artifacts included, exact
+  }
+
+  // --------------------------------------------- co-visitation (q153)
+  test("coVisitation: distinct-user pair counts, repeat views collapse, total order") {
+    val views = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), // user 1 sees {10, 20}; repeat ignored
+      (2L, 10L), (2L, 20L), (2L, 30L), // user 2: {10, 20, 30}
+      (3L, 20L), (3L, 30L)             // user 3: {20, 30}
+    ).toDF("user_id", "item")
+    val out = graft.ops.CoOccurrence.coVisitation(views, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (10,20)=2 users, (20,30)=2, (10,30)=1 — ties rank by (item_a, item_b)
+    assert(out === Array((10L, 20L, 2L), (20L, 30L, 2L), (10L, 30L, 1L)))
+  }
+
+  test("coVisitation: k truncates under the deterministic order") {
+    val views = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("user_id", "item")
+    val out = graft.ops.CoOccurrence.coVisitation(views, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Array((1L, 2L), (1L, 3L))) // all count 1 → first two pairs
+  }
+
+  // --------------------------------------------- collocations (q154)
+  test("collocations: exact stream counts and integer lift ppm") {
+    // stream: "a b" ×3 plus separators; N = 8 tokens,
+    // n(a)=3, n(b)=3, n(a,b)=3 → lift = 3·8·1e6 // 9 = 2_666_666
+    val docs = Seq("a b x", "a b y", "a b").toDF("text")
+    val out = graft.ops.CoOccurrence.collocations(docs, k = 5, minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out === Array(("a", "b", 3L, 3L, 3L, 2666666L)))
+  }
+
+  test("collocations: blank split artifacts never count as tokens") {
+    val docs = Seq("  a  b ", "a b").toDF("text") // leading/multi spaces
+    val out = graft.ops.CoOccurrence.collocations(docs, k = 5, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5)))
+    // N = 4, n(a)=n(b)=2, pair=2 → lift = 2·4·1e6 // 4 = 2_000_000
+    assert(out === Array(("a", "b", 2L, 2000000L)))
+  }
+}
