@@ -77,10 +77,16 @@ object Clustering {
 
     var round = 0
     while (round < iterations) {
-      val d2 = distArray(cents)
+      // assignment is PROJECTED BEFORE the posexplode: a projection
+      // above a Generate is evaluated per EXPLODED row, which would
+      // recompute the k distance folds dim× per vector (measured 10×
+      // wall on the battery); below it, once per vector
+      val assigned = q
+        .select(col("__q"), distArray(cents).as("__d2"))
+        .select(col("__q"), clusterOf(col("__d2")).as("__c"))
       // one aggregation job: per-(cluster, dim) DECIMAL-exact sums +
       // member counts, k·dim rows collected to the driver
-      val upd = q.select(clusterOf(d2).as("__c"),
+      val upd = assigned.select(col("__c"),
           posexplode(col("__q")).as(Seq("__pos", "__v")))
         .groupBy("__c", "__pos")
         .agg(sum(col("__v").cast(DecimalType(38, 0))).as("__s"),
@@ -106,9 +112,10 @@ object Clustering {
       round += 1
     }
 
-    val fin = distArray(cents)
-    val out = q.select(col("__id").as(idCol), clusterOf(fin).as("cluster"),
-      array_min(fin).as("dist2"))
+    val out = q
+      .select(col("__id"), distArray(cents).as("__d2"))
+      .select(col("__id").as(idCol), clusterOf(col("__d2")).as("cluster"),
+        array_min(col("__d2")).as("dist2"))
     q.unpersist()
     out
   }

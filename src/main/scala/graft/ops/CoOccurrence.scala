@@ -72,7 +72,11 @@ object CoOccurrence {
     val total = uni.agg(count(lit(1)).cast(DecimalType(38, 0)).as("__nt"))
     val pairs = tokenStream
       .filter(size(col("__t")) >= 2)
-      .select(explode(transform(sequence(lit(0), size(col("__t")) - 2),
+      // explode_OUTER: an inner explode would make
+      // InferFiltersFromGenerate re-substitute two full copies of the
+      // pair-building HOF below the filter (the ngramNovelty lesson);
+      // outer is equivalent because size ≥ 2 guarantees ≥ 1 pair
+      .select(explode_outer(transform(sequence(lit(0), size(col("__t")) - 2),
         i => struct(element_at(col("__t"), i + 1).as("w1"),
           element_at(col("__t"), i + 2).as("w2")))).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))

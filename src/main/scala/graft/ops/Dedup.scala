@@ -623,12 +623,20 @@ object Dedup {
     * document is shorter than n tokens. */
   def wordNgrams(tokens: Column, n: Int): Column = {
     require(n >= 1)
-    val grams =
-      if (n == 1) tokens
-      else transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*))
-    when(size(tokens) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    when(size(tokens) >= n, wordNgramsUnguarded(tokens, n))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** [[wordNgrams]] without the short-row guard — callers must filter
+    * `size(tokens) >= n` FIRST. Worth having separately: the guarded
+    * spelling wraps the HOF chain in a CASE WHEN, and a downstream
+    * `filter(size(grams) > 0)` then gets pushdown-substituted below
+    * the projection so the whole guarded chain evaluates twice —
+    * measured 13× the wall of filter-on-token-count-then-build. */
+  private[ops] def wordNgramsUnguarded(tokens: Column, n: Int): Column =
+    if (n == 1) array_distinct(tokens)
+    else array_distinct(transform(sequence(lit(0), size(tokens) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
 
   /** Exact Jaccard over distinct n-gram sets for pairs inside a
     * blocking window (same lang, id distance ≤ window). The window
@@ -707,25 +715,33 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int = 3, tauPct: Int = 80,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(tauPct >= 1 && tauPct <= 100)
+    // two measured plan rules: filter short docs on TOKEN COUNT before
+    // building grams (the guarded wordNgrams + a grams-size filter
+    // re-evaluates the HOF chain, 13× wall), and hash AFTER the
+    // explode, scalar-wise (a transform(grams, g => xxhash64(g))
+    // lambda-over-HOF spelling costs ~30× this plan's CPU)
     val grams = docs
       .select(col(idCol).as("__id"),
         TextStats.tokens(col(textCol)).as("toks"))
-      .select(col("__id"),
-        transform(wordNgrams(col("toks"), n), g => xxhash64(g)).as("__g"))
-      .filter(size(col("__g")) > 0)
-      .cache() // sizes join re-reads it after the pair-count collapse
-    val inv = grams.select(col("__id"), explode(col("__g")).as("__gram"))
+      .filter(size(col("toks")) >= n)
+      .select(col("__id"), wordNgramsUnguarded(col("toks"), n).as("__gs"))
+      .select(col("__id"), col("__gs"),
+        size(col("__gs")).cast(LongType).as("__n"))
+      .cache() // the inverted index and the sizes join both scan this;
+    grams.count() // eager, so the two consumers don't race the cache
+    val inv = grams.select(col("__id"), explode(col("__gs")).as("__gstr"))
+      .select(col("__id"), xxhash64(col("__gstr")).as("__gram"))
     val a = inv.alias("a"); val b = inv.alias("b")
     val inter = a.join(b,
         col("a.__gram") === col("b.__gram") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("ia"), col("b.__id").as("ib"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = grams.select(col("__id"), size(col("__g")).cast(LongType).as("__n"))
+    val sizes = grams.select(col("__id"), col("__n"))
     val sized = inter
       .join(sizes.select(col("__id").as("ia2"), col("__n").as("na")), col("ia") === col("ia2"))
       .join(sizes.select(col("__id").as("ib2"), col("__n").as("nb")), col("ib") === col("ib2"))
     val aIsSmall = col("na") < col("nb") || (col("na") === col("nb") && col("ia") < col("ib"))
-    val out = sized.select(
+    sized.select(
         when(aIsSmall, col("ia")).otherwise(col("ib")).as("doc_small"),
         when(aIsSmall, col("ib")).otherwise(col("ia")).as("doc_big"),
         when(aIsSmall, col("na")).otherwise(col("nb")).as("n_small"),
@@ -734,8 +750,9 @@ object Dedup {
       .filter(col("inter") * 100 >= lit(tauPct.toLong) * col("n_small"))
       .withColumn("containment_ppm",
         expr("(inter * 1000000L) div n_small"))
-    grams.unpersist()
-    out
+    // the cache stays registered for the caller's action; Bench's
+    // post-query sweep (and Verify's session teardown) releases it —
+    // the ngramJaccardPairs storage contract
   }
 
   // ------------------------------------------- clusters and survivors

@@ -425,10 +425,24 @@ object TextStats {
     */
   def ngramNovelty(docs: DataFrame, ref: DataFrame, n: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // four measured plan rules (the containmentPairs lessons + one):
+    // tokens land in an ATTRIBUTE before the gram builder sees them
+    // (an inlined split() re-runs the regex per gram element); short
+    // docs filter on TOKEN COUNT before the build (the guarded
+    // wordNgrams plus a grams-size filter re-evaluates the HOF chain,
+    // 13× wall); hashing happens AFTER the explode, scalar-wise (a
+    // lambda-over-HOF transform(…, xxhash64) costs ~30×); and the
+    // explode is explode_OUTER — on an inner explode,
+    // InferFiltersFromGenerate adds `size(__gs) > 0 AND isnotnull`
+    // and pushdown re-substitutes TWO full copies of the gram chain
+    // (split re-inlined per element) below the scan, ~9× this plan's
+    // wall; outer is equivalent here because the token-count filter
+    // already guarantees ≥ 1 gram
     def gramHashes(df: DataFrame, cols: Column*) = df
-      .select(cols :+ Dedup.wordNgrams(tokens(col(textCol)), n).as("__gs"): _*)
-      .filter(size(col("__gs")) > 0)
-      .select(cols :+ explode(col("__gs")).as("__gstr"): _*)
+      .select(cols :+ tokens(col(textCol)).as("__tk"): _*)
+      .filter(size(col("__tk")) >= n)
+      .select(cols :+ Dedup.wordNgramsUnguarded(col("__tk"), n).as("__gs"): _*)
+      .select(cols :+ explode_outer(col("__gs")).as("__gstr"): _*)
       .select(cols :+ xxhash64(col("__gstr")).as("__gram"): _*)
     val refGrams = gramHashes(ref).distinct()
     gramHashes(docs, col(idCol))
@@ -437,5 +451,47 @@ object TextStats {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_ppm", expr("(n_novel * 1000000L) div n_grams"))
+  }
+
+  /** Unigram SURPRISAL quality score — the integer-exact proxy for the
+    * LM-perplexity filters of the CCNet/Gopher pipelines: a document
+    * built from corpus-typical words scores low, one full of rare
+    * words scores high. Per token the surprisal is
+    * `floor(log2(N div n_tok))` — N the corpus token count, n_tok the
+    * token's corpus count — computed with the bit trick
+    * `length(bin(x)) - 1` so there is no floating log anywhere:
+    * engine and oracle agree bit-for-bit, including at exact powers
+    * of two where `floor(log2(·))` in doubles is one ulp from wrong.
+    * `surprisal_per_100` (the ×100 floor-divided mean) is the
+    * length-normalized score a curation gate thresholds on.
+    *
+    * Shape at scale: the exploded token stream collapses to
+    * (doc, token, n) with map-side combine BEFORE the vocabulary
+    * join, so the token-keyed exchange carries distinct-per-doc rows,
+    * not raw occurrences; the corpus total is a 1-row broadcast. The
+    * vocabulary join is shuffle-on-token (both sides already hash-
+    * partitioned by the groupBys), then one doc-keyed aggregation.
+    * Returns (doc_id, n_toks, surprisal_sum, surprisal_per_100). */
+  def surprisalScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("__id"),
+        explode(filter(tokens(col(textCol)), t => length(t) > lit(0)))
+          .as("__tok"))
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__n"))
+    val vocab = perDoc.groupBy("__tok")
+      .agg(sum(col("__n")).as("__nt"))
+    val total = vocab.agg(sum(col("__nt")).as("__N"))
+    perDoc
+      .join(vocab, "__tok")
+      .crossJoin(broadcast(total))
+      .select(col("__id"),
+        col("__n"),
+        (col("__n") * (length(bin(expr("__N div __nt"))) - 1)).as("__s"))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum(col("__n")).as("n_toks"),
+        sum(col("__s")).as("surprisal_sum"))
+      .withColumn("surprisal_per_100",
+        expr("(surprisal_sum * 100L) div n_toks"))
   }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Time-series resampling: align an event stream onto a fixed-period
   * grid per key, with gap rows at zero activity and forward-filled
@@ -194,5 +194,103 @@ object TimeSeries {
       .select(col("__cid").as(idCol), col("__u").as(userCol),
         col("__cts").as(tsCol), col("n_touches"),
         col("first_touch_id"), col("last_touch_id"))
+  }
+
+  /** BURST detection: hours where an event type's count exceeds
+    * `factorPct`% of its own trailing mean — the volume-anomaly alarm
+    * over an ingest stream (a crawler gone hot, a bot flood, a
+    * telemetry regression). The baseline is the mean of the previous
+    * `trailing` OBSERVED hours (a rows frame, not a range frame —
+    * silent gap hours don't dilute the baseline, they simply aren't
+    * observations), and the verdict is the integer cross-multiply
+    * `n · w_n · 100 > factorPct · w_sum` — no division, so exact and
+    * oracle-replayable. The first observed hour of a type has an
+    * empty window (w_sum NULL) and can never flag — no baseline, no
+    * verdict, identically in both engines' null semantics.
+    *
+    * Shape at scale: one (type, hour) aggregation with map-side
+    * combine — the window then runs over HOURS, not events, so the
+    * per-type sort is thousands of rows regardless of corpus size. */
+  def burstHours(events: DataFrame, factorPct: Int = 200,
+      trailing: Int = 24, typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(factorPct >= 100 && trailing >= 1)
+    val hourly = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("hour"))
+      .rowsBetween(-trailing, -1)
+    hourly
+      .select(col(typeCol), col("hour"), col("n_events"),
+        count(lit(1)).over(w).as("w_n"),
+        sum(col("n_events")).over(w).as("w_sum"))
+      .filter(col("n_events") * col("w_n") * 100 >
+        lit(factorPct.toLong) * col("w_sum"))
+  }
+
+  /** INTER-EVENT GAP histogram: the distribution of per-user gaps
+    * between consecutive events, bucketed by `floor(log2(gap_s))` —
+    * the calibration read behind every sessionization timeout (the
+    * histogram is bimodal: intra-session seconds on the left,
+    * between-visit hours on the right; the valley is the timeout
+    * [[sessionize]] should use). Same-second gaps land in bucket −1
+    * (a timestamp→seconds floor can make any sub-second gap 0), the
+    * log2 is the `length(bin(x)) − 1` bit trick — no floating point,
+    * so the bucket edges are bit-identical in the oracle. Window
+    * order is (ts, event_id): the id tiebreak makes lag
+    * deterministic under same-timestamp bursts.
+    *
+    * Shape at scale: one user-keyed window sort (the sessionize
+    * exchange), then a ~40-row aggregation — the histogram never
+    * grows with the corpus. Returns
+    * (gap_bucket, n_gaps, min_gap_s, max_gap_s). */
+  def gapHistogram(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol))
+      .withColumn("__gap",
+        col(tsCol).cast(LongType) - lag(col(tsCol), 1).over(w).cast(LongType))
+      .filter(col("__gap").isNotNull)
+      .select(when(col("__gap") === 0, lit(-1L))
+        .otherwise((length(bin(col("__gap"))) - 1).cast(LongType))
+        .as("gap_bucket"), col("__gap"))
+      .groupBy("gap_bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("__gap")).as("min_gap_s"),
+        max(col("__gap")).as("max_gap_s"))
+  }
+
+  /** Exponentially-DECAYED popularity: per event type, the recency-
+    * weighted activity score `Σ n_h · 2^(depth − rank_h)` over its
+    * `depth` most recent observed hours (rank 1 = newest, weight
+    * 2^(depth−1); each hour back halves the weight) — the "trending
+    * now" ranker that a hot-set cache or crawl scheduler reads,
+    * where [[burstHours]] is the alarm. Weights are power-of-two
+    * integers via `shiftleft`, so the score is an exact BIGINT the
+    * oracle reproduces with `1::BIGINT << k` — no float decay
+    * constant to drift on.
+    *
+    * Shape at scale: the hourly rollup collapses the event stream
+    * with map-side combine; the window then ranks HOURS per type
+    * (thousands of rows regardless of corpus size) and the final
+    * aggregate is one row per type. Returns
+    * (event_type, n_hours, latest_hour, decay_score). */
+  def decayedPopularity(events: DataFrame, depth: Int = 16,
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(depth >= 1 && depth <= 62)
+    val hourly = events
+      .groupBy(col(typeCol), date_trunc("hour", col(tsCol)).as("__hour"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("__hour").desc)
+    hourly
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= depth)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_hours"),
+        max(col("__hour")).as("latest_hour"),
+        sum(expr(s"__n * shiftleft(CAST(1 AS BIGINT), $depth - __r)"))
+          .as("decay_score"))
   }
 }

@@ -292,6 +292,82 @@ object Round14b {
       |ORDER BY n_pair DESC, w1, w2
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  /** Count-Min sketch AUDIT ([[graft.ops.CountMinSketch
+    * .cmsTopVocabAudit]]): a 4×16 counter table over the token
+    * stream, probed with the exact top-20 vocabulary — exact count,
+    * CMS estimate and the overcount side by side. Row hashes are
+    * affine maps of the replayable codepoint fold, so the oracle
+    * rebuilds the counter table cell-for-cell and every estimate
+    * (including collision overcounts) hash-matches. w=16 is sized
+    * BELOW the corpus vocabulary so the audit exercises real
+    * collisions, not an empty sketch. */
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CountMinSketch.cmsTopVocabAudit(Tables.documents(s, dir),
+      topN = 20, d = 4, w = 16)
+
+  private val q155Sql =
+    """WITH uni AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0)) AS tok
+      |  FROM documents
+      |),
+      |toks AS (SELECT DISTINCT tok FROM uni),
+      |h AS (
+      |  SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(tok)+1),
+      |        i -> CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 131 + c) % 1000000007) AS hv
+      |  FROM toks
+      |),
+      |co (i, a, b) AS (VALUES (0, 3, 7), (1, 5, 11), (2, 13, 17), (3, 31, 19)),
+      |ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM uni GROUP BY tok),
+      |cells AS (
+      |  SELECT c.i, ((h.hv * c.a + c.b) % 1000000007) % 16 AS b,
+      |    CAST(SUM(e.n_exact) AS BIGINT) AS cnt
+      |  FROM h JOIN ex e USING (tok) CROSS JOIN co c
+      |  GROUP BY 1, 2
+      |),
+      |top AS (SELECT tok, n_exact FROM ex ORDER BY n_exact DESC, tok LIMIT 20),
+      |probe AS (
+      |  SELECT t.tok, t.n_exact, MIN(cells.cnt) AS n_cms
+      |  FROM top t JOIN h USING (tok) CROSS JOIN co c
+      |  JOIN cells ON cells.i = c.i
+      |    AND cells.b = ((h.hv * c.a + c.b) % 1000000007) % 16
+      |  GROUP BY t.tok, t.n_exact
+      |)
+      |SELECT tok AS token, n_exact, n_cms, n_cms - n_exact AS overcount
+      |FROM probe ORDER BY n_exact DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+  /** BURST detection ([[graft.ops.TimeSeries.burstHours]]): hours
+    * where an event type runs ≥ 150% of its own trailing-24-observed-
+    * hours mean — the ingest volume-anomaly alarm. Integer
+    * cross-multiplied verdict, rows-frame baseline (gaps are not
+    * observations), first hours cannot flag (NULL baseline in both
+    * engines). */
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.burstHours(Tables.events(s, dir), factorPct = 150)
+      .orderBy("event_type", "hour")
+
+  private val q156Sql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |),
+      |win AS (
+      |  SELECT event_type, hour, n_events,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS w_n,
+      |    CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS w_sum
+      |  FROM hourly
+      |)
+      |SELECT event_type, hour, n_events, w_n, w_sum
+      |FROM win WHERE n_events * w_n * 100 > 150 * w_sum
+      |ORDER BY event_type, hour""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q148_kmeans", q148, Some(q148Sql)),
     QueryDef("q149_containment", q149, Some(q149Sql)),
@@ -299,5 +375,7 @@ object Round14b {
     QueryDef("q151_touch_attribution", q151, Some(q151Sql)),
     QueryDef("q152_mixture_drift", q152, Some(q152Sql)),
     QueryDef("q153_covisitation", q153, Some(q153Sql)),
-    QueryDef("q154_collocations", q154, Some(q154Sql)))
+    QueryDef("q154_collocations", q154, Some(q154Sql)),
+    QueryDef("q155_cms_audit", q155, Some(q155Sql)),
+    QueryDef("q156_burst_hours", q156, Some(q156Sql)))
 }

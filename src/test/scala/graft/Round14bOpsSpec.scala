@@ -209,4 +209,45 @@ class Round14bOpsSpec extends AnyFunSuite {
     // N = 4, n(a)=n(b)=2, pair=2 → lift = 2·4·1e6 // 4 = 2_000_000
     assert(out === Array(("a", "b", 2L, 2000000L)))
   }
+
+  // --------------------------------------------- count-min audit (q155)
+  test("cmsTopVocabAudit: hand-computed collision — estimates exact, overcount visible") {
+    // H('a')=97, H('b')=98, H('c')=99; d=1 row (a=3, b=7), w=2:
+    // bucket(a) = (97·3+7) % 2 = 0, bucket(b) = 1, bucket(c) = 0 →
+    // 'c' collides with 'a': cell0 = 3+1 = 4, cell1 = 1
+    val docs = Seq("a a a b c").toDF("text")
+    val out = graft.ops.CountMinSketch.cmsTopVocabAudit(docs, topN = 3, d = 1, w = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      ("a", 3L, 4L, 1L), ("b", 1L, 1L, 0L), ("c", 1L, 4L, 3L)))
+  }
+
+  test("cmsTopVocabAudit: CMS never undercounts (n_cms ≥ n_exact), any (d, w)") {
+    val docs = (1 to 50).map(i => s"t${i % 7} t${i % 11} t${i % 13}").toDF("text")
+    val out = graft.ops.CountMinSketch.cmsTopVocabAudit(docs, topN = 13, d = 3, w = 8)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) >= r.getLong(1)))
+  }
+
+  // --------------------------------------------- burst detection (q156)
+  test("burstHours: trailing-mean cross-multiply flags the spike, not the baseline") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val rows = // type x: 1,1,1 events in hours 0-2, then 10 in hour 3
+      (Seq(ts(0, 1), ts(1, 1), ts(2, 1)) ++ (0 until 10).map(m => ts(3, m)))
+        .map(t => (t, "x")) ++
+      Seq((ts(0, 5), "y"), (ts(1, 5), "y")) // type y: flat, never flags
+    val events = rows.zipWithIndex.map { case ((t, ty), i) => (i.toLong, t, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val out = graft.ops.TimeSeries.burstHours(events, factorPct = 150)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // only x@hour3: 10 events vs w_n=3/w_sum=3 → 10·3·100 > 150·3
+    assert(out === Array(("x", 10L, 3L, 3L)))
+  }
+
+  test("burstHours: the first observed hour has no baseline and cannot flag") {
+    val events = Seq((1L, Timestamp.valueOf("2026-01-01 00:00:00"), "x"))
+      .toDF("event_id", "ts", "event_type")
+    assert(graft.ops.TimeSeries.burstHours(events, factorPct = 100).count() === 0L)
+  }
 }
