@@ -42,6 +42,26 @@ object CoOccurrence {
       .limit(k)
   }
 
+  /** Ordered adjacent-pair counts over the raw token stream — the
+    * shared substrate under [[collocations]] (directional phrase
+    * stats) and the undirected co-occurrence GRAPH ([[Triangles]]
+    * closure analysis; canonicalize with least/greatest and sum the
+    * two directions first). Map-only pair extraction (transform +
+    * explode, no positional self-join), one pair-keyed aggregation
+    * with map-side combine. Returns (w1, w2, n_pair). */
+  def adjacentPairCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = filter(split(col(textCol), "\\s+"), x => length(x) > lit(0))
+    docs.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      // explode_OUTER for the InferFiltersFromGenerate reason
+      // documented in [[collocations]]
+      .select(explode_outer(transform(sequence(lit(0), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i + 1).as("w1"),
+          element_at(col("__t"), i + 2).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+  }
+
   /** Top-k collocations: adjacent token pairs occurring at least
     * `minCount` times, ranked by raw pair count, each carrying an
     * exact integer LIFT in ppm — `n_pair · N · 1e6 ∕∕ (n_w1 · n_w2)`,
@@ -70,17 +90,12 @@ object CoOccurrence {
     val uni = tokenStream.select(explode(col("__t")).as("__w"))
     val counts = uni.groupBy("__w").agg(count(lit(1)).as("__n"))
     val total = uni.agg(count(lit(1)).cast(DecimalType(38, 0)).as("__nt"))
-    val pairs = tokenStream
-      .filter(size(col("__t")) >= 2)
-      // explode_OUTER: an inner explode would make
-      // InferFiltersFromGenerate re-substitute two full copies of the
-      // pair-building HOF below the filter (the ngramNovelty lesson);
-      // outer is equivalent because size ≥ 2 guarantees ≥ 1 pair
-      .select(explode_outer(transform(sequence(lit(0), size(col("__t")) - 2),
-        i => struct(element_at(col("__t"), i + 1).as("w1"),
-          element_at(col("__t"), i + 2).as("w2")))).as("__p"))
-      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("__np"))
+    // explode_OUTER inside adjacentPairCounts: an inner explode would
+    // make InferFiltersFromGenerate re-substitute two full copies of
+    // the pair-building HOF below the filter (the ngramNovelty
+    // lesson); outer is equivalent because size ≥ 2 guarantees ≥ 1 pair
+    val pairs = adjacentPairCounts(docs, textCol)
+      .withColumnRenamed("n_pair", "__np")
       .filter(col("__np") >= minCount)
     pairs
       .join(counts.select(col("__w").as("__wa"), col("__n").as("__na")),

@@ -75,6 +75,61 @@ object Ranks {
       .select(col(groupCol), col(idCol), col("__v").as("value"), col("rnk"))
   }
 
+  /** MERGEABLE-HISTOGRAM median with an exact audit — the order
+    * statistic a 100 TB pipeline actually ships (cell-wise-additive
+    * histograms, no corpus-sized sort) next to the exact answer that
+    * grades it. Two walks per group over a positive integer value:
+    *
+    *  - `exact_p50`: per-(group, value) counts, cumulative over value
+    *    ASC, smallest value whose cumulative count reaches rank
+    *    ⌊(n+1)/2⌋ (the lower median). The window partitions are
+    *    VALUE-DOMAIN-sized (distinct values per group), never
+    *    group-row-sized — for a bounded-domain value like document
+    *    length this is exact AND scale-safe, unlike
+    *    `row_number() over (partition by g order by v)`.
+    *  - `est_p50`: the same walk over ⌊log2(v)⌋ buckets (the
+    *    `length(bin(·))−1` trick — no floating log), estimate = the
+    *    integer midpoint `(2^b + 2^(b+1) − 1) div 2` of the winning
+    *    bucket. This is the sketch a sharded ingest merges by adding
+    *    cells; `err_ppm = |est − exact|·1e6 div exact` is the
+    *    capacity-plan number: log2 buckets guarantee est within 2×
+    *    (err_ppm ≤ 1e6), finer grids shrink it.
+    *
+    * Values must be ≥ 1 (a document length; `bin` of 0/negatives
+    * would bucket nonsensically). Returns
+    * (group, n, exact_p50, est_p50, err_ppm). */
+  def histogramMedianAudit(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val vc = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val sizes = vc.groupBy(groupCol).agg(sum(col("__n")).as("n"))
+    val wv = Window.partitionBy(groupCol).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = vc
+      .withColumn("__cum", sum(col("__n")).over(wv))
+      .join(broadcast(sizes), groupCol)
+      .filter(col("__cum") >= expr("(n + 1) div 2"))
+      .groupBy(groupCol).agg(min(col("__v")).as("exact_p50"))
+    val wb = Window.partitionBy(groupCol).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = vc
+      .withColumn("__b", (length(bin(col("__v"))) - 1).cast("long"))
+      .groupBy(col(groupCol), col("__b")).agg(sum(col("__n")).as("__nb"))
+      .withColumn("__cum", sum(col("__nb")).over(wb))
+      .join(broadcast(sizes), groupCol)
+      .filter(col("__cum") >= expr("(n + 1) div 2"))
+      .groupBy(groupCol).agg(min(col("__b")).as("__mb"))
+      .withColumn("est_p50",
+        expr("""(shiftleft(CAST(1 AS BIGINT), CAST(__mb AS INT))
+                + shiftleft(CAST(1 AS BIGINT), CAST(__mb AS INT) + 1) - 1)
+               div 2"""))
+      .select(col(groupCol), col("est_p50"))
+    sizes.join(exact, groupCol).join(est, groupCol)
+      .withColumn("err_ppm",
+        expr("(abs(est_p50 - exact_p50) * 1000000L) div exact_p50"))
+  }
+
   /** Attach the quantile bucket (0-based, `buckets` of them) each
     * ranked row falls in: bucket = ⌊buckets·(rank−1)/n_group⌋ — the
     * exact-percentile gate ("decile ≤ 2" = top 30%). Group sizes are

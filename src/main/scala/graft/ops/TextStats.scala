@@ -466,11 +466,17 @@ object TextStats {
     * length-normalized score a curation gate thresholds on.
     *
     * Shape at scale: the exploded token stream collapses to
-    * (doc, token, n) with map-side combine BEFORE the vocabulary
-    * join, so the token-keyed exchange carries distinct-per-doc rows,
-    * not raw occurrences; the corpus total is a 1-row broadcast. The
-    * vocabulary join is shuffle-on-token (both sides already hash-
-    * partitioned by the groupBys), then one doc-keyed aggregation.
+    * (doc, token, n) with map-side combine, and that collapsed frame
+    * is PERSISTED — its three consumers (join probe, vocabulary,
+    * corpus total) would otherwise each re-scan and re-tokenize the
+    * corpus (measured: three parquet scans in the un-persisted plan).
+    * The persisted frame is distinct-(doc,token) sized, far smaller
+    * than the text it came from. The corpus total is a 1-row
+    * broadcast; the vocabulary join shuffles on token (vocab side
+    * already hash-partitioned by its groupBy), then one doc-keyed
+    * aggregation. Storage follows the [[Dedup.containmentPairs]]
+    * contract: registered for the caller's action, released by
+    * Bench's post-query sweep / session teardown.
     * Returns (doc_id, n_toks, surprisal_sum, surprisal_per_100). */
   def surprisalScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -479,19 +485,52 @@ object TextStats {
         explode(filter(tokens(col(textCol)), t => length(t) > lit(0)))
           .as("__tok"))
       .groupBy("__id", "__tok").agg(count(lit(1)).as("__n"))
+      .cache()
+    perDoc.count() // eager, so the three consumers don't race the cache
+    // vocab and total derive FROM the cached collapse (one
+    // tokenization, not three) — aliases keep the shared lineage's
+    // __n from turning ambiguous
     val vocab = perDoc.groupBy("__tok")
-      .agg(sum(col("__n")).as("__nt"))
-    val total = vocab.agg(sum(col("__nt")).as("__N"))
-    perDoc
-      .join(vocab, "__tok")
+      .agg(sum(col("__n")).as("__nt")).alias("v")
+    val total = perDoc.agg(sum(col("__n")).as("__N")).alias("t")
+    perDoc.alias("p")
+      .join(vocab, col("p.__tok") === col("v.__tok"))
       .crossJoin(broadcast(total))
-      .select(col("__id"),
-        col("__n"),
-        (col("__n") * (length(bin(expr("__N div __nt"))) - 1)).as("__s"))
+      .select(col("p.__id").as("__id"),
+        col("p.__n").as("__n"),
+        (col("p.__n") * (length(bin(expr("t.__N div v.__nt"))) - 1)).as("__s"))
       .groupBy(col("__id").as(idCol))
       .agg(sum(col("__n")).as("n_toks"),
         sum(col("__s")).as("surprisal_sum"))
       .withColumn("surprisal_per_100",
         expr("(surprisal_sum * 100L) div n_toks"))
+  }
+
+  /** Per-source LEXICAL HEALTH: type-token ratio and hapax share —
+    * the two numbers that catch a degenerate feed before any model
+    * sees it. A scraped source whose TTR collapses is template spam
+    * (the same page a million times); one whose hapax share explodes
+    * is OCR noise or mojibake (every "word" unique). Both are exact
+    * integer ppm — `n_types·1e6 div n_tokens` and
+    * `n_hapax·1e6 div n_types` (hapax = types occurring exactly once
+    * WITHIN the source).
+    *
+    * Shape at scale: one tokenize+explode pass collapsed by
+    * (source, token) with map-side combine — the second aggregation
+    * then runs over vocabulary-sized data, not the corpus. Returns
+    * (source, n_tokens, n_types, ttr_ppm, n_hapax, hapax_ppm). */
+  def lexicalHealth(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(filter(tokens(col(textCol)), t => length(t) > lit(0)))
+          .as("__tok"))
+      .groupBy("source", "__tok").agg(count(lit(1)).as("__n"))
+      .groupBy("source")
+      .agg(sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("(n_types * 1000000L) div n_tokens"))
+      .withColumn("hapax_ppm", expr("(n_hapax * 1000000L) div n_types"))
   }
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting over an undirected edge list — the
+  * third graph primitive beside [[PageRank]] (influence) and the
+  * dedup funnel's connected components (reachability). Triangles
+  * measure local closure: on a near-dup candidate graph they tell a
+  * pipeline how clique-like its duplicate clusters are (stars = one
+  * template with many variants; cliques = mutual copies), and on a
+  * co-occurrence graph they surface tightly-bound phrase communities.
+  *
+  * The algorithm is the classic degree-ordered wedge join (Cohen's
+  * MapReduce triangle enumeration / Suri–Vassilvitskii): orient every
+  * edge from its lower-(degree, node) endpoint to the higher one —
+  * an acyclic orientation under which each triangle has EXACTLY one
+  * node with two outgoing edges, so enumerating (x→y, x→z) wedges and
+  * checking the (y→z) closure finds each triangle once, no
+  * deduplication pass. The orientation is also the scale guard: a
+  * hub's edges all point INTO it (out-degree stays O(√m) on any
+  * graph with m edges), so the wedge fan-out is bounded by
+  * arboricity, not by the hub's full degree — the star-graph
+  * worst case that kills the naive a<b id-ordered join produces
+  * zero wedges here.
+  *
+  * Everything is exact integer counting on shuffle-keyed equi-joins:
+  * canonicalize + distinct (one exchange), degree aggregation
+  * (map-side combined), the wedge self-join on the source key, and
+  * the closure join on the (y, z) pair key.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts. Input edges may be in
+    * any orientation and carry duplicates or self-loops — rows are
+    * canonicalized (lo, hi), self-loops dropped, duplicates
+    * collapsed. Nodes in no triangle are absent from the output.
+    * Returns (node, n_triangles). */
+  def triangleCounts(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val canon = edges
+      .select(least(col(aCol), col(bCol)).as("__lo"),
+        greatest(col(aCol), col(bCol)).as("__hi"))
+      .filter(col("__lo") < col("__hi")) // drops self-loops and nulls
+      .distinct()
+    val deg = canon.select(col("__lo").as("__n"))
+      .unionAll(canon.select(col("__hi").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__d"))
+    // orient lower (deg, node) → higher; __lo < __hi breaks deg ties
+    val loFirst = col("__dlo") < col("__dhi") ||
+      (col("__dlo") === col("__dhi"))
+    val oriented = canon
+      .join(deg.withColumnRenamed("__n", "__lo").withColumnRenamed("__d", "__dlo"),
+        Seq("__lo"))
+      .join(deg.withColumnRenamed("__n", "__hi").withColumnRenamed("__d", "__dhi"),
+        Seq("__hi"))
+      .select(when(loFirst, col("__lo")).otherwise(col("__hi")).as("src"),
+        when(loFirst, col("__hi")).otherwise(col("__lo")).as("dst"),
+        when(loFirst, col("__dhi")).otherwise(col("__dlo")).as("dst_deg"))
+    // wedges x→y, x→z with rank(y) < rank(z); the closure edge then
+    // must be oriented y→z, so one equi-join on (y, z) finishes it
+    val x = oriented.alias("x"); val y = oriented.alias("y")
+    val wedges = x.join(y,
+        col("x.src") === col("y.src") &&
+          (col("x.dst_deg") < col("y.dst_deg") ||
+            (col("x.dst_deg") === col("y.dst_deg") &&
+              col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("__p"), col("x.dst").as("__q"),
+        col("y.dst").as("__r"))
+    val closure = oriented.select(col("src").as("__q"), col("dst").as("__r"))
+    wedges.join(closure, Seq("__q", "__r"))
+      .select(explode(array(col("__p"), col("__q"), col("__r"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

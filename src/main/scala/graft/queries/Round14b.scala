@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.{Clustering, Dedup, Drift, TextStats, TimeSeries}
+import graft.ops.{Clustering, Dedup, Drift, Ranks, TextStats, TimeSeries}
 
 /** Round-14 battery additions, part 2: fixed-point k-means (the op
   * that TRAINS similarity cells instead of inheriting labels),
@@ -368,6 +368,215 @@ object Round14b {
       |FROM win WHERE n_events * w_n * 100 > 150 * w_sum
       |ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  /** Unigram SURPRISAL quality score ([[graft.ops.TextStats
+    * .surprisalScore]]): per-token `floor(log2(N div n_tok))` summed
+    * per document — the integer-exact proxy for the LM-perplexity
+    * filters of the CCNet/Gopher pipelines. The log2 is the
+    * `length(bin(x)) − 1` bit trick, so there is no floating point
+    * anywhere and both engines agree at exact powers of two. */
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    TextStats.surprisalScore(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val q157Sql =
+    """WITH uni AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0)) AS tok
+      |  FROM documents
+      |),
+      |per_doc AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM uni GROUP BY 1, 2
+      |),
+      |vocab AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS nt FROM per_doc GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS nn FROM vocab)
+      |SELECT p.doc_id,
+      |  CAST(SUM(p.n) AS BIGINT) AS n_toks,
+      |  CAST(SUM(p.n * (length(bin(t.nn // v.nt)) - 1)) AS BIGINT) AS surprisal_sum,
+      |  (CAST(SUM(p.n * (length(bin(t.nn // v.nt)) - 1)) AS BIGINT) * 100)
+      |    // CAST(SUM(p.n) AS BIGINT) AS surprisal_per_100
+      |FROM per_doc p JOIN vocab v USING (tok) CROSS JOIN tot t
+      |GROUP BY p.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+  /** Inter-event GAP histogram ([[graft.ops.TimeSeries
+    * .gapHistogram]]): per-user consecutive-event gaps bucketed by
+    * `floor(log2(gap_s))` (same-second gaps in bucket −1) — the
+    * calibration read behind the q12/q59 sessionization timeout.
+    * Spark's timestamp→long floor and DuckDB's
+    * `date_diff('second', …)` boundary count are the same integer. */
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.gapHistogram(Tables.events(s, dir)).orderBy("gap_bucket")
+
+  private val q158Sql =
+    """WITH g AS (
+      |  SELECT date_diff('second',
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |    ts) AS gap
+      |  FROM events
+      |)
+      |SELECT CASE WHEN gap = 0 THEN CAST(-1 AS BIGINT)
+      |    ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS gap_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_s
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1 ORDER BY gap_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+  /** Exponentially-DECAYED popularity ([[graft.ops.TimeSeries
+    * .decayedPopularity]]): per event type, `Σ n_h · 2^(depth −
+    * rank_h)` over the 16 most recent observed hours — the "trending
+    * now" ranker beside q156's alarm. Power-of-two weights via
+    * shiftleft, so the score is an exact BIGINT in both engines. */
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.decayedPopularity(Tables.events(s, dir), depth = 16)
+      .orderBy("event_type")
+
+  private val q159Sql =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |r AS (
+      |  SELECT event_type, h, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h DESC) AS rk
+      |  FROM hourly
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |  MAX(h) AS latest_hour,
+      |  CAST(SUM(n * (CAST(1 AS BIGINT) << (16 - rk))) AS BIGINT) AS decay_score
+      |FROM r WHERE rk <= 16
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+  /** TRIANGLE counting ([[graft.ops.Triangles.triangleCounts]]) over
+    * the undirected co-occurrence graph (adjacent-pair counts ≥ 60,
+    * both directions summed): per-node closure participation via the
+    * degree-ordered wedge join — each triangle found exactly once,
+    * hub fan-out bounded by orientation, never by degree. The oracle
+    * enumerates the same triangle SET with the naive a<b<c triple
+    * join (orientation-independent), proving the oriented plan loses
+    * and invents nothing. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.ops.CoOccurrence
+      .adjacentPairCounts(Tables.documents(s, dir))
+      .groupBy(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .agg(sum(col("n_pair")).as("n"))
+      .filter(col("n") >= 60)
+    graft.ops.Triangles.triangleCounts(edges, "a", "b")
+      .orderBy(col("n_triangles").desc, col("node"))
+  }
+
+  private val q160Sql =
+    """WITH t AS (
+      |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents
+      |),
+      |pr AS (
+      |  SELECT unnest(list_transform(range(1, len(tk)),
+      |    i -> struct_pack(w1 := tk[CAST(i AS INT)],
+      |                     w2 := tk[CAST(i AS INT) + 1]))) AS p
+      |  FROM t WHERE len(tk) >= 2
+      |),
+      |o AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM pr GROUP BY 1, 2),
+      |e AS (
+      |  SELECT a, b FROM (
+      |    SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+      |      CAST(SUM(n) AS BIGINT) AS n
+      |    FROM o GROUP BY 1, 2
+      |  ) WHERE a < b AND n >= 60
+      |),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      |)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      |  SELECT x AS node FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri
+      |)
+      |GROUP BY node
+      |ORDER BY n_triangles DESC, node""".stripMargin
+
+  // ---------------------------------------------------------------- q161
+  /** Per-source LEXICAL HEALTH ([[graft.ops.TextStats
+    * .lexicalHealth]]): type-token ratio and hapax share in exact
+    * ppm — the degenerate-feed tripwire (TTR collapse = template
+    * spam; hapax explosion = OCR noise). */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    TextStats.lexicalHealth(Tables.documents(s, dir)).orderBy("source")
+
+  private val q161Sql =
+    """WITH uni AS (
+      |  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0)) AS tok
+      |  FROM documents
+      |),
+      |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM uni GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  (CAST(COUNT(*) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT) AS ttr_ppm,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  (CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(COUNT(*) AS BIGINT) AS hapax_ppm
+      |FROM st GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+  /** Mergeable-histogram MEDIAN audit ([[graft.ops.Ranks
+    * .histogramMedianAudit]]): per-source document-length median the
+    * sketch way (log2-bucket walk, integer-midpoint estimate) graded
+    * against the exact lower median from a value-domain-bounded
+    * cumulative walk — the order statistic a sharded ingest merges
+    * cell-wise instead of sorting 100 TB. */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    Ranks.histogramMedianAudit(Tables.documents(s, dir), "source", "n_chars")
+      .orderBy("source")
+
+  private val q162Sql =
+    """WITH vc AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |sz AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ng FROM vc GROUP BY 1),
+      |cum AS (
+      |  SELECT source, v, SUM(n) OVER (PARTITION BY source ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM vc
+      |),
+      |ex AS (SELECT cum.source, MIN(v) AS exact_p50
+      |       FROM cum JOIN sz USING (source)
+      |       WHERE c >= (ng + 1) // 2 GROUP BY 1),
+      |hb AS (SELECT source, CAST(length(bin(v)) - 1 AS BIGINT) AS b,
+      |         SUM(n) AS nb
+      |       FROM vc GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT source, b, SUM(nb) OVER (PARTITION BY source ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM hb
+      |),
+      |eb AS (SELECT cb.source, MIN(b) AS mb
+      |       FROM cb JOIN sz USING (source)
+      |       WHERE c >= (ng + 1) // 2 GROUP BY 1),
+      |es AS (SELECT source,
+      |         ((CAST(1 AS BIGINT) << CAST(mb AS INT))
+      |          + (CAST(1 AS BIGINT) << (CAST(mb AS INT) + 1)) - 1) // 2 AS est_p50
+      |       FROM eb)
+      |SELECT sz.source, ng AS n, exact_p50, est_p50,
+      |  (abs(est_p50 - exact_p50) * 1000000) // exact_p50 AS err_ppm
+      |FROM sz JOIN ex USING (source) JOIN es USING (source)
+      |ORDER BY sz.source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q148_kmeans", q148, Some(q148Sql)),
     QueryDef("q149_containment", q149, Some(q149Sql)),
@@ -377,5 +586,11 @@ object Round14b {
     QueryDef("q153_covisitation", q153, Some(q153Sql)),
     QueryDef("q154_collocations", q154, Some(q154Sql)),
     QueryDef("q155_cms_audit", q155, Some(q155Sql)),
-    QueryDef("q156_burst_hours", q156, Some(q156Sql)))
+    QueryDef("q156_burst_hours", q156, Some(q156Sql)),
+    QueryDef("q157_surprisal", q157, Some(q157Sql)),
+    QueryDef("q158_gap_histogram", q158, Some(q158Sql)),
+    QueryDef("q159_decayed_popularity", q159, Some(q159Sql)),
+    QueryDef("q160_triangles", q160, Some(q160Sql)),
+    QueryDef("q161_lexical_health", q161, Some(q161Sql)),
+    QueryDef("q162_length_median", q162, Some(q162Sql)))
 }

@@ -250,4 +250,117 @@ class Round14bOpsSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "event_type")
     assert(graft.ops.TimeSeries.burstHours(events, factorPct = 100).count() === 0L)
   }
+
+  // ------------------------------------------------- surprisal (q157)
+  test("surprisalScore: hand-computed bit-trick log2, per-100 floor division") {
+    // corpus: n(a)=2, n(b)=2, n(c)=1, N=5
+    // s(a) = floor(log2(5 div 2)) = 1; s(b) = 1; s(c) = floor(log2(5)) = 2
+    val docs = Seq(("d1", "a a b"), ("d2", "b c")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.surprisalScore(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d1: 3 toks, 2·1 + 1·1 = 3, 300 div 3 = 100
+    // d2: 2 toks, 1 + 2 = 3, 300 div 2 = 150
+    assert(out === Array(("d1", 3L, 3L, 100L), ("d2", 2L, 3L, 150L)))
+  }
+
+  test("surprisalScore: exact power-of-two ratio lands on the integer boundary") {
+    // n(a)=1, n(b)=3, N=4: s(a) = floor(log2(4)) = 2 exactly — the
+    // case a double log2 can miss by one ulp
+    val docs = Seq(("d1", "a b b b")).toDF("doc_id", "text")
+    val r = graft.ops.TextStats.surprisalScore(docs).collect()(0)
+    // a: 1·2; b: 3·floor(log2(4 div 3 = 1)) = 0 → sum 2
+    assert((r.getLong(1), r.getLong(2)) === ((4L, 2L)))
+  }
+
+  // -------------------------------------------- gap histogram (q158)
+  test("gapHistogram: log2 buckets, same-second gaps in bucket -1") {
+    def ts(s: String) = Timestamp.valueOf(s"2026-01-01 00:$s")
+    val events = Seq(
+      (1L, ts("00:00"), "u1"), (2L, ts("00:01"), "u1"), // gap 1 → bucket 0
+      (3L, ts("00:05"), "u1"), (4L, ts("00:05"), "u1"), // gap 4 → bucket 2, gap 0 → -1
+      (5L, ts("00:09"), "u2")                           // first event, no gap
+    ).toDF("event_id", "ts", "user_id")
+    val out = graft.ops.TimeSeries.gapHistogram(events)
+      .orderBy("gap_bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array((-1L, 1L, 0L, 0L), (0L, 1L, 1L, 1L), (2L, 1L, 4L, 4L)))
+  }
+
+  // -------------------------------------- decayed popularity (q159)
+  test("decayedPopularity: newest hour gets the top power-of-two weight, depth bounds the window") {
+    def ts(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+    val events = (
+      (0 until 2).map(i => (i.toLong, ts(0), "x")) ++      // h0: 2 (beyond depth)
+      (0 until 3).map(i => (10L + i, ts(1), "x")) ++       // h1: 3 (rank 2, w=1)
+      Seq((20L, ts(2), "x"))                               // h2: 1 (rank 1, w=2)
+    ).toDF("event_id", "ts", "event_type")
+    val r = graft.ops.TimeSeries.decayedPopularity(events, depth = 2).collect()(0)
+    // score = 1·2^1 + 3·2^0 = 5; h0 falls outside depth=2
+    assert((r.getString(0), r.getLong(1), r.getLong(3)) === (("x", 2L, 5L)))
+    // latest_hour is the hour-truncated grid cell, not the raw ts
+    assert(r.getTimestamp(2) === Timestamp.valueOf("2026-01-01 02:00:00"))
+  }
+
+  // ------------------------------------------------ triangles (q160)
+  test("triangleCounts: square + chord, reversed duplicates and self-loops collapse") {
+    // a-b-c-d-a cycle plus chord a-c → triangles (a,b,c) and (a,c,d)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"), ("b", "a") /* reversed dup */, ("a", "a") /* self-loop */)
+      .toDF("a", "b")
+    val out = graft.ops.Triangles.triangleCounts(edges)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("a", 2L), ("b", 1L), ("c", 2L), ("d", 1L)))
+  }
+
+  test("triangleCounts: a star has no triangles; K4 has four") {
+    val star = (1 to 6).map(i => ("hub", s"leaf$i")).toDF("a", "b")
+    assert(graft.ops.Triangles.triangleCounts(star).count() === 0L)
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d")).toDF("a", "b")
+    val out = graft.ops.Triangles.triangleCounts(k4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    // each K4 node sits in C(3,2) = 3 of the 4 triangles
+    assert(out === Array(("a", 3L), ("b", 3L), ("c", 3L), ("d", 3L)))
+  }
+
+  // ------------------------------------------- lexical health (q161)
+  test("lexicalHealth: hand-computed TTR and hapax ppm per source") {
+    val docs = Seq(("s1", "a a a b"), ("s1", "a c"), ("s2", "x x"))
+      .toDF("source", "text")
+    val out = graft.ops.TextStats.lexicalHealth(docs)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // s1: 6 tokens, 3 types (a=4, b=1, c=1), 2 hapax →
+    //   ttr 500000, hapax 666666; s2: 2 tokens, 1 type, 0 hapax
+    // (columns: source, n_tokens, n_types, n_hapax, ttr_ppm, hapax_ppm)
+    assert(out === Array(
+      ("s1", 6L, 3L, 2L, 500000L, 666666L),
+      ("s2", 2L, 1L, 0L, 500000L, 0L)))
+  }
+
+  // ------------------------------------- histogram median audit (q162)
+  test("histogramMedianAudit: exact lower median vs log2-bucket midpoint estimate") {
+    // g1 values 1..5: n=5, target rank 3 → exact 3; buckets
+    // 1|2,3|4,5 cumulate 1,3 → mb=1, est = (2+4-1) div 2 = 2,
+    // err = 1e6 div 3 = 333333
+    val df = ((1 to 5).map(v => ("g1", v.toLong)) :+ (("g2", 8L)))
+      .toDF("source", "n_chars")
+    val out = graft.ops.Ranks.histogramMedianAudit(df, "source", "n_chars")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // g2: one value 8 → exact 8, bucket 3, est (8+16-1) div 2 = 11,
+    // err = 3e6 div 8 = 375000
+    assert(out === Array(
+      ("g1", 5L, 3L, 2L, 333333L),
+      ("g2", 1L, 8L, 11L, 375000L)))
+  }
+
+  test("histogramMedianAudit: log2 buckets keep the estimate within 2x (err_ppm <= 1e6)") {
+    val df = (1 to 200).map(v => ("g", (v * 7 % 97 + 1).toLong)).toDF("source", "n_chars")
+    val r = graft.ops.Ranks.histogramMedianAudit(df, "source", "n_chars").collect()(0)
+    assert(r.getLong(4) <= 1000000L)
+  }
 }
