@@ -506,6 +506,54 @@ object TextStats {
         expr("(surprisal_sum * 100L) div n_toks"))
   }
 
+  /** BIGRAM conditional surprisal — the fluency step up from
+    * [[surprisalScore]]'s unigram model: per adjacent pair the score
+    * is `floor(log2(n(w1·) div n(w1,w2)))` — how unpredictable w2 is
+    * GIVEN w1 under the corpus transition counts (`n(w1·)` = pairs
+    * starting with w1). A document of corpus-typical transitions
+    * scores ~0; scrambled or off-domain text scores high — the
+    * closest an exact integer pipeline gets to an LM perplexity gate,
+    * with the same `length(bin(·))−1` bit-trick log2 (engine and
+    * oracle agree bit-for-bit). Documents shorter than 2 tokens have
+    * no transitions and are absent from the output.
+    *
+    * Shape at scale: the map-only pair explode collapses to
+    * (doc, w1, w2, m) with map-side combine and is PERSISTED (the
+    * [[surprisalScore]] lesson — three consumers, one corpus scan);
+    * the transition table and its prefix totals derive from the
+    * collapse, vocabulary²-bounded, and join back on (w1, w2) / w1.
+    * Returns (doc_id, n_pairs, surprisal_sum, surprisal_per_100). */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > lit(0))
+    val pd = docs
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("__id"),
+        explode_outer(transform(sequence(lit(0), size(col("__t")) - 2),
+          i => struct(element_at(col("__t"), i + 1).as("w1"),
+            element_at(col("__t"), i + 2).as("w2")))).as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .groupBy("__id", "__w1", "__w2").agg(count(lit(1)).as("__m"))
+      .cache()
+    pd.count() // eager, so the three consumers don't race the cache
+    val pairTot = pd.groupBy("__w1", "__w2")
+      .agg(sum(col("__m")).as("__np")).alias("pc")
+    val prefTot = pairTot.groupBy(col("pc.__w1").as("__w1"))
+      .agg(sum(col("__np")).as("__nl")).alias("lc")
+    pd.alias("p")
+      .join(pairTot, col("p.__w1") === col("pc.__w1") &&
+        col("p.__w2") === col("pc.__w2"))
+      .join(prefTot, col("p.__w1") === col("lc.__w1"))
+      .select(col("p.__id").as("__id"), col("p.__m").as("__m"),
+        (col("p.__m") * (length(bin(expr("lc.__nl div pc.__np"))) - 1)).as("__s"))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum(col("__m")).as("n_pairs"),
+        sum(col("__s")).as("surprisal_sum"))
+      .withColumn("surprisal_per_100",
+        expr("(surprisal_sum * 100L) div n_pairs"))
+  }
+
   /** Per-source LEXICAL HEALTH: type-token ratio and hapax share —
     * the two numbers that catch a degenerate feed before any model
     * sees it. A scraped source whose TTR collapses is template spam
