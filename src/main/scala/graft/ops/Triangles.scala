@@ -38,17 +38,25 @@ object Triangles {
     * Returns (node, n_triangles). */
   def triangleCounts(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame = {
+    // cached: the degree aggregation and the orientation join both
+    // scan it — without the cache each consumer re-runs the caller's
+    // whole edge-building pipeline (for q160: a corpus scan each)
     val canon = edges
       .select(least(col(aCol), col(bCol)).as("__lo"),
         greatest(col(aCol), col(bCol)).as("__hi"))
       .filter(col("__lo") < col("__hi")) // drops self-loops and nulls
       .distinct()
+      .cache()
     val deg = canon.select(col("__lo").as("__n"))
       .unionAll(canon.select(col("__hi").as("__n")))
       .groupBy("__n").agg(count(lit(1)).as("__d"))
     // orient lower (deg, node) → higher; __lo < __hi breaks deg ties
     val loFirst = col("__dlo") < col("__dhi") ||
       (col("__dlo") === col("__dhi"))
+    // materialized ONCE (eager localCheckpoint): the wedge self-join
+    // reads it twice and the closure join a third time — unchecked,
+    // the plan repeats the scan+orientation tower three times
+    // (measured in explain("formatted"))
     val oriented = canon
       .join(deg.withColumnRenamed("__n", "__lo").withColumnRenamed("__d", "__dlo"),
         Seq("__lo"))
@@ -57,6 +65,8 @@ object Triangles {
       .select(when(loFirst, col("__lo")).otherwise(col("__hi")).as("src"),
         when(loFirst, col("__hi")).otherwise(col("__lo")).as("dst"),
         when(loFirst, col("__dhi")).otherwise(col("__dlo")).as("dst_deg"))
+      .localCheckpoint(true)
+    canon.unpersist()
     // wedges x→y, x→z with rank(y) < rank(z); the closure edge then
     // must be oriented y→z, so one equi-join on (y, z) finishes it
     val x = oriented.alias("x"); val y = oriented.alias("y")
