@@ -75,6 +75,20 @@ object Clustering {
       .map(r => r.getSeq[Long](1).toArray).toSeq
     require(cents.length == k, s"kmeans: corpus has fewer than k=$k rows")
 
+    // enforce the documented exactness bound instead of silently
+    // overflowing the Long distance fold: dims·(2·max|q|)² must stay
+    // < 2⁶³. One cheap aggregate over the just-cached frame (BigInt —
+    // the check itself must not overflow).
+    val dims = cents.head.length
+    val maxRow = q.select(max(greatest(array_max(col("__q")),
+      -array_min(col("__q")))).cast(LongType)).head()
+    val maxAbs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val worst = BigInt(dims) * (BigInt(maxAbs) * 2).pow(2)
+    require(worst < BigInt(2).pow(63),
+      s"kmeans: dims=$dims x (2*max|quantized|=${2 * maxAbs})^2 = $worst " +
+        s">= 2^63 would overflow the exact Long distance fold; lower " +
+        s"quantScale (=$quantScale) or normalize the embeddings")
+
     var round = 0
     while (round < iterations) {
       // assignment is PROJECTED BEFORE the posexplode: a projection

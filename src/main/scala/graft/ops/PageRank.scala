@@ -132,11 +132,16 @@ object PageRank {
     val nS = seedVerts.count()
     require(nS > 0, "no seed is a vertex of the graph")
     val tele = (Scale * (100 - dampingPct) / 100) / nS
-    // vertex frame with its teleport column — the only loop-state
-    // difference vs uniform PageRank
+    require(tele > 0,
+      s"personalizedRanks: teleport quantum floors to 0 at nS=$nS seeds " +
+        s"(Scale=$Scale, dampingPct=$dampingPct) -- ranks would silently " +
+        s"degenerate; raise Scale or shrink the seed set")
+    // vertex frame with its teleport column AND an explicit seed flag —
+    // seed membership must never be inferred from __tele > 0 (a floored
+    // quantum would zero the seeds' initial mass instead of failing)
     val vt = verts
       .join(broadcast(sd.withColumn("__s", lit(1))), Seq("id"), "left_outer")
-      .select(col("id"),
+      .select(col("id"), col("__s").isNotNull.as("__seed"),
         when(col("__s").isNotNull, lit(tele)).otherwise(lit(0L)).as("__tele"))
       .cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
@@ -144,7 +149,7 @@ object PageRank {
 
     val midCkpt = iterations > midCheckpointAbove
     var ranks = vt.select(col("id"),
-      when(col("__tele") > 0, lit(Scale / nS)).otherwise(lit(0L)).as("r"))
+      when(col("__seed"), lit(Scale / nS)).otherwise(lit(0L)).as("r"))
     if (midCkpt) ranks = ranks.localCheckpoint(true)
     var lastCkpt: DataFrame = if (midCkpt) ranks else null
     var i = 0
