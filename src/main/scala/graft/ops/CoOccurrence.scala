@@ -1,8 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Co-occurrence mining, in two granularities a training/analytics
   * pipeline both needs: SET co-occurrence (two items seen by the same
@@ -115,5 +116,42 @@ object CoOccurrence {
                AS BIGINT)""").as("lift_ppm"))
       .orderBy(col("n_pair").desc, col("w1"), col("w2"))
       .limit(k)
+  }
+
+  /** NEXT-TOKEN table: for every prefix token seen at least
+    * `minPrefix` times, its top-`k` successors by transition count —
+    * the materialized bigram LM head. This is the artifact an
+    * autocomplete, a speculative-decoding draft table, or a
+    * "fluency vs corpus statistics" eval reads; [[TextStats
+    * .bigramSurprisal]] scores documents against exactly these
+    * transition counts, this view exposes the model itself.
+    * `cond_ppm = n_pair·1e6 div n_prefix` is the exact integer
+    * conditional probability P(w2|w1) in ppm.
+    *
+    * Shape at scale: one map-only pair extraction collapsed by
+    * (w1, w2) with map-side combine ([[adjacentPairCounts]]) — the
+    * window then ranks FOLLOWER SETS (per-prefix distinct successors,
+    * vocabulary-bounded), never the corpus row stream; the
+    * `minPrefix` gate drops the hapax-prefix long tail before the
+    * shuffle into the window. Ties rank (count desc, w2 asc) — a
+    * total order, so the emitted table is deterministic.
+    *
+    * Returns (w1, rank, w2, n_pair, n_prefix, cond_ppm). */
+  def nextTokenTopK(docs: DataFrame, k: Int = 3, minPrefix: Long = 20L,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minPrefix >= 1)
+    val pairs = adjacentPairCounts(docs, textCol)
+    val pref = pairs.groupBy(col("w1").as("__w1"))
+      .agg(sum(col("n_pair")).as("n_prefix"))
+      .filter(col("n_prefix") >= minPrefix)
+    val w = Window.partitionBy(col("w1"))
+      .orderBy(col("n_pair").desc, col("w2"))
+    pairs.join(pref, col("w1") === col("__w1"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("rank"), col("w2"), col("n_pair"),
+        col("n_prefix"),
+        expr("(n_pair * 1000000L) div n_prefix").as("cond_ppm"))
+      .orderBy(col("w1"), col("rank"))
   }
 }

@@ -1517,4 +1517,54 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("vec_id_a").as("vec_id"), col("vec_id_b").as("nn_id"))
   }
+
+  // ------------------------------------------------- edit distance
+  /** EDIT-DISTANCE near-dup pairs: all document pairs with Levenshtein
+    * distance ≤ `maxDist`, verified EXACTLY — the character-level
+    * complement of the token-set detectors (MinHash sees bags of
+    * shingles; edit distance sees insertions/deletions/substitutions
+    * in order, which is what catches templated rewrites and OCR-grade
+    * corruption that preserve most grams but not token sets, and is
+    * the classic contract for short fields like titles).
+    *
+    * Blocking is by LENGTH BUCKET of width `maxDist + 1`: since
+    * lev(a,b) ≥ |len(a) − len(b)|, every qualifying pair sits in the
+    * same or adjacent buckets — the left side expands to its three
+    * neighbor buckets, the right side keeps its one, so each pair is
+    * examined EXACTLY once and recall is 1 by the length lower bound
+    * (no probabilistic candidate step to replay). The verify uses
+    * Spark's thresholded `levenshtein(l, r, maxDist)` — banded
+    * O(len·maxDist) DP instead of full O(len²), returning −1 above
+    * the threshold.
+    *
+    * Shape at scale: the bucket join shuffles on a derived integer
+    * key with ~uniform occupancy for natural length distributions
+    * (bucket width is the tolerance, not a corpus statistic); cost is
+    * Σ_b |b|·|b±1| verifications — quadratic only within a length
+    * band, the inherent price of the exact contract. Skewed bands
+    * (billions of same-length docs) call for a second blocking key
+    * (e.g. first-codepoint class) composed the same way.
+    *
+    * Returns (doc_a, doc_b, len_a, len_b, dist), doc_a < doc_b,
+    * ordered by (doc_a, doc_b). */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 40,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDist >= 1)
+    val w = maxDist + 1
+    val d = docs.select(col(idCol).as("__id"), col(textCol).as("__tx"),
+      length(col(textCol)).cast(LongType).as("__len"),
+      expr(s"length($textCol) div $w").as("__b"))
+    val left = d.select(col("__id"), col("__tx"), col("__len"),
+      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__jb"))
+    val right = d.select(col("__id").as("__idb"), col("__tx").as("__txb"),
+      col("__len").as("__lenb"), col("__b").as("__bb"))
+    left.join(right, col("__jb") === col("__bb") && col("__id") < col("__idb"))
+      .filter(abs(col("__len") - col("__lenb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("__tx"), col("__txb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("__id").as("doc_a"), col("__idb").as("doc_b"),
+        col("__len").as("len_a"), col("__lenb").as("len_b"),
+        col("dist").cast(LongType).as("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -142,4 +142,66 @@ object Ranks {
       .withColumn("bucket", expr(s"($buckets * (rnk - 1)) div __ng"))
       .drop("__ng")
   }
+
+  /** RECIPROCAL-RANK-FUSION of several quality signals: every row is
+    * ranked under each signal independently (descending, id
+    * tie-break — the exact radix rank, no corpus-sized window), and
+    * the fused score is `Σ_s 1e6 div (k0 + rank_s)` — the standard
+    * RRF formula (Cormack et al., SIGIR'09) in exact integer
+    * arithmetic. Rank fusion is how a curation pipeline combines
+    * incommensurable signals (a classifier score, an LM-fluency
+    * proxy, a length prior) without learning weights or normalizing
+    * distributions: only the ORDER under each signal matters, so one
+    * signal's scale can't drown another, and a document must rank
+    * well under several lenses to surface.
+    *
+    * `signals` are (name, integer column) pairs. Each is mapped into
+    * [0, 1) for [[exactGroupRank]] by `(s − min) / 2^bits(max−min)`
+    * with the OBSERVED min/max (a broadcast one-row aggregate, no
+    * driver action): subtracting the integer min is exact, and
+    * dividing by a power of two is exact in Double while the shifted
+    * value is < 2⁵² — so the map is STRICTLY monotone (never
+    * collapses distinct signals into a rounding tie) and spreads the
+    * real signal range across the radix cells instead of squashing a
+    * bounded signal into one corpus-sized fine cell. Ranges ≥ 2⁵²
+    * raise rather than silently break monotonicity. Ranks therefore
+    * equal the direct (signal desc, id asc) order — what a SQL replay
+    * spells with ROW_NUMBER.
+    *
+    * Shape at scale: one radix rank per signal (map-side-combined
+    * cell counts, cell-bounded windows) joined back on the id — S
+    * bounded joins, no global sort anywhere. Returns
+    * (id, rank_<name>..., rrf_score) with rrf_score descending
+    * (id tie-break). */
+  def rrfFusion(df: DataFrame, idCol: String,
+      signals: Seq[(String, Column)], k0: Int = 60): DataFrame = {
+    require(signals.nonEmpty && k0 >= 1)
+    val base = df.select(col(idCol) +: signals.map { case (n, c) =>
+      c.cast("long").as(s"__s_$n") }: _*)
+    val ranked = signals.foldLeft(base) { case (acc, (n, _)) =>
+      val s = col(s"__s_$n")
+      val stats = acc.agg(min(s).as("__mn"), (max(s) - min(s)).as("__rg"))
+        .select(col("__mn"),
+          when(col("__rg") >= lit(1L << 52),
+            raise_error(lit(s"rrfFusion: signal $n range >= 2^52 — " +
+              "Double map would stop being exact"))).otherwise(
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(__rg)) AS INT))"))
+            .as("__pw"))
+      val r = exactGroupRank(
+        acc.crossJoin(broadcast(stats))
+          .select(lit(0).as("__g"), col(idCol),
+            ((s - col("__mn")).cast("double") / col("__pw").cast("double"))
+              .as("__v0")),
+        "__g", idCol, col("__v0"))
+        .select(col(idCol).as(s"__rid_$n"), col("rnk").as(s"rank_$n"))
+      acc.join(r, col(idCol) === col(s"__rid_$n")).drop(s"__rid_$n")
+    }
+    val fused = signals.map { case (n, _) =>
+      expr(s"1000000L div (${k0}L + rank_$n)") }
+      .reduce(_ + _)
+    ranked
+      .select(col(idCol) +: signals.map { case (n, _) => col(s"rank_$n") } :+
+        fused.as("rrf_score"): _*)
+      .orderBy(col("rrf_score").desc, col(idCol))
+  }
 }

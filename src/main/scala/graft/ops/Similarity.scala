@@ -855,4 +855,47 @@ object Similarity {
         (col("dist2").cast(DecimalType(38, 0)) * col("__nd") >
           lit(factor) * col("__sumd")).as("is_outlier"))
   }
+
+  /** HARD-NEGATIVE mining for contrastive training: each vector's
+    * `k` nearest neighbors among vectors of a DIFFERENT label — the
+    * near-but-wrong examples a retrieval/embedding trainer pairs with
+    * its positives (same machinery as [[Dedup.nearestSameLabel]]'s
+    * q22 twin, label predicate inverted, top-k instead of top-1).
+    * Distances are exact integer squared distances on fixed-point
+    * quantized vectors (the [[centroidOutliers]] quantize idiom), so
+    * ranking is bit-replayable — no IEEE summation order to disagree
+    * on. Ties rank (dist2 asc, id asc).
+    *
+    * Shape at scale: the cross-label pair stream is the exact-kNN
+    * quadratic — inherent to the EXACT contract — but each task's
+    * slice reduces to k entries in the bounded-heap [[TopKAgg]]
+    * BEFORE the exchange (shuffle = n·k rows, never n²), and the
+    * label-inequality join itself broadcasts the smaller side under
+    * AQE. For approximate mining at 100 TB swap the candidate stream
+    * for the IVF probe path ([[ivfKnn]]); this operator is the
+    * ground-truth end of that recall curve. dist2 < 2⁵³ is required
+    * for the heap's Double ordering key to stay exact — with the
+    * default 1e4 scale and unit-normalized 64-dim embeddings the
+    * bound is 64·(2·1e4)² ≈ 2.6·10¹⁰, three orders inside it.
+    *
+    * Returns (idCol, rank, neg_id, dist2) ordered by (idCol, rank). */
+  def hardNegatives(emb: DataFrame, k: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1)
+    val q = emb.select(col(idCol).as("__id"), col(labelCol).as("__lab"),
+      quantized(vecCol, quantScale).as("__q"))
+    val a = q.alias("a"); val b = q.alias("b")
+    a.join(b, col("a.__lab") =!= col("b.__lab"))
+      .select(col("a.__id").as("__qid"), col("b.__id").as("__cand"),
+        aggregate(zip_with(col("a.__q"), col("b.__q"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+          .as("__d2"))
+      .groupBy(col("__qid"))
+      .agg(TopKAgg.topK(col("__d2"), col("__cand"), k, largest = false).as("tk"))
+      .select(col("__qid").as(idCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as("neg_id"), col("e.ord").cast(LongType).as("dist2"))
+      .orderBy(col(idCol), col("rank"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** SPARSE document similarity by inverted-index join — term-at-a-time
+  * TF-IDF cosine, the lexical complement of the dense-embedding
+  * operators ([[Similarity]]): no vectors to fit or store, similarity
+  * flows directly from the postings the corpus already implies. This
+  * is the scalable spelling of "cosine over TF-IDF vectors": instead
+  * of materializing n² pairs, only documents SHARING a term ever
+  * meet, via a self-join of the (token, doc, weight) posting list on
+  * the token key — the candidate set is Σ_t df_t², driven by the
+  * document-frequency profile, not the corpus square.
+  *
+  * Everything is exact integer arithmetic, bit-replayable by a SQL
+  * engine: term weight `w = tf · idfbits` with
+  * `idfbits = floor(log2(N div df))` (the `length(bin(·))−1` trick —
+  * the integer-quantized IDF [[TextStats.surprisalScore]] also
+  * uses), and the ranking score is the 1e12-scaled squared cosine
+  * `(1e12·dot²) div (‖a‖²·‖b‖²)` — cross-multiplied in DECIMAL(38,0)
+  * with an IntegralDivide, so no IEEE rounding anywhere. Since
+  * dot² ≤ ‖a‖²·‖b‖² (Cauchy-Schwarz), the score is ≤ 1e12 and always
+  * fits a BIGINT; intermediates stay inside DECIMAL(38,0) while
+  * dot < 10¹² (enforced loudly by ANSI decimal overflow, not
+  * silently).
+  *
+  * Pruning is part of the SEMANTICS (and of any replay): tokens with
+  * `idfbits = 0` (df > N/2 — stopword-grade) or `df > maxDf` carry no
+  * signal but quadratic join cost, so they are dropped from postings
+  * AND norms — the classic posting-list cap, same guard family as the
+  * dedup band-bucket cap. Weights, norms, and dots are all in the
+  * pruned space.
+  */
+object SparseSim {
+
+  /** Top-`k` most-similar documents per document. Returns
+    * (doc_id, rank, sim_id, score_e12), ranked per doc by
+    * (score desc, sim_id asc — the heap's tie rule), ordered by
+    * (doc_id, rank). Documents sharing no surviving term with anyone
+    * are absent.
+    *
+    * Shape at scale: one tokenize pass collapses to (doc, token, tf)
+    * with map-side combine; df and N derive from the collapse
+    * (vocabulary-sized); the pair join shuffles postings by token
+    * with bounded lists (maxDf); each task's pair slice reduces to k
+    * heap entries ([[TopKAgg]]) BEFORE the exchange — shuffle out of
+    * the ranking stage is n·k rows. score_e12 < 2⁵³ always (it is
+    * ≤ 1e12), so the heap's Double ordering key is exact. */
+  def tfidfTopK(docs: DataFrame, k: Int = 5, maxDf: Long = 1000000L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && maxDf >= 2)
+    val tf = docs
+      .select(col(idCol).as("__id"),
+        explode(filter(split(col(textCol), "\\s+"), t => length(t) > lit(0)))
+          .as("__tok"))
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__tf"))
+      .cache()
+    tf.count() // df, N and postings all read the one collapse
+    val dfreq = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val nDocs = tf.select(countDistinct(col("__id")).as("__N"))
+    // surviving postings: weight = tf · floor(log2(N div df)), with
+    // zero-weight (df > N/2) and hot (df > maxDf) tokens pruned
+    val post = tf
+      .join(dfreq, "__tok")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") <= lit(maxDf))
+      .select(col("__id"), col("__tok"),
+        (col("__tf") * (length(bin(expr("__N div __df"))) - 1)).as("__w"))
+      .filter(col("__w") > 0)
+      .cache()
+    post.count() // norms and the pair join share it
+    val norms = post.groupBy("__id")
+      .agg(sum(col("__w") * col("__w")).as("__n2"))
+    val a = post.alias("a"); val b = post.alias("b")
+    val dots = a.join(b,
+        col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("__da"), col("b.__id").as("__db"))
+      .agg(sum(col("a.__w") * col("b.__w")).as("__dot"))
+    // both orientations rank (the matrix is symmetric, the top-k not)
+    val mirrored = dots.select(col("__da"), col("__db"), col("__dot"))
+      .union(dots.select(col("__db").as("__da"), col("__da").as("__db"),
+        col("__dot")))
+    val out = mirrored
+      .join(norms.select(col("__id").as("__na"), col("__n2").as("__n2a")),
+        col("__da") === col("__na"))
+      .join(norms.select(col("__id").as("__nb"), col("__n2").as("__n2b")),
+        col("__db") === col("__nb"))
+      .select(col("__da"), col("__db"), col("__dot"),
+        expr("""CAST((CAST(__dot AS DECIMAL(38,0)) * CAST(__dot AS DECIMAL(38,0))
+                      * 1000000000000)
+                 div (CAST(__n2a AS DECIMAL(38,0)) * CAST(__n2b AS DECIMAL(38,0)))
+               AS BIGINT)""").as("__score"))
+      .groupBy(col("__da"))
+      .agg(TopKAgg.topK(col("__score"), col("__db"), k, largest = true)
+        .as("tk"))
+      .select(col("__da"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__da").as(idCol),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as("sim_id"),
+        col("e.ord").cast(LongType).as("score_e12"))
+      .orderBy(col(idCol), col("rank"))
+    val materialized = out.cache()
+    materialized.count()
+    tf.unpersist(blocking = false)
+    post.unpersist(blocking = false)
+    materialized
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+  * window of `w` consecutive gram hashes, and select each window's
+  * MINIMUM (rightmost on ties). The selected set is a position-robust
+  * sketch with guaranteed detection: any shared run of w + k − 1
+  * tokens contributes at least one COMMON fingerprint to both
+  * documents, and expected density is 2/(w+1) of the grams — the
+  * local-minimum guarantee that plain "sample every j-th gram" or
+  * MinHash-per-doc sketches don't give (MinHash bounds set
+  * resemblance; winnowing localizes MATCHING SUBSTRINGS, which is
+  * what plagiarism / boilerplate-overlap detection needs).
+  *
+  * Everything is exact integer arithmetic on the replayable
+  * [[Classifier.tokenHash]] codepoint fold: gram hash = polynomial
+  * combine of the k token hashes mod [[Classifier.HashPrime]]; window
+  * selection uses the packed key `gh·2²⁴ + (2²⁴−1−pos)` whose MIN is
+  * (smallest hash, rightmost position) in one comparison — both
+  * engines compute identical fingerprints, so a SQL oracle replays
+  * the whole pipeline bit-for-bit.
+  */
+object Winnowing {
+
+  private val P = Classifier.HashPrime
+  /** Position packing base; documents must have < 2²⁴ grams. */
+  private val PosBase = 1L << 24
+
+  /** Per-gram polynomial hash over the k token hashes. */
+  private def gramHash(toks: Column, i: Column, k: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(k - 1)),
+        j => Classifier.tokenHash(element_at(toks, i + j + 1))),
+      lit(0L), (acc, h) => (acc * 10007L + h) % lit(P))
+
+  /** The distinct selected fingerprints per document:
+    * (idCol, fp, n_fps) where n_fps is the document's sketch size
+    * (shared by every row of the doc). Documents shorter than k
+    * tokens have no grams and are absent; documents with fewer than
+    * `w` grams contribute the minimum over all their grams (the
+    * window frame truncates at the partition edge), so every document
+    * with ≥ k tokens carries ≥ 1 fingerprint.
+    *
+    * Shape at scale: gram hashing is map-only (transform over a
+    * sequence — no positional self-join); the selection window is
+    * per-document ROWS-framed (w rows of state, streaming — never a
+    * document-sized sort buffer beyond the one ORDER BY pos, which is
+    * document-bounded, not corpus-bounded). */
+  def fingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > lit(0))
+    val grams = docs
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col("__id"),
+        // the guard lives INSIDE a consumed column so projection
+        // pruning can't drop it: fail LOUDLY past the packing bound
+        // instead of corrupting keys
+        when(size(col("__t")) >= lit(PosBase.toInt),
+          raise_error(concat(lit("Winnowing: >= 2^24 tokens in doc "),
+            col("__id").cast("string"))).cast("int"))
+          .otherwise(size(col("__t")) - lit(k)).as("__maxpos"),
+        posexplode(transform(sequence(lit(0), size(col("__t")) - k),
+          i => gramHash(col("__t"), i, k))).as(Seq("__pos", "__gh")))
+    // packed key: min == (hash asc, pos desc) — rightmost minimal gram
+    val key = (col("__gh") * lit(PosBase) +
+      (lit(PosBase - 1L) - col("__pos"))).cast(LongType)
+    val sel = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val selected = grams
+      .withColumn("__sel", min(key).over(sel))
+      // full windows only (short docs: pos 0 survives, frame truncates)
+      .filter(col("__pos") <= greatest(col("__maxpos") - lit(w - 1), lit(0)))
+      .select(col("__id"), expr(s"__sel div ${PosBase}L").as("fp"))
+      .distinct()
+    val counts = selected.groupBy("__id").agg(count(lit(1)).as("n_fps"))
+    selected.join(counts, "__id")
+      .select(col("__id").as(idCol), col("fp"), col("n_fps"))
+  }
+
+  /** Fingerprint-overlap pairs: documents sharing at least
+    * `minShared` selected fingerprints, with
+    * `overlap_ppm = n_shared·1e6 div min(n_a, n_b)` (containment-style
+    * vs the smaller sketch). Fingerprints appearing in more than
+    * `maxDf` documents are excluded from the pair join (NOT from the
+    * sketch sizes) — the posting-list cap that keeps a boilerplate
+    * fingerprint from exploding the join quadratically, same guard
+    * family as the dedup band-bucket cap; the cap is part of the
+    * operator's semantics and any replay.
+    *
+    * Returns (doc_a, doc_b, n_shared, n_a, n_b, overlap_ppm),
+    * doc_a < doc_b, ordered by (doc_a, doc_b). */
+  def overlapPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 64L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2)
+    val fps = fingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol).as("__id"), col("fp"), col("n_fps"))
+      .cache()
+    fps.count() // two consumers below — one fingerprint pass, not two
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select(col("fp"))
+    val joinable = fps.join(rare, "fp")
+    val a = joinable.alias("a"); val b = joinable.alias("b")
+    val out = a.join(b,
+        col("a.fp") === col("b.fp") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        col("a.n_fps").as("n_a"), col("b.n_fps").as("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("(n_shared * 1000000L) div least(n_a, n_b)").as("overlap_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    val materialized = out.cache()
+    materialized.count()
+    fps.unpersist(blocking = false)
+    materialized
+  }
+}

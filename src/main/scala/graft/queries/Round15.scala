@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.{CoOccurrence, Dedup, Ranks, Similarity, SparseSim, Winnowing}
+import graft.ops.{Classifier, TextStats}
+
+/** Round-15 battery additions: winnowing fingerprints (MOSS),
+  * contrastive hard-negative mining, the materialized bigram LM head,
+  * reciprocal-rank-fusion quality ensembling, exact edit-distance
+  * near-dup pairs, and sparse inverted-index TF-IDF similarity. All
+  * reference-scope-none LLM-pipeline extensions (SURVEY §8).
+  */
+object Round15 {
+
+  /** DuckDB twin of [[graft.ops.Classifier.tokenHash]] as a scalar
+    * over an identifier `t` bound in scope. */
+  private def tokHashSql(t: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length($t) + 1),
+       |        c -> CAST(unicode(substr($t, CAST(c AS INT), 1)) AS BIGINT))),
+       |      (acc, ch) -> (acc * 131 + ch) % 1000000007)""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  /** WINNOWING fingerprint overlap ([[graft.ops.Winnowing]]): MOSS
+    * k=3-gram hashes, window w=4 rightmost-minimum selection, pairs
+    * sharing ≥ 2 selected fingerprints with containment-style ppm vs
+    * the smaller sketch. The oracle replays the token-hash fold, the
+    * gram combine, the packed-key window minimum, and the df cap
+    * bit-for-bit. */
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    Winnowing.overlapPairs(Tables.documents(s, dir),
+      k = 3, w = 4, minShared = 2L, maxDf = 64L)
+
+  private val q166Sql = {
+    val gram = // hash of the k=3 gram starting at 0-based pos i
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(0, 3), j ->
+         |        ${tokHashSql("tk[CAST(i + j + 1 AS INT)]")})),
+         |      (acc, h) -> (acc * 10007 + h) % 1000000007)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> length(x) > 0) AS tk
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, len(tk) - 3 AS maxpos, CAST(i AS BIGINT) AS pos,
+       |    $gram AS gh
+       |  FROM t, UNNEST(range(0, len(tk) - 2)) AS u(i)
+       |  WHERE len(tk) >= 3
+       |),
+       |sel AS (
+       |  SELECT doc_id, pos, maxpos,
+       |    MIN(gh * 16777216 + (16777215 - pos)) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey
+       |  FROM g
+       |),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, skey // 16777216 AS fp
+       |  FROM sel WHERE pos <= greatest(maxpos - 3, 0)
+       |),
+       |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps
+       |         FROM fps GROUP BY doc_id),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64),
+       |jf AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM jf a JOIN jf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |)
+       |SELECT p.doc_a, p.doc_b, p.n_shared,
+       |  ca.n_fps AS n_a, cb.n_fps AS n_b,
+       |  CAST((p.n_shared * 1000000) // least(ca.n_fps, cb.n_fps) AS BIGINT)
+       |    AS overlap_ppm
+       |FROM p JOIN cnts ca ON ca.doc_id = p.doc_a
+       |       JOIN cnts cb ON cb.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q167
+  /** HARD-NEGATIVE mining ([[graft.ops.Similarity.hardNegatives]]):
+    * each vector's 5 nearest different-label neighbors by exact
+    * integer quantized distance — the contrastive-training
+    * counterpart of q22's same-label nearest neighbor. Heap-ranked
+    * (TopKAgg); the oracle is the window spelling over the full
+    * cross-label pair set. */
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(s, dir), k = 5)
+
+  private val q167Sql =
+    """WITH q AS (
+      |  SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |),
+      |p AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS cand,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(len(a.qv)), i ->
+      |        (a.qv[CAST(i + 1 AS INT)] - b.qv[CAST(i + 1 AS INT)])
+      |        * (a.qv[CAST(i + 1 AS INT)] - b.qv[CAST(i + 1 AS INT)]))),
+      |      (acc, x) -> acc + x) AS BIGINT) AS d2
+      |  FROM q a JOIN q b ON a.label <> b.label
+      |),
+      |r AS (
+      |  SELECT qid, cand, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cand) AS rk
+      |  FROM p
+      |)
+      |SELECT qid AS vec_id, CAST(rk AS BIGINT) AS rank,
+      |  cand AS neg_id, d2 AS dist2
+      |FROM r WHERE rk <= 5
+      |ORDER BY vec_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  /** NEXT-TOKEN table ([[graft.ops.CoOccurrence.nextTokenTopK]]): the
+    * top-3 successors of every prefix token seen ≥ 20 times, with the
+    * exact integer conditional probability in ppm — the materialized
+    * bigram LM head that q164's fluency scoring reads implicitly. */
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    CoOccurrence.nextTokenTopK(Tables.documents(s, dir),
+      k = 3, minPrefix = 20L)
+
+  private val q168Sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents
+      |),
+      |pr AS (
+      |  SELECT unnest(list_transform(range(1, len(tk)),
+      |    i -> struct_pack(w1 := tk[CAST(i AS INT)],
+      |                     w2 := tk[CAST(i AS INT) + 1]))) AS p
+      |  FROM t WHERE len(tk) >= 2
+      |),
+      |pc AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+      |       FROM pr GROUP BY 1, 2),
+      |pref AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_prefix
+      |         FROM pc GROUP BY 1 HAVING SUM(n_pair) >= 20),
+      |r AS (
+      |  SELECT pc.w1, pc.w2, pc.n_pair, pref.n_prefix,
+      |    ROW_NUMBER() OVER (PARTITION BY pc.w1
+      |      ORDER BY pc.n_pair DESC, pc.w2) AS rk
+      |  FROM pc JOIN pref USING (w1)
+      |)
+      |SELECT w1, CAST(rk AS BIGINT) AS rank, w2, n_pair, n_prefix,
+      |  CAST((n_pair * 1000000) // n_prefix AS BIGINT) AS cond_ppm
+      |FROM r WHERE rk <= 3
+      |ORDER BY w1, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+  /** RECIPROCAL-RANK-FUSION quality ensemble ([[graft.ops.Ranks
+    * .rrfFusion]]): the q105 classifier score, the q91 corpus
+    * familiarity, and the length prior fused by exact integer RRF —
+    * rank-space combination of incommensurable signals, each rank an
+    * exact radix order statistic. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fam = TextStats.unigramFamiliarity(docs)
+      .select(col("doc_id"), col("familiarity"))
+    val sig = docs.select(col("doc_id"), col("n_chars"),
+        Classifier.hashedLinearScore(col("text"), 64L).as("__qs"))
+      .join(fam, "doc_id")
+    Ranks.rrfFusion(sig, "doc_id", Seq(
+      ("quality", col("__qs")),
+      ("familiar", col("familiarity")),
+      ("length", col("n_chars"))))
+  }
+
+  private val q169Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |  FROM documents
+       |),
+       |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+       |fam AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS familiarity
+       |  FROM toks JOIN freq USING (tok) GROUP BY doc_id
+       |),
+       |sig AS (
+       |  SELECT d.doc_id, ${Round13.scoreFold} AS sq,
+       |    fam.familiarity AS sf, d.n_chars AS sl
+       |  FROM documents d JOIN fam ON fam.doc_id = d.doc_id
+       |),
+       |r AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY sq DESC, doc_id) AS rq,
+       |    ROW_NUMBER() OVER (ORDER BY sf DESC, doc_id) AS rf,
+       |    ROW_NUMBER() OVER (ORDER BY sl DESC, doc_id) AS rl
+       |  FROM sig
+       |)
+       |SELECT doc_id,
+       |  CAST(rq AS BIGINT) AS rank_quality,
+       |  CAST(rf AS BIGINT) AS rank_familiar,
+       |  CAST(rl AS BIGINT) AS rank_length,
+       |  CAST(1000000 // (60 + rq) + 1000000 // (60 + rf)
+       |       + 1000000 // (60 + rl) AS BIGINT) AS rrf_score
+       |FROM r
+       |ORDER BY rrf_score DESC, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q170
+  /** EDIT-DISTANCE near-dup pairs ([[graft.ops.Dedup
+    * .editDistancePairs]]): all pairs within Levenshtein 40,
+    * length-bucket-blocked (recall 1 by the |Δlen| lower bound),
+    * banded-DP verified. The oracle is the unblocked all-pairs
+    * spelling — the blocking must be invisible. */
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, dir), maxDist = 40)
+
+  private val q170Sql =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(length(a.text) AS BIGINT) AS len_a,
+      |  CAST(length(b.text) AS BIGINT) AS len_b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+      |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      |WHERE levenshtein(a.text, b.text) <= 40
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q171
+  /** SPARSE TF-IDF top-k similarity ([[graft.ops.SparseSim
+    * .tfidfTopK]]): inverted-index join, integer `tf·⌊log2(N/df)⌋`
+    * weights, 1e12-scaled exact squared-cosine ranking — the lexical
+    * similarity path that needs no embeddings. The oracle replays
+    * weights, norms, dots and the HUGEINT cross-multiplied score. */
+  private def q171(s: SparkSession, dir: String): DataFrame =
+    SparseSim.tfidfTopK(Tables.documents(s, dir), k = 5)
+
+  private val q171Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(list_filter(
+      |          regexp_split_to_array(text, '\s+'), x -> length(x) > 0)) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |),
+      |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+      |post AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    tf.tf * (length(bin(nn.n // df.df)) - 1) AS w
+      |  FROM tf JOIN df USING (tok) CROSS JOIN nn
+      |  WHERE df.df <= 1000000
+      |    AND tf.tf * (length(bin(nn.n // df.df)) - 1) > 0
+      |),
+      |norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+      |          FROM post GROUP BY 1),
+      |dots AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+      |  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |m AS (SELECT da, db, dot FROM dots
+      |      UNION ALL SELECT db, da, dot FROM dots),
+      |sc AS (
+      |  SELECT m.da, m.db,
+      |    CAST((CAST(m.dot AS HUGEINT) * m.dot * 1000000000000)
+      |         // (CAST(na.n2 AS HUGEINT) * nb.n2) AS BIGINT) AS score
+      |  FROM m JOIN norms na ON na.doc_id = m.da
+      |         JOIN norms nb ON nb.doc_id = m.db
+      |),
+      |r AS (
+      |  SELECT da, db, score,
+      |    ROW_NUMBER() OVER (PARTITION BY da ORDER BY score DESC, db) AS rk
+      |  FROM sc
+      |)
+      |SELECT da AS doc_id, CAST(rk AS BIGINT) AS rank, db AS sim_id,
+      |  score AS score_e12
+      |FROM r WHERE rk <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q166_winnow_overlap", q166, Some(q166Sql)),
+    QueryDef("q167_hard_negatives", q167, Some(q167Sql)),
+    QueryDef("q168_next_token", q168, Some(q168Sql)),
+    QueryDef("q169_rrf_quality", q169, Some(q169Sql)),
+    QueryDef("q170_edit_distance_pairs", q170, Some(q170Sql)),
+    QueryDef("q171_sparse_tfidf_topk", q171, Some(q171Sql)))
+}
