@@ -37,6 +37,20 @@ import org.apache.spark.sql.functions._
   *  - inc     → "incremental_dedup": fixed batch vs x1/x10 corpus;
   *    index build cost reported separately (stored + amortized in
   *    production), inc_sec vs full_sec growth is the operator's claim.
+  *  - winnow  → q166 winnowing fingerprint + overlap pairs,
+  *    x1/x10/x30 replicated docs. Replicas of a doc share its
+  *    fingerprint set, so emitted pairs grow ~n²/2 per family BY
+  *    CONSTRUCTION (the dedup-section argument): wall is expected to
+  *    track OUTPUT pairs, and sec-per-1k-pairs is the honest rate.
+  *    Fingerprinting itself (map-only gram hashing + per-doc window)
+  *    is the ~linear-in-tokens part.
+  *  - sparsesim → q171 inverted-index TF-IDF top-k, x1/x10. The
+  *    candidate set is Σ_t df_t² — replication multiplies every
+  *    surviving df by n, so candidates grow ~n² on this synthetic
+  *    clique corpus by construction (real corpora grow df sublinearly
+  *    with volume); the claim under test is that cost tracks the
+  *    candidate count, not the corpus square, and that the stopword
+  *    pruning (df > N/2) keeps holding as N scales with df.
   */
 object Scaling {
 
@@ -63,7 +77,8 @@ object Scaling {
       (wallSec * 100.0 * Runtime.getRuntime.availableProcessors())
   }
 
-  val sectionNames: Seq[String] = Seq("dedup", "pagerank", "packing", "rank", "inc")
+  val sectionNames: Seq[String] =
+    Seq("dedup", "pagerank", "packing", "rank", "inc", "winnow", "sparsesim")
 
   /** bench.json object key per section. */
   def jsonKey(section: String): String =
@@ -153,6 +168,11 @@ object Scaling {
           val ranked = graft.ops.Ranks.exactGroupRank(base, "lang", "doc_id",
             graft.ops.TextStats.qualityScore(col("text")))
           graft.ops.Ranks.withQuantileBucket(ranked, "lang", buckets = 10).count()
+        case "winnow" =>
+          graft.ops.Winnowing.overlapPairs(base, k = 3, w = 4,
+            minShared = 2L, maxDf = 64L).count()
+        case "sparsesim" =>
+          graft.ops.SparseSim.tfidfTopK(base, k = 5).count()
         case _ => ()
       }
     } catch { case _: Throwable => () }
@@ -252,6 +272,46 @@ object Scaling {
                 graft.ops.TextStats.qualityScore(col("text")))
               graft.ops.Ranks.withQuantileBucket(ranked, "lang", buckets = 10).count()
             }
+            sweep(spark)
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
+            points += f"""{"x":$x,"docs":$nDocs,"rows":$rows,"sec":$t%.2f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
+          } else truncated = true
+        }
+
+      case "winnow" =>
+        // winnowing fingerprints + df-capped overlap join: replicas
+        // share fingerprints, so pairs grow ~n²/2 per family by
+        // construction (see the object scaladoc); x30 keeps every
+        // fingerprint's df (≈30 per family) under the maxDf=64 cap
+        Seq(1, 10, 30).foreach { x =>
+          if (elapsed < budgetSec) {
+            val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
+            val df = if (x == 1) base else replicate(x)
+            val nDocs = df.count()
+            val (p, t) = timed(graft.ops.Winnowing.overlapPairs(df,
+              k = 3, w = 4, minShared = 2L, maxDf = 64L).count())
+            sweep(spark)
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
+            val perK = if (p > 0) t / (p / 1000.0) else 0.0
+            points += f"""{"x":$x,"docs":$nDocs,"pairs":$p,"sec":$t%.2f,"sec_per_1k_pairs":$perK%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
+          } else truncated = true
+        }
+
+      case "sparsesim" =>
+        // inverted-index TF-IDF top-k: candidates are Σ_t df_t², which
+        // replication inflates ~n² on this clique corpus — the honest
+        // rate is sec per 1k ranked output rows with the candidate
+        // blowup documented (object scaladoc)
+        Seq(1, 10).foreach { x =>
+          if (elapsed < budgetSec) {
+            val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
+            val df = if (x == 1) base else replicate(x)
+            val nDocs = df.count()
+            val (rows, t) = timed(graft.ops.SparseSim.tfidfTopK(df, k = 5).count())
             sweep(spark)
             val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
             points += f"""{"x":$x,"docs":$nDocs,"rows":$rows,"sec":$t%.2f,"load":$la%.1f,"steal_pct":$sp%.2f}"""

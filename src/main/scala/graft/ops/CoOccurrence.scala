@@ -154,4 +154,41 @@ object CoOccurrence {
         expr("(n_pair * 1000000L) div n_prefix").as("cond_ppm"))
       .orderBy(col("w1"), col("rank"))
   }
+
+  /** SKIP-GRAM co-occurrence counts: unordered token pairs within
+    * `window` positions of each other (the word2vec/GloVe context
+    * substrate — [[adjacentPairCounts]] is the window=1 directional
+    * special case). Pairs are canonicalized (least, greatest) so each
+    * unordered co-occurrence counts once per position pair; the top-k
+    * by (count desc, w_a, w_b) is a deterministic total order.
+    *
+    * Shape at scale: pair extraction is ONE map-only nested
+    * transform+flatten (≤ window·len pairs per doc, no positional
+    * self-join), collapsed by pair with map-side combine; the
+    * `minCount` gate drops the hapax tail before the final
+    * TakeOrdered (never a full sort). Returns (w_a, w_b, n_cooc). */
+  def skipgramCounts(docs: DataFrame, window: Int = 3, minCount: Long = 2L,
+      k: Int = 30, textCol: String = "text"): DataFrame = {
+    require(window >= 1 && minCount >= 1 && k >= 1)
+    val toks = filter(split(col(textCol), "\\s+"), x => length(x) > lit(0))
+    docs.select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      // j ranges 1..min(window, n-1-i): never empty for i ≤ n-2, so
+      // sequence() cannot flip into its descending mode
+      .select(explode_outer(flatten(transform(
+        sequence(lit(0), size(col("__t")) - 2),
+        i => transform(
+          sequence(lit(1), least(lit(window), size(col("__t")) - 1 - i)),
+          j => struct(
+            least(element_at(col("__t"), i + 1),
+              element_at(col("__t"), i + j + 1)).as("wa"),
+            greatest(element_at(col("__t"), i + 1),
+              element_at(col("__t"), i + j + 1)).as("wb"))))))
+        .as("__p"))
+      .groupBy(col("__p.wa").as("w_a"), col("__p.wb").as("w_b"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+      .orderBy(col("n_cooc").desc, col("w_a"), col("w_b"))
+      .limit(k)
+  }
 }

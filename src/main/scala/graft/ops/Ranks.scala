@@ -130,6 +130,57 @@ object Ranks {
         expr("(abs(est_p50 - exact_p50) * 1000000L) div exact_p50"))
   }
 
+  /** [[histogramMedianAudit]] generalized to a SET of percentiles —
+    * the full capacity-plan read (p25/p50/p75/p95 of document length,
+    * say) from ONE pass over the same two walks: per-(group, value)
+    * counts cumulated over the value domain (exact), and per-(group,
+    * log2-bucket) counts cumulated over ≤ 64 buckets (the mergeable
+    * sketch), each probed at every target rank
+    * `⌊(n−1)·pct/100⌋ + 1` via a broadcast percentile list. Window
+    * partitions stay VALUE-DOMAIN-sized; the percentile fan-out
+    * multiplies only the tiny post-aggregation frames. Values must be
+    * ≥ 1. Returns (group, pct, n, exact_v, est_v, err_ppm) ordered by
+    * (group, pct). */
+  def histogramQuantileAudit(df: DataFrame, groupCol: String,
+      valueCol: String, pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val pctDf = df.sparkSession.range(1)
+      .select(explode(typedLit(pcts.map(_.toLong))).as("pct"))
+    val vc = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val sizes = vc.groupBy(groupCol).agg(sum(col("__n")).as("n"))
+    val wv = Window.partitionBy(groupCol).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = vc
+      .withColumn("__cum", sum(col("__n")).over(wv))
+      .join(broadcast(sizes), groupCol)
+      .crossJoin(broadcast(pctDf))
+      .filter(col("__cum") >= expr("((n - 1) * pct) div 100 + 1"))
+      .groupBy(groupCol, "pct").agg(min(col("__v")).as("exact_v"))
+    val wb = Window.partitionBy(groupCol).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = vc
+      .withColumn("__b", (length(bin(col("__v"))) - 1).cast("long"))
+      .groupBy(col(groupCol), col("__b")).agg(sum(col("__n")).as("__nb"))
+      .withColumn("__cum", sum(col("__nb")).over(wb))
+      .join(broadcast(sizes), groupCol)
+      .crossJoin(broadcast(pctDf))
+      .filter(col("__cum") >= expr("((n - 1) * pct) div 100 + 1"))
+      .groupBy(groupCol, "pct").agg(min(col("__b")).as("__mb"))
+      .withColumn("est_v",
+        expr("""(shiftleft(CAST(1 AS BIGINT), CAST(__mb AS INT))
+                + shiftleft(CAST(1 AS BIGINT), CAST(__mb AS INT) + 1) - 1)
+               div 2"""))
+      .select(col(groupCol), col("pct"), col("est_v"))
+    exact.join(est, Seq(groupCol, "pct"))
+      .join(broadcast(sizes), groupCol)
+      .select(col(groupCol), col("pct"), col("n"), col("exact_v"),
+        col("est_v"),
+        expr("(abs(est_v - exact_v) * 1000000L) div exact_v").as("err_ppm"))
+      .orderBy(col(groupCol), col("pct"))
+  }
+
   /** Attach the quantile bucket (0-based, `buckets` of them) each
     * ranked row falls in: bucket = ⌊buckets·(rank−1)/n_group⌋ — the
     * exact-percentile gate ("decile ≤ 2" = top 30%). Group sizes are

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.{CoOccurrence, Dedup, Ranks, Similarity, SparseSim, Winnowing}
+import graft.ops.{CoOccurrence, Dedup, Hll, Ranks, Similarity, SparseSim, Winnowing}
 import graft.ops.{Classifier, TextStats}
 
 /** Round-15 battery additions: winnowing fingerprints (MOSS),
@@ -273,11 +273,158 @@ object Round15 {
       |FROM r WHERE rk <= 5
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  /** SKIP-GRAM co-occurrence ([[graft.ops.CoOccurrence
+    * .skipgramCounts]]): unordered token pairs within 3 positions,
+    * the word2vec/GloVe context substrate — top-30 by count under a
+    * total order. */
+  private def q172(s: SparkSession, dir: String): DataFrame =
+    CoOccurrence.skipgramCounts(Tables.documents(s, dir),
+      window = 3, minCount = 2L, k = 30)
+
+  private val q172Sql =
+    """WITH t AS (
+      |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents
+      |),
+      |p AS (
+      |  SELECT unnest(flatten(list_transform(range(0, len(tk) - 1), i ->
+      |    list_transform(range(1, least(3, len(tk) - 1 - i) + 1), j ->
+      |      struct_pack(
+      |        wa := least(tk[CAST(i + 1 AS INT)], tk[CAST(i + j + 1 AS INT)]),
+      |        wb := greatest(tk[CAST(i + 1 AS INT)], tk[CAST(i + j + 1 AS INT)])
+      |      ))))) AS p
+      |  FROM t WHERE len(tk) >= 2
+      |)
+      |SELECT p.wa AS w_a, p.wb AS w_b, CAST(COUNT(*) AS BIGINT) AS n_cooc
+      |FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY n_cooc DESC, w_a, w_b
+      |LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------- q173
+  /** Replayable HLL cardinality audit ([[graft.ops.Hll
+    * .bigramCardinalityAudit]]): per-source distinct-BIGRAM estimate
+    * (the q164/q168 transition-table sizing read) from a 256-register
+    * sketch with a DOCUMENTED hash, next to the exact count and the
+    * err_ppm that grades it — the mergeable distinct-count sibling of
+    * q155's CMS audit, with the whole register table and harmonic sum
+    * replayed bit-for-bit. */
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    Hll.bigramCardinalityAudit(Tables.documents(s, dir))
+
+  private val q173Sql = {
+    val th = tokHashSql("tok")
+    s"""WITH t AS (
+       |  SELECT source, list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> length(x) > 0) AS tk
+       |  FROM documents
+       |),
+       |col AS (
+       |  SELECT DISTINCT source,
+       |    tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS tok
+       |  FROM t, UNNEST(range(1, len(tk))) AS u(i)
+       |  WHERE len(tk) >= 2
+       |),
+       |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |       FROM col GROUP BY 1),
+       |h AS (
+       |  SELECT source,
+       |    CAST((CAST($th AS HUGEINT) * 777767777767)
+       |         % 1099511627776 AS BIGINT) AS h40
+       |  FROM col
+       |),
+       |b AS (SELECT source, h40 // 4294967296 AS b,
+       |        h40 % 4294967296 AS low FROM h),
+       |r AS (SELECT source, b,
+       |        MAX(CASE WHEN low = 0 THEN 33
+       |            ELSE 33 - length(bin(low)) END) AS r
+       |      FROM b GROUP BY 1, 2),
+       |s AS (
+       |  SELECT source,
+       |    CAST(SUM(1::BIGINT << CAST(33 - r AS INT)) AS BIGINT) AS wsum,
+       |    CAST(COUNT(*) AS BIGINT) AS n_buckets_hit
+       |  FROM r GROUP BY 1
+       |),
+       |est AS (
+       |  SELECT source, n_buckets_hit,
+       |    CAST((CAST(718272 AS HUGEINT) * 65536 * 8589934592)
+       |         // (CAST(1000000 AS HUGEINT)
+       |             * (wsum + (256 - n_buckets_hit) * (1::BIGINT << 33)))
+       |      AS BIGINT) AS n_est
+       |  FROM s
+       |)
+       |SELECT est.source, ex.n_exact, est.n_est,
+       |  CAST((abs(est.n_est - ex.n_exact) * 1000000) // ex.n_exact
+       |    AS BIGINT) AS err_ppm,
+       |  est.n_buckets_hit
+       |FROM est JOIN ex USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q174
+  /** Mergeable-histogram QUANTILE audit ([[graft.ops.Ranks
+    * .histogramQuantileAudit]]): p25/p50/p75/p95 of document length
+    * per language — the q162 median audit generalized to the full
+    * capacity-plan read, exact order statistics beside the log2-bucket
+    * sketch estimates. */
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    Ranks.histogramQuantileAudit(Tables.documents(s, dir),
+      "lang", "n_chars", Seq(25, 50, 75, 95))
+
+  private val q174Sql =
+    """WITH pcts(pct) AS (VALUES (25), (50), (75), (95)),
+      |vc AS (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |sizes AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM vc GROUP BY 1),
+      |cum AS (
+      |  SELECT lang, v, SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS c
+      |  FROM vc
+      |),
+      |ex AS (
+      |  SELECT cum.lang, pcts.pct, MIN(v) AS exact_v
+      |  FROM cum JOIN sizes USING (lang) CROSS JOIN pcts
+      |  WHERE c >= ((n - 1) * pct) // 100 + 1
+      |  GROUP BY 1, 2
+      |),
+      |bc AS (
+      |  SELECT lang, length(bin(v)) - 1 AS b, SUM(cnt) AS cnt
+      |  FROM vc GROUP BY 1, 2
+      |),
+      |bcum AS (
+      |  SELECT lang, b, SUM(cnt) OVER (PARTITION BY lang ORDER BY b) AS c
+      |  FROM bc
+      |),
+      |es AS (
+      |  SELECT bcum.lang, pcts.pct, MIN(b) AS mb
+      |  FROM bcum JOIN sizes USING (lang) CROSS JOIN pcts
+      |  WHERE c >= ((n - 1) * pct) // 100 + 1
+      |  GROUP BY 1, 2
+      |),
+      |ev AS (
+      |  SELECT lang, pct,
+      |    ((1::BIGINT << CAST(mb AS INT))
+      |     + (1::BIGINT << (CAST(mb AS INT) + 1)) - 1) // 2 AS est_v
+      |  FROM es
+      |)
+      |SELECT ex.lang, CAST(ex.pct AS BIGINT) AS pct, sizes.n,
+      |  ex.exact_v, ev.est_v,
+      |  CAST((abs(ev.est_v - ex.exact_v) * 1000000) // ex.exact_v
+      |    AS BIGINT) AS err_ppm
+      |FROM ex JOIN ev USING (lang, pct) JOIN sizes USING (lang)
+      |ORDER BY lang, pct""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q166_winnow_overlap", q166, Some(q166Sql)),
     QueryDef("q167_hard_negatives", q167, Some(q167Sql)),
     QueryDef("q168_next_token", q168, Some(q168Sql)),
     QueryDef("q169_rrf_quality", q169, Some(q169Sql)),
     QueryDef("q170_edit_distance_pairs", q170, Some(q170Sql)),
-    QueryDef("q171_sparse_tfidf_topk", q171, Some(q171Sql)))
+    QueryDef("q171_sparse_tfidf_topk", q171, Some(q171Sql)),
+    QueryDef("q172_skipgram_cooc", q172, Some(q172Sql)),
+    QueryDef("q173_hll_audit", q173, Some(q173Sql)),
+    QueryDef("q174_quantile_audit", q174, Some(q174Sql)))
 }

@@ -163,6 +163,59 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(graft.ops.SparseSim.tfidfTopK(docs, k = 3).count() === 0L)
   }
 
+  // --------------------------------- skip-gram co-occurrence (q172)
+  test("skipgramCounts: window fan-out, canonical pair order, clipping at doc end") {
+    val docs = Seq((1L, "a b c d"), (2L, "b a")).toDF("doc_id", "text")
+    // window 2, doc1: (a,b) (a,c) (b,c) (b,d) (c,d); doc2: (a,b) canonical
+    val out = graft.ops.CoOccurrence.skipgramCounts(docs, window = 2,
+      minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L),
+      ("b", "d", 1L), ("c", "d", 1L)))
+  }
+
+  // ------------------------------------------- HLL audit (q173)
+  test("Hll: shard register tables merge by cell-wise max into the union's table") {
+    val shardA = (1 to 300).map(i => ("g", s"tok$i")).toDF("__g", "__tok")
+    val shardB = (200 to 500).map(i => ("g", s"tok$i")).toDF("__g", "__tok")
+    val union = shardA.union(shardB)
+    val merged = graft.ops.Hll.registerTable(shardA)
+      .union(graft.ops.Hll.registerTable(shardB))
+      .groupBy("__g", "__b").agg(max($"__r").as("__r"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sorted
+    val direct = graft.ops.Hll.registerTable(union)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).sorted
+    assert(merged === direct)
+  }
+
+  test("Hll: audit's exact count is exact and err_ppm is internally consistent") {
+    val keys = (1 to 800).map(i => ("g", s"key$i")) ++ Seq(("g", "key1"))
+    val out = graft.ops.Hll.cardinalityAudit(
+      keys.toDF("__g", "__tok"), "__g", "__tok").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (exact, est, err) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(exact === 800L) // the duplicate key collapses
+    assert(err === math.abs(est - exact) * 1000000L / exact)
+    // in the calibrated range (n > 2.5m) the sketch should be within ~3 sigma
+    assert(err < 200000L, s"estimate $est vs exact $exact")
+  }
+
+  // --------------------------------- quantile audit (q174)
+  test("histogramQuantileAudit: hand-computed exact ranks and bucket midpoints") {
+    val docs = (1L to 10L).map(v => ("g", v)).toDF("grp", "v")
+    val out = graft.ops.Ranks.histogramQuantileAudit(docs, "grp", "v",
+      Seq(25, 50, 75, 95))
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // ranks: p25->3, p50->5, p75->7, p95->9; buckets cum: b0:1 b1:3 b2:7 b3:10
+    assert(out.toSeq === Seq(
+      (25L, 3L, 2L, 333333L),
+      (50L, 5L, 5L, 0L),
+      (75L, 7L, 5L, 285714L),
+      (95L, 9L, 11L, 222222L)))
+  }
+
   // --------------------------------- round-14 advice guards
   test("kmeans: quantization overflow fails loudly, not silently") {
     val emb = (1L to 4L).map(i => (i, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
