@@ -30,11 +30,11 @@ import org.apache.spark.sql.functions._
   *    no-mid-checkpoint default doesn't hide superlinear
   *    analysis/codegen cost (round-11 advice); x30 extends the
   *    linear-in-edges evidence one decade (round-12 ask #6).
-  *  - packing → x1/x10 replicated docs (two-phase prefix sum: fixed
-  *    number of shuffles over (id,count) longs, ~linear in docs).
+  *  - packing → x1/x10/x30 replicated docs (two-phase prefix sum:
+  *    fixed number of shuffles over (id,count) longs, ~linear in docs).
   *  - rank    → q88 exact radix rank/deciles x1/x10/x30: the claim
   *    under test is "no corpus-sized window partition".
-  *  - inc     → "incremental_dedup": fixed batch vs x1/x10 corpus;
+  *  - inc     → "incremental_dedup": fixed batch vs x1/x10/x30 corpus;
   *    index build cost reported separately (stored + amortized in
   *    production), inc_sec vs full_sec growth is the operator's claim.
   *  - winnow  → q166 winnowing fingerprint + overlap pairs,
@@ -237,8 +237,10 @@ object Scaling {
 
       case "packing" =>
         // concat-and-cut over the replicated corpus (perturbation
-        // tokens shift counts slightly — irrelevant, only volume matters)
-        Seq(1, 10).foreach { x =>
+        // tokens shift counts slightly — irrelevant, only volume
+        // matters). x30 (round-14 verdict ask #3): the 100× claim for
+        // the pipeline-critical prefix-sum previously stopped at x10.
+        Seq(1, 10, 30).foreach { x =>
           if (elapsed < budgetSec) {
             val la = loadAvg()
             val s0 = stealJiffies()
@@ -325,6 +327,8 @@ object Scaling {
         // production it is stored and amortized across increments.
         // full_sec re-runs the whole funnel over corpus+batch; the gap
         // between inc_sec and full_sec growth is the operator's claim.
+        // x30 (round-14 verdict ask #3) extends the fixed-batch-vs-
+        // growing-corpus evidence the same decade the other curves got.
         val batchSlice = base.filter(col("doc_id") % 10 === 0)
         val corpusSlice = base.filter(col("doc_id") % 10 =!= 0)
         def corpusX(n: Int) = corpusSlice
@@ -336,7 +340,7 @@ object Scaling {
                   i => concat(lit("uq"), col("doc_id").cast("string"),
                     lit("x"), i.cast("string")))))).as("text"),
             col("lang"))
-        Seq(1, 10).foreach { x =>
+        Seq(1, 10, 30).foreach { x =>
           if (elapsed < budgetSec) {
             val la = loadAvg()
             val s0 = stealJiffies()

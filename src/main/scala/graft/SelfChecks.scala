@@ -34,7 +34,8 @@ object SelfChecks {
       "q35_sketches" -> guard(sketchesVsExact(spark, sfDir, outDir)),
       "q54_corpus_sketch" -> guard(corpusSketchVsExact(spark, sfDir, outDir)),
       "q84_incremental_neardup" -> guard(bandBucketsUnderCap(spark, sfDir)),
-      "stream_arrival_end_state" -> guard(streamEqualsChainedBatch(spark, sfDir, outDir)))
+      "stream_arrival_end_state" -> guard(streamEqualsChainedBatch(spark, sfDir, outDir)),
+      "als_planted_blocks" -> guard(alsPlantedBlocks(spark)))
   }
 
   def toJson(results: Seq[(String, (Boolean, String))]): String = {
@@ -272,6 +273,36 @@ object SelfChecks {
     (errs.isEmpty,
       if (errs.isEmpty) f"${rows.length} language pairs; estimates within 0.25 of exact union Jaccard (max dev $maxDev%.3f)"
       else errs.mkString("; "))
+  }
+
+  /** ml/Implicit (ALS): planted-block recovery recorded per round —
+    * previously the one ML component with neither an oracle nor a
+    * self-checks entry (round-14 verdict ask #8). A block-diagonal
+    * implicit-feedback matrix is the one input whose correct ranking
+    * is known a priori: 30 users × 24 items in 3 disjoint blocks,
+    * user u interacting only with block u%3's 8 items. The seeded fit
+    * must rank each user's own block above the other 16 items —
+    * precision@8 against the plant, bound 0.95 mean (exactly 1.0 in
+    * practice; slack because ALS, like any float iterative solver, is
+    * not bit-stable across partitionings, so this is a bounded metric
+    * rather than an exact hash — the declared SURVEY §5 policy for
+    * seeded MLlib fits). */
+  private def alsPlantedBlocks(spark: SparkSession): (Boolean, String) = {
+    val inter = spark.range(0, 30).select(col("id").cast("int").as("user_id"))
+      .crossJoin(spark.range(0, 8).select(col("id").cast("int").as("j")))
+      .select(col("user_id"),
+        ((col("user_id") % 3) * 8 + col("j")).cast("int").as("item_id"),
+        lit(5.0).as("strength"))
+    val model = graft.ml.Implicit.fit(inter, rank = 4, maxIter = 10, seed = 42L)
+    val recs = graft.ml.Implicit.recommendForAllUsers(model, 8)
+    val hits = recs.filter((col("item_id") / 8).cast("int") === col("user_id") % 3)
+      .count()
+    val total = 30L * 8L
+    val precision = hits.toDouble / total
+    (precision >= 0.95,
+      f"planted-block recovery: precision@8 = $precision%.3f " +
+        f"($hits/$total in-block recommendations; bound 0.95, 3 disjoint " +
+        "blocks, seeded implicit ALS rank 4)")
   }
 
   /** Streaming ARRIVAL path recorded in the round artifact (round-12

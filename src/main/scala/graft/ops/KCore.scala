@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * and on a co-occurrence graph it extracts the stable phrase
   * vocabulary from incidental adjacency.
   *
-  * Peeling runs a FIXED number of rounds, not to a data-dependent
-  * fixpoint — the [[Clustering.kmeans]] bounded-round contract that
-  * keeps the computation a pure function of (graph, k, rounds) and
-  * lets a SQL oracle replay every round as a generated CTE. Each
+  * Peeling runs AT MOST a fixed number of rounds, not to an unbounded
+  * data-dependent fixpoint — the [[Clustering.kmeans]] bounded-round
+  * contract that keeps the computation a pure function of
+  * (graph, k, rounds) and lets a SQL oracle replay every round as a
+  * generated CTE. A converged graph exits early (unchanged edge count
+  * ⇒ unchanged edge set ⇒ every remaining round is the identity), so
+  * early exit is output-identical to the full-round run and the
+  * fixed-round oracle contract survives untouched. Each
   * round is two map-side-combined degree aggregations and two
   * LEFT SEMI joins (edge endpoints against surviving nodes) — all
   * shuffle-keyed equi-joins, no driver-side state, and the frames
@@ -50,8 +54,16 @@ object KCore {
       .filter(col("__lo") < col("__hi"))
       .distinct()
     var lastCkpt: DataFrame = null
+    // Convergence early-exit is EXACT, not an approximation of the
+    // fixed-round contract: peeling only ever REMOVES edges, so an
+    // unchanged edge COUNT means an unchanged edge SET, and every
+    // remaining round would be the identity — the early-exit output is
+    // bit-identical to the full-rounds output (KCoreSpec proves it on
+    // a cascade graph). The count() is free in practice: the frame was
+    // just eagerly localCheckpointed, so it reads cached partitions.
+    var prevEdges = -1L
     var i = 0
-    while (i < rounds) {
+    while (i < rounds && prevEdges != 0L) {
       val deg = e.select(col("__lo").as("__n"))
         .unionAll(e.select(col("__hi").as("__n")))
         .groupBy("__n").agg(count(lit(1)).as("__d"))
@@ -62,7 +74,8 @@ object KCore {
         .localCheckpoint(true)
       if (lastCkpt != null) lastCkpt.unpersist()
       lastCkpt = e
-      i += 1
+      val n = e.count()
+      if (n == prevEdges) i = rounds else { prevEdges = n; i += 1 }
     }
     // degrees of the round-R surviving subgraph, UNFILTERED — if the
     // peel converged these are all ≥ k (the spec's convergence

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -580,5 +581,228 @@ object TextStats {
         sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .withColumn("ttr_ppm", expr("(n_types * 1000000L) div n_tokens"))
       .withColumn("hapax_ppm", expr("(n_hapax * 1000000L) div n_types"))
+  }
+
+  /** Intra-document REPETITION gate, the per-gram-count half of the
+    * MassiveText/Gopher repetition battery (Rae et al. '21 §A1.1).
+    * [[repetitionProfile]] (q110) gives the float EXCESS fraction
+    * `(total−distinct)/total` per n in one map-only projection — this
+    * operator pays one shuffle for per-gram counts and returns the
+    * two integer-exact cuts that projection cannot express:
+    *  - `rep_ppm` — ALL occurrences of any within-doc duplicated gram
+    *    (count ≥ 2) over total grams, the Gopher "fraction of tokens
+    *    in duplicate n-grams" accounting (a gram seen twice
+    *    contributes 2, not 1 — Gopher cuts dup-3-grams above ~0.18,
+    *    i.e. 180000 ppm here);
+    *  - `top_gram_ppm` — the single most frequent gram's share, the
+    *    Gopher "fraction in most common n-gram" rule that catches the
+    *    same-line-repeated-3000× page the aggregate fraction dilutes.
+    *
+    * Shape at scale: one map-only gram explode collapsed by
+    * (doc, gram) with map-side combine — the per-doc rollup then runs
+    * over distinct-gram-sized data. Gram strings shuffle once; no
+    * joins, no windows. Returns (doc_id, n_grams, n_distinct, n_rep,
+    * max_repeat, rep_ppm, top_gram_ppm); docs shorter than n tokens
+    * are absent. */
+  def repetitionScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    require(n >= 1)
+    val toks = filter(tokens(col(textCol)), t => length(t) > lit(0))
+    docs
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"),
+        explode(transform(sequence(lit(0), size(col("__t")) - n),
+          i => concat_ws(" ", (1 to n).map(j => element_at(col("__t"), i + j)): _*)))
+          .as("__g"))
+      .groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).as("n_rep"),
+        max(col("__c")).as("max_repeat"))
+      .withColumn("rep_ppm", expr("(n_rep * 1000000L) div n_grams"))
+      .withColumn("top_gram_ppm", expr("(max_repeat * 1000000L) div n_grams"))
+  }
+
+  /** Corpus FREQUENCY SPECTRUM — the Zipf doubling histogram: types
+    * and token mass per `floor(log2(count))` bucket. A healthy
+    * natural-language corpus shows the Zipf signature (types decaying
+    * smoothly across buckets, token mass roughly flat); template spam
+    * piles token mass into the top buckets with few types, OCR noise /
+    * mojibake piles types into bucket 0 (hapaxes) far beyond the Zipf
+    * share — the one-page corpus-health read behind [[lexicalHealth]]'s
+    * two scalars, and the sizing read for [[vocabCoverage]]. Same
+    * `length(bin(·))−1` bit-trick log2 as the surprisal ladder: engine
+    * and oracle agree bit-for-bit.
+    *
+    * Shape at scale: one tokenize+explode collapsed by token
+    * (map-side combine), then a ≤64-row bucket aggregate; totals are a
+    * 1-row broadcast. Returns (bucket, n_types, n_tokens, type_ppm,
+    * token_ppm) ascending. */
+  def freqSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(filter(tokens(col(textCol)), t => length(t) > lit(0)))
+        .as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val bucketed = counts
+      .select((length(bin(col("__c"))) - 1).cast("long").as("bucket"), col("__c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"), sum(col("__c")).as("n_tokens"))
+    val tot = bucketed.agg(sum(col("n_types")).as("__T"),
+      sum(col("n_tokens")).as("__N"))
+    bucketed.crossJoin(broadcast(tot))
+      .withColumn("type_ppm", expr("(n_types * 1000000L) div __T"))
+      .withColumn("token_ppm", expr("(n_tokens * 1000000L) div __N"))
+      .select("bucket", "n_types", "n_tokens", "type_ppm", "token_ppm")
+  }
+
+  /** VOCABULARY COVERAGE at large candidate sizes: for each probe s,
+    * the exact token mass covered by the s most frequent types — the
+    * "how big a vocabulary do I need" read that sizes a tokenizer
+    * before the BPE fit ([[graft.text.Subword]]) burns compute, and
+    * the OOV-rate complement (uncovered = 1e6 − coverage_ppm).
+    * [[vocabCoverage]] (q108) materializes the top-n ranked types and
+    * is the right read when n is small and the actual TOKENS matter;
+    * this answers the coverage QUESTION at sizes too large to want
+    * materialized (a web-scale corpus has billions of types — probing
+    * s = 2^26 must not build a 2^26-row ranked frame).
+    *
+    * The trick that makes it scale: coverage needs NO per-type rank.
+    * All types sharing a count contribute that count each, so ranking
+    * detail inside a count level is irrelevant to token mass:
+    *   coverage(s) = Σ_levels min(max(s − cum_types_before, 0), n_types) · c
+    * over the DISTINCT-COUNT levels (count c, types at that count,
+    * cumulative types at higher counts). The vocabulary collapses to
+    * one row per distinct count — O(√N_tokens) rows by the classic
+    * bound (level c needs c·n_types ≤ N) — so the descending
+    * cumulative window is value-domain-sized, never vocab- or
+    * corpus-sized, and each probe is one conditional sum over that
+    * tiny frame. Exact integers throughout; the oracle replays the
+    * same level algebra. Returns (vocab_size, covered_tokens,
+    * coverage_ppm) ascending; a probe larger than the vocabulary
+    * covers everything (1e6 ppm). */
+  def vocabCoverageAt(docs: DataFrame, textCol: String = "text",
+      sizes: Seq[Long] = Seq(1L << 8, 1L << 10, 1L << 12, 1L << 14, 1L << 16))
+      : DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(filter(tokens(col(textCol)), t => length(t) > lit(0)))
+        .as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .cache()
+    counts.count() // eager: levels + the total both read it
+    val levels = counts.groupBy("__c").agg(count(lit(1)).as("__nt"))
+    // value-domain window: one row per DISTINCT count, O(√N) rows
+    val overC = Window.orderBy(col("__c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = levels
+      .withColumn("__ct", coalesce(sum(col("__nt")).over(overC), lit(0L)))
+    val tot = counts.agg(sum(col("__c")).as("__N"))
+    cum.crossJoin(broadcast(sizes.toDF("vocab_size")))
+      .groupBy("vocab_size")
+      .agg(sum(greatest(least(col("vocab_size") - col("__ct"), col("__nt")),
+        lit(0L)) * col("__c")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm", expr("(covered_tokens * 1000000L) div __N"))
+      .select("vocab_size", "covered_tokens", "coverage_ppm")
+  }
+
+  /** TRIGRAM conditional surprisal with STUPID BACKOFF (Brants et al.,
+    * EMNLP'07 "Large Language Models in Machine Translation") — the
+    * order-3 completion of the [[surprisalScore]] (unigram) /
+    * [[bigramSurprisal]] (bigram) fluency ladder, and the first of the
+    * three where the model corpus and the scored corpus MUST differ:
+    * a corpus scored against its own trigram table never backs off
+    * (every trigram counts itself), so the operator takes an explicit
+    * held-out `ref` frame the tables are fit on.
+    *
+    * Per position (w1,w2,w3) in a scored document the bit cost is
+    *   n3(w1,w2,w3) > 0:  floor(log2(c2(w1,w2) div n3))          (trigram hit)
+    *   else n2(w2,w3) > 0: P + floor(log2(c1(w2) div n2))        (back off once)
+    *   else n1(w3) > 0:   2P + floor(log2(N div n1))             (back off twice)
+    *   else:              3P + floor(log2(N))                    (OOV)
+    * with P = `penaltyBits` per backoff level — the integer stand-in
+    * for stupid backoff's α = 0.4 multiplier (−log2 0.4 ≈ 1.32 bits,
+    * rounded up to the default 2 so the penalty stays a whole number
+    * and the oracle replays it as a CASE ladder with zero floating
+    * point; the same `length(bin(·))−1` bit-trick log2 as q157/q164).
+    * c2(w1,w2) = Σ_w n3(w1,w2,w) and c1(w) = Σ_v n2(w,v) are the
+    * context totals, so each hit level is an exact conditional
+    * probability floor. Documents shorter than 3 tokens are absent.
+    *
+    * Shape at scale: the scored side collapses to (doc,w1,w2,w3,m)
+    * with map-side combine before ANY join (a doc repeating a
+    * transition pays the 5-way probe once); the ref side's trigram and
+    * bigram count frames are each PERSISTED because two tables derive
+    * from each (n3→c2, n2→c1 — the [[surprisalScore]] one-scan
+    * lesson), all vocabulary-bounded, all joined back shuffle-keyed.
+    * The corpus total is a 1-row broadcast. Nothing corpus-sized hits
+    * one task. Returns (doc_id, n_scored, n_tri, n_bi, n_uni, n_oov,
+    * surprisal_sum, surprisal_per_100). */
+  def backoffSurprisal(docs: DataFrame, ref: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      penaltyBits: Int = 2): DataFrame = {
+    require(penaltyBits >= 0)
+    val toks = filter(tokens(col(textCol)), t => length(t) > lit(0))
+    def grams(df: DataFrame, n: Int, keepNames: String*): DataFrame = {
+      val keep = keepNames.map(col)
+      val fields = (1 to n).map(j =>
+        element_at(col("__t"), col("__i") + j).as(s"__w$j"))
+      df.select(keep :+ toks.as("__t"): _*)
+        .filter(size(col("__t")) >= n)
+        .select(keep :+ explode(sequence(lit(0), size(col("__t")) - n))
+          .as("__i") :+ col("__t"): _*)
+        .select(keep ++ fields: _*)
+    }
+    val n3 = grams(ref, 3).groupBy("__w1", "__w2", "__w3")
+      .agg(count(lit(1)).as("__n3")).cache()
+    n3.count() // eager: c2 + the probe join both read it
+    val c2 = n3.groupBy(col("__w1").as("__c1w"), col("__w2").as("__c2w"))
+      .agg(sum(col("__n3")).as("__c2"))
+    val n2 = grams(ref, 2).groupBy(col("__w1").as("__b1"), col("__w2").as("__b2"))
+      .agg(count(lit(1)).as("__n2")).cache()
+    n2.count() // eager: c1 + the probe join both read it
+    val c1 = n2.groupBy(col("__b1").as("__l1")).agg(sum(col("__n2")).as("__c1"))
+    val uni = grams(ref, 1).groupBy(col("__w1").as("__u"))
+      .agg(count(lit(1)).as("__n1")).cache()
+    uni.count() // eager: total + the probe join both read it
+    val total = uni.agg(sum(col("__n1")).as("__N"))
+    val p = lit(penaltyBits)
+    def bits(x: Column): Column = length(bin(x)) - 1
+    val scored = grams(docs.select(col(idCol).as("__id"), col(textCol)), 3, "__id")
+      .groupBy("__id", "__w1", "__w2", "__w3").agg(count(lit(1)).as("__m"))
+    val s = when(col("__n3").isNotNull,
+        bits(expr("__c2 div __n3")))
+      .when(col("__n2").isNotNull,
+        p + bits(expr("__c1 div __n2")))
+      .when(col("__n1").isNotNull,
+        p * 2 + bits(expr("__N div __n1")))
+      .otherwise(p * 3 + bits(col("__N")))
+    scored
+      .join(n3, Seq("__w1", "__w2", "__w3"), "left_outer")
+      .join(c2, col("__w1") === col("__c1w") && col("__w2") === col("__c2w"),
+        "left_outer")
+      .join(n2, col("__w2") === col("__b1") && col("__w3") === col("__b2"),
+        "left_outer")
+      .join(c1, col("__w2") === col("__l1"), "left_outer")
+      .join(uni, col("__w3") === col("__u"), "left_outer")
+      .crossJoin(broadcast(total))
+      .select(col("__id"), col("__m"), col("__n3"), col("__n2"),
+        col("__n1"), (col("__m") * s).as("__s"))
+      .groupBy(col("__id").as(idCol))
+      .agg(sum(col("__m")).as("n_scored"),
+        sum(when(col("__n3").isNotNull, col("__m")).otherwise(0L)).as("n_tri"),
+        sum(when(col("__n3").isNull && col("__n2").isNotNull, col("__m"))
+          .otherwise(0L)).as("n_bi"),
+        sum(when(col("__n3").isNull && col("__n2").isNull &&
+          col("__n1").isNotNull, col("__m")).otherwise(0L)).as("n_uni"),
+        sum(when(col("__n3").isNull && col("__n2").isNull &&
+          col("__n1").isNull, col("__m")).otherwise(0L)).as("n_oov"),
+        sum(col("__s")).as("surprisal_sum"))
+      .withColumn("surprisal_per_100",
+        expr("(surprisal_sum * 100L) div n_scored"))
   }
 }

@@ -651,6 +651,14 @@ object Round14 {
     * q82 prefix-sum cut per phase. Oracle: the q17 quality fold, a
     * global rank window, the q68-style bucket arithmetic, and a
     * PARTITION BY phase prefix sum + LATERAL cut. */
+  /** The q145 span map, exposed for q176's fill-efficiency rollup
+    * (same frame, same 256-token budget). */
+  private[queries] def curriculumSpans(s: SparkSession, dir: String): DataFrame =
+    q145(s, dir)
+
+  /** q145's oracle SQL, exposed so q176 can wrap it as a CTE. */
+  private[queries] def curriculumSpansSql: String = q145Sql
+
   private def q145(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val ranked = graft.ops.Ranks.exactGroupRank(

@@ -417,6 +417,224 @@ object Round15 {
       |FROM ex JOIN ev USING (lang, pct) JOIN sizes USING (lang)
       |ORDER BY lang, pct""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** TRIGRAM STUPID-BACKOFF surprisal ([[graft.ops.TextStats
+    * .backoffSurprisal]]): the order-3 fluency gate the round-14
+    * verdict asked for — transition tables fit on the even-id half of
+    * the corpus, the odd-id half scored with trigram→bigram→unigram→
+    * OOV fallback at an integer 2-bit penalty per backoff level
+    * (−log2 0.4 ≈ 1.32 rounded up). Every level is the exact
+    * `length(bin(count div count))−1` bit cost, so the oracle replays
+    * the whole ladder as LEFT JOINs + one CASE with zero floating
+    * point. Held-out split means backoff genuinely fires (a corpus
+    * scored on its own table never backs off). */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextStats.backoffSurprisal(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+      .orderBy("doc_id")
+  }
+
+  private val q175Sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents
+      |),
+      |rtri AS (
+      |  SELECT tk[CAST(i + 1 AS INT)] AS w1, tk[CAST(i + 2 AS INT)] AS w2,
+      |         tk[CAST(i + 3 AS INT)] AS w3
+      |  FROM t, UNNEST(range(0, len(tk) - 2)) AS u(i)
+      |  WHERE doc_id % 2 = 0 AND len(tk) >= 3),
+      |n3t AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n3
+      |        FROM rtri GROUP BY 1, 2, 3),
+      |c2t AS (SELECT w1, w2, CAST(SUM(n3) AS BIGINT) AS c2 FROM n3t GROUP BY 1, 2),
+      |rbi AS (
+      |  SELECT tk[CAST(i + 1 AS INT)] AS a, tk[CAST(i + 2 AS INT)] AS b
+      |  FROM t, UNNEST(range(0, len(tk) - 1)) AS u(i)
+      |  WHERE doc_id % 2 = 0 AND len(tk) >= 2),
+      |n2t AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n2 FROM rbi GROUP BY 1, 2),
+      |c1t AS (SELECT a, CAST(SUM(n2) AS BIGINT) AS c1 FROM n2t GROUP BY 1),
+      |runi AS (SELECT unnest(tk) AS w FROM t WHERE doc_id % 2 = 0),
+      |n1t AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1 FROM runi GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM runi),
+      |sd AS (
+      |  SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS m FROM (
+      |    SELECT doc_id, tk[CAST(i + 1 AS INT)] AS w1,
+      |           tk[CAST(i + 2 AS INT)] AS w2, tk[CAST(i + 3 AS INT)] AS w3
+      |    FROM t, UNNEST(range(0, len(tk) - 2)) AS u(i)
+      |    WHERE doc_id % 2 = 1 AND len(tk) >= 3)
+      |  GROUP BY 1, 2, 3, 4),
+      |j AS (
+      |  SELECT sd.doc_id, sd.m, n3, n2, n1,
+      |    CASE WHEN n3 IS NOT NULL THEN length(bin(c2 // n3)) - 1
+      |         WHEN n2 IS NOT NULL THEN 2 + length(bin(c1 // n2)) - 1
+      |         WHEN n1 IS NOT NULL THEN 4 + length(bin(nn // n1)) - 1
+      |         ELSE 6 + length(bin(nn)) - 1 END AS s
+      |  FROM sd
+      |  LEFT JOIN n3t USING (w1, w2, w3)
+      |  LEFT JOIN c2t USING (w1, w2)
+      |  LEFT JOIN n2t ON n2t.a = sd.w2 AND n2t.b = sd.w3
+      |  LEFT JOIN c1t ON c1t.a = sd.w2
+      |  LEFT JOIN n1t ON n1t.w = sd.w3
+      |  CROSS JOIN tot)
+      |SELECT doc_id,
+      |  CAST(SUM(m) AS BIGINT) AS n_scored,
+      |  CAST(SUM(CASE WHEN n3 IS NOT NULL THEN m ELSE 0 END) AS BIGINT) AS n_tri,
+      |  CAST(SUM(CASE WHEN n3 IS NULL AND n2 IS NOT NULL THEN m ELSE 0 END)
+      |    AS BIGINT) AS n_bi,
+      |  CAST(SUM(CASE WHEN n3 IS NULL AND n2 IS NULL AND n1 IS NOT NULL
+      |    THEN m ELSE 0 END) AS BIGINT) AS n_uni,
+      |  CAST(SUM(CASE WHEN n3 IS NULL AND n2 IS NULL AND n1 IS NULL
+      |    THEN m ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(m * s) AS BIGINT) AS surprisal_sum,
+      |  (CAST(SUM(m * s) AS BIGINT) * 100) // CAST(SUM(m) AS BIGINT)
+      |    AS surprisal_per_100
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+  /** PACKING FILL AUDIT: the efficiency rollup of q145's curriculum
+    * span map — per phase, sequences/docs/spans, token fill vs
+    * capacity in exact ppm, boundary-cut counts (every continuation
+    * span has doc_off > 0, so cuts need no per-doc regroup), and the
+    * tail waste (prefix-sum packing fills every sequence but the
+    * phase's last, so waste == final-sequence slack; the audit proves
+    * it). The read a training-data job checks before burning compute:
+    * how full are the sequences, and how many documents got cut. One
+    * aggregation pass over the span map — the packing itself is the
+    * cost, the audit is free. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    Round14.curriculumSpans(s, dir)
+      .groupBy("phase")
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        sum(col("len")).as("tok_total"),
+        sum(when(col("doc_off") > 0, 1L).otherwise(0L)).as("n_cuts"),
+        countDistinct(when(col("doc_off") > 0, col("doc_id"))).as("n_cut_docs"))
+      .withColumn("capacity", col("n_seqs") * budget)
+      .withColumn("fill_ppm", expr("(tok_total * 1000000L) div capacity"))
+      .withColumn("tail_waste", col("capacity") - col("tok_total"))
+      .orderBy("phase")
+  }
+
+  private val q176Sql =
+    s"""WITH spans AS (
+       |${Round14.curriculumSpansSql}
+       |)
+       |SELECT phase,
+       |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(len) AS BIGINT) AS tok_total,
+       |  CAST(SUM(CASE WHEN doc_off > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  CAST(COUNT(DISTINCT CASE WHEN doc_off > 0 THEN doc_id END) AS BIGINT)
+       |    AS n_cut_docs,
+       |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) * 256 AS capacity,
+       |  (CAST(SUM(len) AS BIGINT) * 1000000)
+       |    // (CAST(COUNT(DISTINCT seq_id) AS BIGINT) * 256) AS fill_ppm,
+       |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) * 256 - CAST(SUM(len) AS BIGINT)
+       |    AS tail_waste
+       |FROM spans GROUP BY phase ORDER BY phase""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+  /** Intra-doc REPETITION gate ([[graft.ops.TextStats
+    * .repetitionScore]]): the per-gram-count half of the Gopher
+    * repetition battery — all-occurrence duplicated-3-gram mass and
+    * top-gram concentration in exact ppm (q110's map-only profile
+    * gives the float excess fractions; these two cuts need per-gram
+    * counts, i.e. one shuffle). */
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetitionScore(Tables.documents(s, dir), n = 3)
+      .orderBy("doc_id")
+
+  private val q177Sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id, tk[CAST(i + 1 AS INT)] || ' ' || tk[CAST(i + 2 AS INT)]
+      |    || ' ' || tk[CAST(i + 3 AS INT)] AS g
+      |  FROM t, UNNEST(range(0, len(tk) - 2)) AS u(i)
+      |  WHERE len(tk) >= 3),
+      |c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM g GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_rep,
+      |  CAST(MAX(c) AS BIGINT) AS max_repeat,
+      |  (CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(SUM(c) AS BIGINT) AS rep_ppm,
+      |  (CAST(MAX(c) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT)
+      |    AS top_gram_ppm
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q178
+  /** FREQUENCY SPECTRUM ([[graft.ops.TextStats.freqSpectrum]]): the
+    * Zipf doubling histogram — types and token mass per
+    * floor(log2(count)) bucket with exact ppm shares. Template spam
+    * and OCR noise each deform a distinct end of this curve. */
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    TextStats.freqSpectrum(Tables.documents(s, dir)).orderBy("bucket")
+
+  private val q178Sql =
+    """WITH t AS (
+      |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents
+      |),
+      |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+      |b AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+      |        CAST(COUNT(*) AS BIGINT) AS n_types,
+      |        CAST(SUM(c) AS BIGINT) AS n_tokens
+      |      FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_types) AS BIGINT) AS tt,
+      |          CAST(SUM(n_tokens) AS BIGINT) AS nn FROM b)
+      |SELECT bucket, n_types, n_tokens,
+      |  (n_types * 1000000) // tt AS type_ppm,
+      |  (n_tokens * 1000000) // nn AS token_ppm
+      |FROM b CROSS JOIN tot ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q179
+  /** VOCAB COVERAGE curve ([[graft.ops.TextStats.vocabCoverageAt]]):
+    * exact token mass covered by the s most frequent types at five
+    * power-of-two vocab sizes — computed over distinct-COUNT levels
+    * (no per-type rank: types sharing a count contribute equally), so
+    * the only window is value-domain-sized. */
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    TextStats.vocabCoverageAt(Tables.documents(s, dir)).orderBy("vocab_size")
+
+  private val q179Sql =
+    """WITH t AS (
+      |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> length(x) > 0) AS tk
+      |  FROM documents
+      |),
+      |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+      |lv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nt FROM c GROUP BY 1),
+      |cum AS (SELECT c, nt,
+      |          CAST(COALESCE(SUM(nt) OVER (ORDER BY c DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |            AS BIGINT) AS ct
+      |        FROM lv),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM c),
+      |probes AS (SELECT CAST(unnest([256, 1024, 4096, 16384, 65536])
+      |             AS BIGINT) AS vocab_size)
+      |SELECT vocab_size,
+      |  CAST(SUM(GREATEST(LEAST(vocab_size - ct, nt), 0) * c) AS BIGINT)
+      |    AS covered_tokens,
+      |  (CAST(SUM(GREATEST(LEAST(vocab_size - ct, nt), 0) * c) AS BIGINT)
+      |    * 1000000) // nn AS coverage_ppm
+      |FROM cum CROSS JOIN probes CROSS JOIN tot
+      |GROUP BY vocab_size, nn ORDER BY vocab_size""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q166_winnow_overlap", q166, Some(q166Sql)),
     QueryDef("q167_hard_negatives", q167, Some(q167Sql)),
@@ -426,5 +644,10 @@ object Round15 {
     QueryDef("q171_sparse_tfidf_topk", q171, Some(q171Sql)),
     QueryDef("q172_skipgram_cooc", q172, Some(q172Sql)),
     QueryDef("q173_hll_audit", q173, Some(q173Sql)),
-    QueryDef("q174_quantile_audit", q174, Some(q174Sql)))
+    QueryDef("q174_quantile_audit", q174, Some(q174Sql)),
+    QueryDef("q175_backoff_surprisal", q175, Some(q175Sql)),
+    QueryDef("q176_packing_audit", q176, Some(q176Sql)),
+    QueryDef("q177_repetition", q177, Some(q177Sql)),
+    QueryDef("q178_freq_spectrum", q178, Some(q178Sql)),
+    QueryDef("q179_vocab_coverage", q179, Some(q179Sql)))
 }

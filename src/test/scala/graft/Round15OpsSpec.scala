@@ -216,6 +216,144 @@ class Round15OpsSpec extends AnyFunSuite {
       (95L, 9L, 11L, 222222L)))
   }
 
+  // ------------------------------------------- backoff surprisal (q175)
+  test("backoffSurprisal: hand-computed ladder hits all four levels") {
+    // ref "a b c a b c": n3(a,b,c)=2 (b,c,a)=1 (c,a,b)=1; c2(a,b)=2
+    // (b,c)=1 (c,a)=1; n2(a,b)=2 (b,c)=2 (c,a)=1; c1(a)=2 (b)=2 (c)=1;
+    // n1(a)=(b)=(c)=2, N=6, penalty P=2, bits(x)=floor(log2 x)
+    val ref = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val scored = Seq(
+      (1L, "a b c x"),  // (a,b,c): tri, bits(2 div 2)=0; (b,c,x): OOV, 6+bits(6)=8
+      (3L, "c c a b"),  // (c,c,a): bigram (c,a), 2+bits(1 div 1)=2; (c,a,b): tri, 0
+      (5L, "x x a")     // (x,x,a): unigram a, 4+bits(6 div 2)=5
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.backoffSurprisal(scored, ref)
+      .orderBy("doc_id")
+      .select("doc_id", "n_scored", "n_tri", "n_bi", "n_uni", "n_oov",
+        "surprisal_sum", "surprisal_per_100")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, 0L, 0L, 1L, 8L, 400L),
+      (3L, 2L, 1L, 1L, 0L, 0L, 2L, 100L),
+      (5L, 1L, 0L, 0L, 1L, 0L, 5L, 500L)))
+  }
+
+  test("backoffSurprisal: a corpus scored on its own table never backs off") {
+    val docs = Seq((0L, "the quick fox jumps high"),
+      (1L, "the slow fox sits low today")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.backoffSurprisal(docs, docs)
+      .agg(sum($"n_bi") + sum($"n_uni") + sum($"n_oov"), sum($"n_tri"), sum($"n_scored"))
+      .as[(Long, Long, Long)].collect().head
+    assert(out._1 === 0L)          // every trigram counts itself
+    assert(out._2 === out._3)      // all positions are trigram hits
+  }
+
+  test("backoffSurprisal: docs under 3 tokens are absent") {
+    val ref = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val scored = Seq((1L, "a b"), (2L, "a"), (3L, "a b c")).toDF("doc_id", "text")
+    val ids = graft.ops.TextStats.backoffSurprisal(scored, ref)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(3L))
+  }
+
+  // ------------------------------------------- packing audit (q176)
+  test("packing audit rollup: cuts = continuation spans; only the tail is unfilled") {
+    // budget 10: d1(4) fills seq0[0,4); d2(8) cut at 10 -> seq0[4,10)+seq1[0,2);
+    // d3(5) seq1[2,7) -> 2 seqs, capacity 20, filled 17, 1 cut, waste 3
+    val docs = Seq(
+      (1L, Seq.fill(4)("w").mkString(" ")),
+      (2L, Seq.fill(8)("w").mkString(" ")),
+      (3L, Seq.fill(5)("w").mkString(" "))).toDF("doc_id", "text")
+    val spans = graft.ops.Packing.packSequences(docs, budget = 10L)
+    val a = spans.agg(
+      countDistinct($"seq_id").as("n_seqs"),
+      countDistinct($"doc_id").as("n_docs"),
+      count(lit(1)).as("n_spans"),
+      sum($"len").as("tok_total"),
+      sum(when($"doc_off" > 0, 1L).otherwise(0L)).as("n_cuts"),
+      countDistinct(when($"doc_off" > 0, $"doc_id")).as("n_cut_docs"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(a === ((2L, 3L, 4L, 17L, 1L, 1L)))
+    assert(a._3 - a._2 === a._5) // n_spans - n_docs == n_cuts, always
+    // every sequence but the last is exactly full
+    val fills = spans.groupBy("seq_id").agg(sum($"len").as("f"))
+      .orderBy("seq_id").as[(Long, Long)].collect()
+    assert(fills.dropRight(1).forall(_._2 === 10L) && fills.last._2 === 7L)
+  }
+
+  // ------------------------------------------- k-core early exit
+  test("kCore: convergence early-exit is output-identical to the full-round run") {
+    // triangle core + a 4-node pendant chain that peels over 3 rounds
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val fixed = graft.ops.KCore.kCore(edges, k = 2, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val generous = graft.ops.KCore.kCore(edges, k = 2, rounds = 500)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(fixed === generous) // 500 rounds exits at convergence (~4)
+    assert(fixed === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore: early exit never fires before the requested rounds on a shrinking graph") {
+    // round-exact contract: rounds=1 must leave the mid-peel state
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r1 = graft.ops.KCore.kCore(chain, k = 2, rounds = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r1 === Seq((2L, 1L), (3L, 2L), (4L, 1L))) // endpoints peeled only
+    assert(graft.ops.KCore.kCore(chain, k = 2, rounds = 3).count() === 0L)
+  }
+
+  // ------------------------------------------- repetition gate (q177)
+  test("repetitionScore: hand-computed Gopher dup-3-gram accounting") {
+    // "a b a b a b": grams (a b a)x2 (b a b)x2 -> all 4 occurrences
+    // repeated, rep_ppm = 1e6; "x y z w": 2 distinct grams, 0 repeated
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z w"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextStats.repetitionScore(docs, n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_distinct", "n_rep", "max_repeat",
+        "rep_ppm", "top_gram_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(              // doc 3 (< 3 tokens) absent
+      (1L, 4L, 2L, 4L, 2L, 1000000L, 500000L),
+      (2L, 2L, 2L, 0L, 1L, 0L, 500000L)))
+  }
+
+  // ------------------------------------------- frequency spectrum (q178)
+  test("freqSpectrum: hand-computed doubling histogram with exact ppm") {
+    val docs = Seq((1L, "a a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=4 (bucket 2), b=2 (bucket 1), c=1 (bucket 0); T=3, N=7
+    val out = graft.ops.TextStats.freqSpectrum(docs).orderBy("bucket")
+      .select("bucket", "n_types", "n_tokens", "type_ppm", "token_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 1L, 1L, 333333L, 142857L),
+      (1L, 1L, 2L, 333333L, 285714L),
+      (2L, 1L, 4L, 333333L, 571428L)))
+  }
+
+  // ------------------------------------------- vocab coverage (q179)
+  test("vocabCoverage: level algebra equals the ranked-prefix mass") {
+    val docs = Seq((1L, "a a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts a=4 b=2 c=1, N=7: top-1 covers 4, top-2 covers 6,
+    // top-3 covers 7, any larger probe covers everything
+    val out = graft.ops.TextStats.vocabCoverageAt(docs,
+        sizes = Seq(1L, 2L, 3L, 10L)).orderBy("vocab_size")
+      .select("vocab_size", "covered_tokens", "coverage_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 571428L), (2L, 6L, 857142L),
+      (3L, 7L, 1000000L), (10L, 7L, 1000000L)))
+  }
+
+  test("vocabCoverage: count ties split exactly (partial level takes s - cum types)") {
+    // four types all at count 2: top-3 must cover exactly 6 of 8
+    val docs = Seq((1L, "a b c d a b c d")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.vocabCoverageAt(docs, sizes = Seq(3L))
+      .select("covered_tokens").as[Long].collect().head
+    assert(out === 6L)
+  }
+
   // --------------------------------- round-14 advice guards
   test("kmeans: quantization overflow fails loudly, not silently") {
     val emb = (1L to 4L).map(i => (i, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")

@@ -23,7 +23,8 @@ class SelfChecksSpec extends AnyFunSuite {
     val results = SelfChecks.run(spark, dir, out)
     assert(results.map(_._1) === Seq("q30_doc_recommend", "q67_recommend_hashed",
       "q33_ann_lsh", "q43_lsh_neardup", "q35_sketches", "q54_corpus_sketch",
-      "q84_incremental_neardup", "stream_arrival_end_state"))
+      "q84_incremental_neardup", "stream_arrival_end_state",
+      "als_planted_blocks"))
     results.foreach { case (name, (pass, detail)) =>
       assert(pass, s"$name self-check failed: $detail")
     }
@@ -33,7 +34,7 @@ class SelfChecksSpec extends AnyFunSuite {
     import spark.implicits._
     val parsed = spark.read.json(Seq(json).toDS()).collect()
     assert(parsed.length === 1)
-    assert(parsed.head.schema.fieldNames.length === 8)
+    assert(parsed.head.schema.fieldNames.length === 9)
   }
 
   test("a violated invariant turns into pass=false, not an exception") {
