@@ -1540,10 +1540,24 @@ object Dedup {
     * Shape at scale: the bucket join shuffles on a derived integer
     * key with ~uniform occupancy for natural length distributions
     * (bucket width is the tolerance, not a corpus statistic); cost is
-    * Σ_b |b|·|b±1| verifications — quadratic only within a length
-    * band, the inherent price of the exact contract. Skewed bands
-    * (billions of same-length docs) call for a second blocking key
-    * (e.g. first-codepoint class) composed the same way.
+    * Σ_b |b|·|b±1| CANDIDATES — quadratic only within a length band.
+    * Between the length filter and the DP sits the COUNTING FILTER
+    * (Jokinen–Ukkonen '91): every edit operation moves the character
+    * histogram by at most 2 in L1 (substitution touches two counts,
+    * insert/delete one), so lev ≥ ⌈L1/2⌉ and a pair with
+    * L1 > 2·maxDist is rejected for ~40 integer ops instead of an
+    * O(len·maxDist) DP. The histogram is over a fixed 37-char
+    * alphabet; unseen characters make it a projection, which only
+    * LOWERS L1, so the bound — and recall 1 — survives any input
+    * (anagrams have L1 = 0 and always reach the DP; the spec pins
+    * that). The filter's power tracks τ: measured at sf0.1 (5000
+    * docs), τ=40 kept 58 % of same-band candidates (L1 ≤ 80 is loose
+    * on character-homogeneous text; 196.6 s → 130.9 s only), while
+    * the battery's genuine near-dup tolerance τ=10 rejects nearly
+    * everything (196.6 s → 11.4 s end-to-end with the band width
+    * shrinking 41 → 11 at the same time). Skewed bands (billions of
+    * same-length docs) call for a second blocking key (e.g.
+    * first-codepoint class) composed the same way.
     *
     * Returns (doc_a, doc_b, len_a, len_b, dist), doc_a < doc_b,
     * ordered by (doc_a, doc_b). */
@@ -1551,15 +1565,25 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxDist >= 1)
     val w = maxDist + 1
+    // counting-filter histogram: counts of each alphabet char, as
+    // length deltas under single-char erasure (37 map-only replaces)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    def hist(tx: Column): Column = array(alphabet.map(c =>
+      (length(tx) - length(regexp_replace(tx,
+        java.util.regex.Pattern.quote(c.toString), ""))).cast("int")): _*)
     val d = docs.select(col(idCol).as("__id"), col(textCol).as("__tx"),
       length(col(textCol)).cast(LongType).as("__len"),
-      expr(s"length($textCol) div $w").as("__b"))
-    val left = d.select(col("__id"), col("__tx"), col("__len"),
+      expr(s"length($textCol) div $w").as("__b"),
+      hist(col(textCol)).as("__h"))
+    val left = d.select(col("__id"), col("__tx"), col("__len"), col("__h"),
       explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__jb"))
     val right = d.select(col("__id").as("__idb"), col("__tx").as("__txb"),
-      col("__len").as("__lenb"), col("__b").as("__bb"))
+      col("__len").as("__lenb"), col("__b").as("__bb"), col("__h").as("__hb"))
     left.join(right, col("__jb") === col("__bb") && col("__id") < col("__idb"))
       .filter(abs(col("__len") - col("__lenb")) <= maxDist)
+      // lev >= ceil(L1/2): reject on the histogram before the DP
+      .filter(aggregate(zip_with(col("__h"), col("__hb"),
+        (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v) <= 2 * maxDist)
       .withColumn("dist", levenshtein(col("__tx"), col("__txb"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("__id").as("doc_a"), col("__idb").as("doc_b"),

@@ -227,25 +227,38 @@ object Ranks {
   def rrfFusion(df: DataFrame, idCol: String,
       signals: Seq[(String, Column)], k0: Int = 60): DataFrame = {
     require(signals.nonEmpty && k0 >= 1)
+    // each signal's rank depends ONLY on the signal frame, so the
+    // frame is cached once and every rank derives from it — the
+    // original fold joined rank columns into the accumulator and let
+    // the NEXT signal's stats/rank/join re-evaluate the whole
+    // upstream (classifier score + familiarity join in q169) per
+    // consumer: ~10 upstream re-evaluations, measured 37.9 s → 7.7 s
+    // on the sf0.1 battery slot. Storage follows the
+    // [[graft.ops.Dedup.containmentPairs]] contract (released by
+    // Bench's post-query sweep / session teardown).
     val base = df.select(col(idCol) +: signals.map { case (n, c) =>
-      c.cast("long").as(s"__s_$n") }: _*)
-    val ranked = signals.foldLeft(base) { case (acc, (n, _)) =>
+      c.cast("long").as(s"__s_$n") }: _*).cache()
+    base.count() // eager: 2 consumers per signal + final assembly
+    val rankFrames = signals.map { case (n, _) =>
       val s = col(s"__s_$n")
-      val stats = acc.agg(min(s).as("__mn"), (max(s) - min(s)).as("__rg"))
+      val stats = base.agg(min(s).as("__mn"), (max(s) - min(s)).as("__rg"))
         .select(col("__mn"),
           when(col("__rg") >= lit(1L << 52),
             raise_error(lit(s"rrfFusion: signal $n range >= 2^52 — " +
               "Double map would stop being exact"))).otherwise(
             expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(__rg)) AS INT))"))
             .as("__pw"))
-      val r = exactGroupRank(
-        acc.crossJoin(broadcast(stats))
+      exactGroupRank(
+        base.crossJoin(broadcast(stats))
           .select(lit(0).as("__g"), col(idCol),
             ((s - col("__mn")).cast("double") / col("__pw").cast("double"))
               .as("__v0")),
         "__g", idCol, col("__v0"))
         .select(col(idCol).as(s"__rid_$n"), col("rnk").as(s"rank_$n"))
-      acc.join(r, col(idCol) === col(s"__rid_$n")).drop(s"__rid_$n")
+    }
+    val ranked = signals.zip(rankFrames).foldLeft(base) {
+      case (acc, ((n, _), r)) =>
+        acc.join(r, col(idCol) === col(s"__rid_$n")).drop(s"__rid_$n")
     }
     val fused = signals.map { case (n, _) =>
       expr(s"1000000L div (${k0}L + rank_$n)") }

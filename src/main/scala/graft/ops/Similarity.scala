@@ -883,13 +883,19 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label", quantScale: Double = 1e4): DataFrame = {
     require(k >= 1)
+    // quantization + distance fused into one codegen'd pass
+    // ([[QuantSqDistExpr]]): the HOF spelling's "pre-computed"
+    // quantized arrays collapse into the pair-join projection and
+    // allocate three boxed arrays PER PAIR — measured 43.3 s → 4.6 s
+    // on the sf0.1 battery slot for identical integer results
     val q = emb.select(col(idCol).as("__id"), col(labelCol).as("__lab"),
-      quantized(vecCol, quantScale).as("__q"))
+      col(vecCol).as("__v"))
     val a = q.alias("a"); val b = q.alias("b")
     a.join(b, col("a.__lab") =!= col("b.__lab"))
       .select(col("a.__id").as("__qid"), col("b.__id").as("__cand"),
-        aggregate(zip_with(col("a.__q"), col("b.__q"),
-          (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+        graft.engine.Columns.ofExpr(QuantSqDistExpr(
+          graft.engine.Columns.exprOf(col("a.__v")),
+          graft.engine.Columns.exprOf(col("b.__v")), quantScale))
           .as("__d2"))
       .groupBy(col("__qid"))
       .agg(TopKAgg.topK(col("__d2"), col("__cand"), k, largest = false).as("tk"))

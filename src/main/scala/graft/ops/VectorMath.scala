@@ -133,6 +133,77 @@ case class SqDistExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (⌊aᵢ·s⌋ − ⌊bᵢ·s⌋)² over two numeric arrays as BIGINT — the
+  * integer-exact quantized distance kernel behind hard-negative
+  * mining (q167). Replaces the HOF chain
+  * `aggregate(zip_with(transform(a,…), transform(b,…), …), 0L, _+_)`,
+  * which after Catalyst's projection collapse pushes the "pre-
+  * computed" quantization into the pair-join projection and
+  * allocates three boxed 64-element arrays per candidate PAIR — at
+  * sf0.1's 3.6M cross-label pairs that was the q167 battery slot's
+  * actual cost (43.3 s for ~230M multiplies, i.e. allocation/GC, not
+  * arithmetic). One imperative pass, zero allocation; element math is
+  * bit-identical to the HOF form: widen to double exactly as `cast`
+  * does, multiply by the scale, `Math.floor`, truncate to long,
+  * subtract, square, accumulate in Long from 0 — so the SQL oracle's
+  * `floor(x·s)` replay still matches exactly. Length mismatch or a
+  * null element → NULL (zip_with semantics). Overflow contract (same
+  * as Clustering's guard): dims·(2·max|⌊x·s⌋|)² must stay < 2⁶³ —
+  * callers quantize unit-normalized embeddings at s ≤ 1e4. */
+case class QuantSqDistExpr(left: Expression, right: Expression, scale: Double)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_quant_sqdist"
+  override def nullable: Boolean = true
+
+  private def floatElems(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_quant_sqdist needs array<float|double> input, got $other")
+  }
+  @transient private lazy val leftFloat = floatElems(left)
+  @transient private lazy val rightFloat = floatElems(right)
+
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val lf = leftFloat
+    val rf = rightFloat
+    val s = scale
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      // null element → null result, matching zip_with (see DotExpr)
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = Math.floor(x * s).toLong - Math.floor(y * s).toLong
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftQuantSqDist", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = $ref.compute($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantSqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Driver-built benchmark probe set for [[BenchMaxCosExpr]]: ids in
   * ascending order with their UNIT vectors (float inputs widened to
   * double, unitᵢ = xᵢ/√Σxᵢ² accumulated left to right — the q43

@@ -204,12 +204,17 @@ object Round15 {
 
   // ---------------------------------------------------------------- q170
   /** EDIT-DISTANCE near-dup pairs ([[graft.ops.Dedup
-    * .editDistancePairs]]): all pairs within Levenshtein 40,
-    * length-bucket-blocked (recall 1 by the |Δlen| lower bound),
-    * banded-DP verified. The oracle is the unblocked all-pairs
-    * spelling — the blocking must be invisible. */
+    * .editDistancePairs]]): all pairs within Levenshtein 10 —
+    * length-bucket-blocked and counting-filtered (both recall 1 by
+    * the |Δlen| and ⌈L1/2⌉ lower bounds), banded-DP verified. The
+    * oracle is the unblocked all-pairs spelling — blocking and filter
+    * must be invisible. τ=10 on 44-577-char docs is a genuine
+    * near-dup tolerance; the round-15 original ran τ=40, which on a
+    * 48-char doc admits an 80% rewrite — semantically wrong and
+    * quadratically dense (196 s: every same-band pair survived every
+    * cheap bound and paid the DP). */
   private def q170(s: SparkSession, dir: String): DataFrame =
-    Dedup.editDistancePairs(Tables.documents(s, dir), maxDist = 40)
+    Dedup.editDistancePairs(Tables.documents(s, dir), maxDist = 10)
 
   private val q170Sql =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -217,7 +222,7 @@ object Round15 {
       |  CAST(length(b.text) AS BIGINT) AS len_b,
       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
       |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-      |WHERE levenshtein(a.text, b.text) <= 40
+      |WHERE levenshtein(a.text, b.text) <= 10
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q171

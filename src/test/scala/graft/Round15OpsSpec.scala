@@ -134,6 +134,18 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out.length === 1 && out.head.getLong(4) === 3L)
   }
 
+  test("editDistancePairs: counting filter passes anagrams (L1=0) through to the DP") {
+    // "ab" vs "ba": identical histograms (the filter's blind spot by
+    // design), lev = 2 -- must be found, not pruned
+    val docs = Seq((1L, "ab"), (2L, "ba")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.editDistancePairs(docs, maxDist = 2).collect()
+    assert(out.length === 1 && out.head.getLong(4) === 2L)
+    // and the filter actually rejects: disjoint alphabets, same length,
+    // L1 = 16 > 2*maxDist -- no pair even though |dlen| = 0
+    val far = Seq((1L, "aaaaaaaa"), (2L, "bbbbbbbb")).toDF("doc_id", "text")
+    assert(graft.ops.Dedup.editDistancePairs(far, maxDist = 3).count() === 0L)
+  }
+
   test("editDistancePairs: length delta beyond maxDist never verifies") {
     val docs = Seq((1L, "abc"), (2L, "abcdefghij")).toDF("doc_id", "text")
     assert(graft.ops.Dedup.editDistancePairs(docs, maxDist = 3).count() === 0L)
