@@ -640,6 +640,47 @@ object Round15 {
       |FROM cum CROSS JOIN probes CROSS JOIN tot
       |GROUP BY vocab_size, nn ORDER BY vocab_size""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** LABEL-PROPAGATION communities ([[graft.ops.LabelProp]]) over the
+    * q166 winnowing-overlap graph: 4 synchronous rounds with the
+    * pinned (count desc, label asc) argmax name the template FAMILIES
+    * the pairwise fingerprint edges only imply — the rollup a
+    * curation dashboard groups near-dups by. Oracle: the full q166
+    * funnel as a CTE, then each round replayed as a generated CTE
+    * (the q163/q165 pattern). */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Winnowing.overlapPairs(Tables.documents(s, dir),
+      k = 3, w = 4, minShared = 2L, maxDf = 64L)
+    graft.ops.LabelProp.propagate(
+        pairs.select(col("doc_a"), col("doc_b")), rounds = 4,
+        aCol = "doc_a", bCol = "doc_b")
+      .orderBy("node")
+  }
+
+  private val q180Sql = {
+    val rounds = 4
+    val steps = (1 to rounds).map { r =>
+      s"""s$r AS (
+         |  SELECT e.src, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM dir e JOIN l${r - 1} l ON l.n = e.dst
+         |  GROUP BY 1, 2),
+         |l$r AS (
+         |  SELECT src AS n, MIN(lbl) AS lbl FROM (
+         |    SELECT src, lbl, c, MAX(c) OVER (PARTITION BY src) AS mc
+         |    FROM s$r)
+         |  WHERE c = mc GROUP BY src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |$q166Sql
+       |),
+       |e AS (SELECT doc_a AS lo, doc_b AS hi FROM pairs),
+       |dir AS (SELECT lo AS src, hi AS dst FROM e
+       |        UNION ALL SELECT hi AS src, lo AS dst FROM e),
+       |l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM dir),
+       |$steps
+       |SELECT n AS node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q166_winnow_overlap", q166, Some(q166Sql)),
     QueryDef("q167_hard_negatives", q167, Some(q167Sql)),
@@ -654,5 +695,6 @@ object Round15 {
     QueryDef("q176_packing_audit", q176, Some(q176Sql)),
     QueryDef("q177_repetition", q177, Some(q177Sql)),
     QueryDef("q178_freq_spectrum", q178, Some(q178Sql)),
-    QueryDef("q179_vocab_coverage", q179, Some(q179Sql)))
+    QueryDef("q179_vocab_coverage", q179, Some(q179Sql)),
+    QueryDef("q180_winnow_communities", q180, Some(q180Sql)))
 }

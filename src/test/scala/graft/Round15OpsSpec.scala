@@ -366,6 +366,31 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out === 6L)
   }
 
+  // ------------------------------------------- label propagation (q180)
+  test("LabelProp: two triangles with a bridge resolve to two communities") {
+    // hand-simulated sync rounds with (count desc, label asc) argmax:
+    // r1 [1->2,2->1,3->1,4->3,5->4,6->4]; r2 [1,1,1,4,3,3];
+    // r3 [1,1,1,3,3,3]; r4 stable
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val out = graft.ops.LabelProp.propagate(edges, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)))
+  }
+
+  test("LabelProp: oscillation is pinned by the fixed-round contract") {
+    // a single edge 2-cycles under sync updates: odd rounds swap,
+    // even rounds restore -- deterministic either way
+    val edge = Seq((1L, 2L)).toDF("a", "b")
+    assert(graft.ops.LabelProp.propagate(edge, rounds = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 2L), (2L, 1L)))
+    assert(graft.ops.LabelProp.propagate(edge, rounds = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 1L), (2L, 2L)))
+  }
+
   // --------------------------------- round-14 advice guards
   test("kmeans: quantization overflow fails loudly, not silently") {
     val emb = (1L to 4L).map(i => (i, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
