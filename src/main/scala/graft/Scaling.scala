@@ -44,6 +44,19 @@ import org.apache.spark.sql.functions._
   *    track OUTPUT pairs, and sec-per-1k-pairs is the honest rate.
   *    Fingerprinting itself (map-only gram hashing + per-doc window)
   *    is the ~linear-in-tokens part.
+  *  - backoff → q175 trigram stupid-backoff surprisal, x1/x10/x30
+  *    replicated docs (even-id half fits the tables, odd-id half is
+  *    scored, same split as the battery query). Replication grows the
+  *    scored stream ~n and the transition tables sublinearly (replica
+  *    perturbation tokens add vocabulary at the tail only), so the
+  *    claim under test is ~linear wall in the scored stream — the
+  *    5-probe join plan must not degrade as the tables grow.
+  *  - lpa     → q180 label-propagation over the winnowing-overlap
+  *    graph, x1/x10/x30. Replicas of a doc share fingerprints, so the
+  *    EDGE set grows ~n²/2 per family by construction (the winnow
+  *    section's argument); lpa_sec is reported beside the edge count
+  *    and the honest rate is sec per 1k edges — the per-round
+  *    join+aggregate loop should track edges, not corpus².
   *  - sparsesim → q171 inverted-index TF-IDF top-k, x1/x10. The
   *    candidate set is Σ_t df_t² — replication multiplies every
   *    surviving df by n, so candidates grow ~n² on this synthetic
@@ -78,7 +91,8 @@ object Scaling {
   }
 
   val sectionNames: Seq[String] =
-    Seq("dedup", "pagerank", "packing", "rank", "inc", "winnow", "sparsesim")
+    Seq("dedup", "pagerank", "packing", "rank", "inc", "winnow", "sparsesim",
+      "backoff", "lpa")
 
   /** bench.json object key per section. */
   def jsonKey(section: String): String =
@@ -173,6 +187,16 @@ object Scaling {
             minShared = 2L, maxDf = 64L).count()
         case "sparsesim" =>
           graft.ops.SparseSim.tfidfTopK(base, k = 5).count()
+        case "backoff" =>
+          graft.ops.TextStats.backoffSurprisal(
+            base.filter(col("doc_id") % 2 === 1),
+            base.filter(col("doc_id") % 2 === 0)).count()
+        case "lpa" =>
+          val pairs = graft.ops.Winnowing.overlapPairs(base,
+            k = 3, w = 4, minShared = 2L, maxDf = 64L)
+          graft.ops.LabelProp.propagate(
+            pairs.select(col("doc_a"), col("doc_b")), rounds = 4,
+            aCol = "doc_a", bCol = "doc_b").count()
         case _ => ()
       }
     } catch { case _: Throwable => () }
@@ -317,6 +341,57 @@ object Scaling {
             sweep(spark)
             val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
             points += f"""{"x":$x,"docs":$nDocs,"rows":$rows,"sec":$t%.2f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
+          } else truncated = true
+        }
+
+      case "backoff" =>
+        // even-id fit / odd-id score over the replicated corpus.
+        // Replica ids are doc_id·n+r, so replicas ALTERNATE parity
+        // within a family — each family contributes to both the
+        // tables and the scored stream; the curve measures the
+        // 5-probe join plan's growth with ~n on both sides, not the
+        // backoff hit mix (which this split makes trigram-heavy).
+        Seq(1, 10, 30).foreach { x =>
+          if (elapsed < budgetSec) {
+            val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
+            val df = if (x == 1) base else replicate(x)
+            val nDocs = df.count()
+            val (rows, t) = timed(graft.ops.TextStats.backoffSurprisal(
+              df.filter(col("doc_id") % 2 === 1),
+              df.filter(col("doc_id") % 2 === 0)).count())
+            sweep(spark)
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
+            points += f"""{"x":$x,"docs":$nDocs,"scored_docs":$rows,"sec":$t%.2f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
+          } else truncated = true
+        }
+
+      case "lpa" =>
+        // winnow-overlap edges grow ~n²/2 per replica family (see the
+        // object scaladoc); the curve reports edges beside wall so the
+        // per-1k-edge rate is the honest number. Edge generation is
+        // timed separately from the 4 propagation rounds.
+        Seq(1, 10, 30).foreach { x =>
+          if (elapsed < budgetSec) {
+            val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
+            val df = if (x == 1) base else replicate(x)
+            val nDocs = df.count()
+            var pairs: org.apache.spark.sql.DataFrame = null
+            val (nEdges, tEdges) = timed {
+              pairs = graft.ops.Winnowing.overlapPairs(df,
+                k = 3, w = 4, minShared = 2L, maxDf = 64L)
+                .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+              pairs.count()
+            }
+            val (nodes, tLpa) = timed(graft.ops.LabelProp.propagate(
+              pairs, rounds = 4, aCol = "doc_a", bCol = "doc_b").count())
+            sweep(spark)
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
+            val perK = if (nEdges > 0) tLpa / (nEdges / 1000.0) else 0.0
+            points += f"""{"x":$x,"docs":$nDocs,"edges":$nEdges,"edges_sec":$tEdges%.2f,"nodes":$nodes,"lpa_sec":$tLpa%.2f,"lpa_sec_per_1k_edges":$perK%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 
