@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -80,6 +81,51 @@ object Chunking {
       .select(col(idCol), col("n_chunks"),
         (col("n_chunks") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** CONTENT-DEFINED CHUNKING (the Rabin/FastCDC family, token
+    * granularity): cut AFTER every token whose replayable codepoint
+    * hash ([[Classifier.tokenHash]], the same fold the winnowing and
+    * classifier oracles replay) satisfies `h mod 2^maskBits = 0` —
+    * expected chunk length 2^maskBits tokens. Boundaries are a pure
+    * per-token property, which buys the one thing [[chunkByTokens]]'s
+    * fixed windows cannot have: SHIFT ROBUSTNESS. Inserting or
+    * deleting one token re-cuts ONLY the chunk it lands in; every
+    * other chunk's content is bit-identical, so chunk-level dedup
+    * still matches the unedited remainder of a re-crawled page
+    * (fixed-size chunking re-frames everything after the edit —
+    * the metamorphic spec pins exactly this difference). The classic
+    * storage-dedup design (Muthitacharoen et al. LBFS SOSP'01,
+    * FastCDC ATC'16); min/max chunk-length clamps are the sequential
+    * refinement production CDC adds — deliberately omitted here
+    * because they reintroduce cross-token state (a scan), while the
+    * pure predicate keeps the operator one map-side window over
+    * doc-bounded partitions, embarrassingly parallel at any corpus
+    * size. Each chunk carries its token count and an
+    * order-independent multiset fingerprint (Σ token hashes — chunks
+    * are position-delimited, so equal fingerprint + length is the
+    * dedup join key). Returns (doc_id, chunk_idx, start_pos,
+    * n_tokens, hash_sum). */
+  def contentDefinedChunks(docs: DataFrame, maskBits: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20)
+    val mask = 1L << maskBits
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > lit(0))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("__pos", "__tok")))
+      .withColumn("__h", Classifier.tokenHash(col("__tok")))
+      // a boundary token ENDS its chunk: chunk index = boundaries
+      // strictly before this position (doc-bounded window partitions)
+      .withColumn("chunk_idx", coalesce(sum(
+          when(col("__h") % mask === 0, 1L).otherwise(0L)).over(
+          Window.partitionBy("doc_id").orderBy("__pos")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min(col("__pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("__h")).as("hash_sum"))
   }
 
   /** Masking helpers: deterministic regex scrubbing (emails, URLs,

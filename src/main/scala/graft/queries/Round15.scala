@@ -681,6 +681,45 @@ object Round15 {
        |SELECT n AS node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q181
+  /** CONTENT-DEFINED CHUNKING ([[graft.ops.Chunking
+    * .contentDefinedChunks]]): Rabin/FastCDC-family cuts after every
+    * token whose replayable codepoint hash is ≡ 0 mod 32 — the
+    * shift-robust chunk substrate (one edit re-cuts one chunk; the
+    * metamorphic spec pins it) with per-chunk multiset fingerprints
+    * as the dedup join key. Oracle replays the token-hash fold, the
+    * boundary predicate and the per-doc prefix count. */
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.contentDefinedChunks(Tables.documents(s, dir),
+      maskBits = 5).orderBy("doc_id", "chunk_idx")
+
+  private val q181Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> length(x) > 0) AS tk
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i + 1 AS INT)] AS tok
+       |  FROM t, UNNEST(range(0, len(tk))) AS u(i)
+       |  WHERE len(tk) >= 1),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    ${tokHashSql("tok")} AS hv
+       |  FROM p),
+       |c AS (
+       |  SELECT doc_id, pos, hv,
+       |    COALESCE(SUM(CASE WHEN hv % 32 = 0 THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM h)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(MIN(pos) AS BIGINT) AS start_pos,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(hv) AS BIGINT) AS hash_sum
+       |FROM c GROUP BY doc_id, chunk_idx
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q166_winnow_overlap", q166, Some(q166Sql)),
     QueryDef("q167_hard_negatives", q167, Some(q167Sql)),
@@ -696,5 +735,6 @@ object Round15 {
     QueryDef("q177_repetition", q177, Some(q177Sql)),
     QueryDef("q178_freq_spectrum", q178, Some(q178Sql)),
     QueryDef("q179_vocab_coverage", q179, Some(q179Sql)),
-    QueryDef("q180_winnow_communities", q180, Some(q180Sql)))
+    QueryDef("q180_winnow_communities", q180, Some(q180Sql)),
+    QueryDef("q181_cdc_chunks", q181, Some(q181Sql)))
 }

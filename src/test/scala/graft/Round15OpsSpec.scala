@@ -391,6 +391,44 @@ class Round15OpsSpec extends AnyFunSuite {
       === Seq((1L, 1L), (2L, 2L)))
   }
 
+  // ------------------------------------------- CDC chunking (q181)
+  test("contentDefinedChunks: partition invariants — contiguous, complete, deterministic") {
+    val text = (1 to 200).map(i => s"tok$i word$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = graft.ops.Chunking.contentDefinedChunks(docs, maskBits = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // chunks tile the token stream: starts contiguous, counts sum to 400
+    assert(d1.map(_.getLong(3)).sum === 400L)
+    val starts = d1.map(_.getLong(2))
+    val lens = d1.map(_.getLong(3))
+    starts.zip(lens).sliding(2).foreach {
+      case Array((s1, l1), (s2, _)) => assert(s1 + l1 === s2)
+      case _ => ()
+    }
+    // identical docs chunk identically (pure function of content)
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d1.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      === d2.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq)
+  }
+
+  test("contentDefinedChunks: shift robustness — one inserted token re-cuts one chunk") {
+    val base = (1 to 300).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, s"INSERTED $base")).toDF("doc_id", "text")
+    val out = graft.ops.Chunking.contentDefinedChunks(docs, maskBits = 3)
+      .select("doc_id", "n_tokens", "hash_sum").collect()
+    def sig(id: Long) = out.filter(_.getLong(0) == id)
+      .map(r => (r.getLong(1), r.getLong(2))).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val (a, b) = (sig(1L), sig(2L))
+    // multiset symmetric difference <= 2 chunk kinds: only the chunk
+    // containing the insertion changed (fixed-size chunking would
+    // re-frame every chunk after the edit)
+    val keys = (a.keySet ++ b.keySet).toSeq
+    val diff = keys.map(k => math.abs(a.getOrElse(k, 0) - b.getOrElse(k, 0))).sum
+    assert(diff <= 2, s"symmetric multiset difference $diff > 2")
+  }
+
   // --------------------------------- round-14 advice guards
   test("kmeans: quantization overflow fails loudly, not silently") {
     val emb = (1L to 4L).map(i => (i, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
