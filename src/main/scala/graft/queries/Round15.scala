@@ -7,11 +7,16 @@ import graft.engine.Tables
 import graft.ops.{CoOccurrence, Dedup, Hll, Ranks, Similarity, SparseSim, Winnowing}
 import graft.ops.{Classifier, TextStats}
 
-/** Round-15 battery additions: winnowing fingerprints (MOSS),
-  * contrastive hard-negative mining, the materialized bigram LM head,
-  * reciprocal-rank-fusion quality ensembling, exact edit-distance
-  * near-dup pairs, and sparse inverted-index TF-IDF similarity. All
-  * reference-scope-none LLM-pipeline extensions (SURVEY §8).
+/** Round-15 battery additions (q166–q181): winnowing fingerprints
+  * (MOSS), contrastive hard-negative mining, the materialized bigram
+  * LM head, reciprocal-rank-fusion quality ensembling, exact
+  * edit-distance near-dup pairs, sparse inverted-index TF-IDF
+  * similarity, skip-gram co-occurrence, the replayable HLL and
+  * histogram-quantile audits, trigram stupid-backoff surprisal, the
+  * packing fill audit, the Gopher repetition gate, the Zipf frequency
+  * spectrum, vocab coverage at large sizes, label-propagation
+  * communities over the winnow graph, and content-defined chunking.
+  * All reference-scope-none LLM-pipeline extensions (SURVEY §8).
   */
 object Round15 {
 
