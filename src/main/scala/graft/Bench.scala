@@ -292,7 +292,12 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
   private def isolatedScalingJson(spark: SparkSession, sfDir: String): String = {
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "900").toDouble
+    // 2400 s is the documented full-battery protocol budget: the 900 s
+    // default starved the last sections on a contended box (round-15
+    // driver run lost 5 of 9 curves to refresh_failed), so unattended
+    // full runs now get the budget the protocol requires by default;
+    // set SPARK_GRAFT_SCALING_BUDGET explicitly for quick subset runs
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "2400").toDouble
     val sections = sys.env.get("SPARK_GRAFT_SCALING_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Scaling.sectionNames)

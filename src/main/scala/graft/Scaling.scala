@@ -57,7 +57,7 @@ import org.apache.spark.sql.functions._
   *    section's argument); lpa_sec is reported beside the edge count
   *    and the honest rate is sec per 1k edges — the per-round
   *    join+aggregate loop should track edges, not corpus².
-  *  - sparsesim → q171 inverted-index TF-IDF top-k, x1/x10. The
+  *  - sparsesim → q171 inverted-index TF-IDF top-k, x1/x10/x30. The
   *    candidate set is Σ_t df_t² — replication multiplies every
   *    surviving df by n, so candidates grow ~n² on this synthetic
   *    clique corpus by construction (real corpora grow df sublinearly
@@ -330,7 +330,7 @@ object Scaling {
         // replication inflates ~n² on this clique corpus — the honest
         // rate is sec per 1k ranked output rows with the candidate
         // blowup documented (object scaladoc)
-        Seq(1, 10).foreach { x =>
+        Seq(1, 10, 30).foreach { x =>
           if (elapsed < budgetSec) {
             val la = loadAvg()
             val s0 = stealJiffies()

@@ -128,6 +128,126 @@ object Chunking {
         sum(col("__h")).as("hash_sum"))
   }
 
+  /** CHUNK-LEVEL DEDUP over [[contentDefinedChunks]] — the consumer
+    * the CDC fingerprints exist for (LBFS SOSP'01's actual use case):
+    * two documents share a chunk when they contain an identical
+    * boundary-delimited token span, and because CDC boundaries are
+    * shift-robust, an edited RE-CRAWL still matches every chunk the
+    * edit did not land in (the end-to-end metamorphic property,
+    * Round16OpsSpec) — where fixed windows would re-frame everything
+    * after the edit. The join key is the per-chunk
+    * (hash_sum, n_tokens) multiset fingerprint; a doc's repeated
+    * chunks count once (DISTINCT per doc, the containment
+    * convention); keys appearing in more than `maxDf` docs are
+    * dropped before the pair join — the [[Winnowing.overlapPairs]]
+    * df-cap guard, because a boilerplate chunk (license header,
+    * nav bar) otherwise contributes df² pairs of no dedup value.
+    * `containment_ppm` = shared·10⁶ div min(|keys_a|, |keys_b|), so
+    * a doc fully contained in a larger one scores 10⁶ — the
+    * re-crawl / superset-page signal.
+    *
+    * Shape at scale: chunking is map-side over doc-bounded windows;
+    * the posting join shuffles on the chunk key with per-key cost
+    * df² ≤ maxDf² — output-pair-bound like winnowing, never corpus².
+    *
+    * Returns (doc_a, doc_b, n_shared, n_a, n_b, containment_ppm),
+    * doc_a < doc_b, ordered by (doc_a, doc_b). */
+  def chunkDedupPairs(docs: DataFrame, maskBits: Int = 5,
+      maxDf: Long = 64L, minShared: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxDf >= 2L && minShared >= 1L)
+    val keys = contentDefinedChunks(docs, maskBits, idCol, textCol)
+      .select(col("doc_id"), col("n_tokens"), col("hash_sum")).distinct()
+    val cnts = keys.groupBy("doc_id").agg(count(lit(1)).as("__nk"))
+    val rare = keys.groupBy("n_tokens", "hash_sum")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("n_tokens", "hash_sum")
+    val posting = keys.join(rare, Seq("n_tokens", "hash_sum"))
+    val pairs = posting.select(col("n_tokens"), col("hash_sum"),
+        col("doc_id").as("doc_a"))
+      .join(posting.select(col("n_tokens"), col("hash_sum"),
+        col("doc_id").as("doc_b")), Seq("n_tokens", "hash_sum"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(cnts.select(col("doc_id").as("doc_a"), col("__nk").as("n_a")),
+        Seq("doc_a"))
+      .join(cnts.select(col("doc_id").as("doc_b"), col("__nk").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        expr("(n_shared * 1000000) div least(n_a, n_b)").as("containment_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** CLAMPED content-defined chunking — [[contentDefinedChunks]]
+    * with the min/max chunk-length refinement production CDC systems
+    * add (FastCDC ATC'16): a hash boundary is HONORED only once the
+    * running chunk has at least `minLen` tokens, and a cut is FORCED
+    * at `maxLen` tokens even without a boundary — bounding chunk-size
+    * variance (pure-predicate CDC is geometric: lots of tiny chunks,
+    * a long tail of huge ones), which is what storage dedup needs for
+    * fixed-size container packing. The price is exactly what the
+    * unclamped scaladoc warns about: the cut decision becomes
+    * SEQUENTIAL cross-token state (each cut depends on the previous
+    * cut's position), so the per-doc computation is an ordered fold —
+    * expressed as one Catalyst `aggregate` HOF over the doc's
+    * (position, hash) array: still a pure map-side pass, still
+    * embarrassingly parallel ACROSS docs, with the sequential scan
+    * confined to a single doc-bounded array the way the DP in
+    * [[Dedup.editDistancePairs]] is confined to a single pair. The
+    * fold appends to the accumulator's cut list (O(cuts) copy per
+    * append ⇒ O(tokens·cuts) per doc worst case — doc-bounded, and
+    * cuts ≤ tokens/minLen by the clamp itself). Chunk lengths land in
+    * [minLen, maxLen] except the final partial chunk (≤ maxLen, may
+    * be short); with minLen = 1 and maxLen ≥ doc length the clamps
+    * never bind and the output EQUALS [[contentDefinedChunks]]
+    * (Round16OpsSpec pins both). Clamps also weaken shift robustness
+    * from "one chunk" to "until the next honored boundary re-syncs" —
+    * the documented FastCDC trade. The oracle replays the scan as a
+    * cut-to-cut recursive CTE (see q184's scaladoc for why not a SQL
+    * fold), bit-for-bit equal on every cut.
+    *
+    * Returns (doc_id, chunk_idx, start_pos, n_tokens, hash_sum). */
+  def contentDefinedChunksClamped(docs: DataFrame, maskBits: Int = 5,
+      minLen: Int = 8, maxLen: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20)
+    require(minLen >= 1 && maxLen >= minLen)
+    val mask = 1L << maskBits
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > lit(0))
+    val base = docs
+      .select(col(idCol).as("doc_id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .withColumn("__items", transform(col("__t"),
+        (t, i) => struct(i.cast(LongType).as("p"),
+          Classifier.tokenHash(t).as("h"))))
+    // ordered fold: acc = (last cut position, cut list); a cut at p
+    // ends its chunk (the unclamped convention), chunk length = p−last
+    val folded = base.withColumn("__cuts",
+      aggregate(col("__items"),
+        struct(lit(-1L).as("p"), typedLit(Seq.empty[Long]).as("cuts")),
+        (acc, x) => {
+          val cut = (x("p") - acc("p") >= minLen &&
+            x("h") % mask === 0) || (x("p") - acc("p") >= maxLen)
+          when(cut, struct(x("p").as("p"),
+              concat(acc("cuts"), array(x("p"))).as("cuts")))
+            .otherwise(struct(acc("p").as("p"), acc("cuts").as("cuts")))
+        })("cuts"))
+    folded
+      .select(col("doc_id"), col("__cuts"),
+        posexplode(col("__items")).as(Seq("__i", "__x")))
+      .select(col("doc_id"), col("__x.p").as("__pos"), col("__x.h").as("__h"),
+        size(filter(col("__cuts"), c => c < col("__x.p")))
+          .cast(LongType).as("chunk_idx"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min(col("__pos")).as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("__h")).as("hash_sum"))
+  }
+
   /** Masking helpers: deterministic regex scrubbing (emails, URLs,
     * digit runs) with per-doc match counts — the shape of PII
     * redaction in a cleaning pipeline. */

@@ -1555,15 +1555,36 @@ object Dedup {
     * on character-homogeneous text; 196.6 s → 130.9 s only), while
     * the battery's genuine near-dup tolerance τ=10 rejects nearly
     * everything (196.6 s → 11.4 s end-to-end with the band width
-    * shrinking 41 → 11 at the same time). Skewed bands (billions of
-    * same-length docs) call for a second blocking key (e.g.
-    * first-codepoint class) composed the same way.
+    * shrinking 41 → 11 at the same time).
+    *
+    * SKEWED BANDS (billions of same-length docs — fixed-width
+    * records, templated text) call for a SECOND blocking key composed
+    * the same way, enabled via `classKey = Some(chars)`: the key is
+    * the COUNT of characters belonging to the class, bucketed at the
+    * same width with the same ±1 left-side expansion. The recall-1
+    * argument extends verbatim because the class count is
+    * Lipschitz-1 under edit operations — a substitution moves any
+    * single class's count by at most 1 (it can remove a member and
+    * add a non-member, or vice versa), an insert/delete by exactly
+    * 0 or 1 — so lev(a,b) ≤ maxDist ⇒ |Δcount| ≤ maxDist ⇒ same or
+    * adjacent class bucket (Round16OpsSpec proves composed ≡ plain
+    * on boundary-straddling pairs). Note what would NOT work: the
+    * first codepoint itself (or its class) is not edit-Lipschitz —
+    * one edit at position 0 replaces it arbitrarily, so blocking on
+    * it drops qualifying pairs. Each pair is still examined exactly
+    * once (the 3×3 neighbor-combo explosion meets the right side's
+    * unique (len-bucket, class-bucket) cell). Within a band the
+    * candidate set falls from |b|² to Σ_c |b∩c|² — the same
+    * subdivision the length bucket buys, applied to a content axis
+    * that replication/templating does not collapse.
     *
     * Returns (doc_a, doc_b, len_a, len_b, dist), doc_a < doc_b,
     * ordered by (doc_a, doc_b). */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 40,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      classKey: Option[String] = None): DataFrame = {
     require(maxDist >= 1)
+    require(classKey.forall(_.nonEmpty))
     val w = maxDist + 1
     // counting-filter histogram: counts of each alphabet char, as
     // length deltas under single-char erasure (37 map-only replaces)
@@ -1571,15 +1592,34 @@ object Dedup {
     def hist(tx: Column): Column = array(alphabet.map(c =>
       (length(tx) - length(regexp_replace(tx,
         java.util.regex.Pattern.quote(c.toString), ""))).cast("int")): _*)
+    // second blocking key: class-count bucket (0 when disabled — a
+    // single degenerate bucket, so the composed join key reduces to
+    // the plain length bucket and the plans coincide)
+    def classBucket(tx: Column): Column = classKey match {
+      case None => lit(0L)
+      case Some(chars) =>
+        val cls = "[" + java.util.regex.Pattern.quote(chars) + "]"
+        // integer floor division (counts are nonnegative ints, exact)
+        floor((length(tx) - length(regexp_replace(tx, cls, "")))
+          .cast(LongType) / lit(w)).cast(LongType)
+    }
     val d = docs.select(col(idCol).as("__id"), col(textCol).as("__tx"),
       length(col(textCol)).cast(LongType).as("__len"),
       expr(s"length($textCol) div $w").as("__b"),
+      classBucket(col(textCol)).as("__b2"),
       hist(col(textCol)).as("__h"))
+    val expand2: Column => Column = c =>
+      if (classKey.isEmpty) array(c) else array(c - 1, c, c + 1)
     val left = d.select(col("__id"), col("__tx"), col("__len"), col("__h"),
-      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__jb"))
+      explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__jb"),
+      col("__b2"))
+      .select(col("__id"), col("__tx"), col("__len"), col("__h"), col("__jb"),
+        explode(expand2(col("__b2"))).as("__jb2"))
     val right = d.select(col("__id").as("__idb"), col("__tx").as("__txb"),
-      col("__len").as("__lenb"), col("__b").as("__bb"), col("__h").as("__hb"))
-    left.join(right, col("__jb") === col("__bb") && col("__id") < col("__idb"))
+      col("__len").as("__lenb"), col("__b").as("__bb"),
+      col("__b2").as("__bb2"), col("__h").as("__hb"))
+    left.join(right, col("__jb") === col("__bb") &&
+        col("__jb2") === col("__bb2") && col("__id") < col("__idb"))
       .filter(abs(col("__len") - col("__lenb")) <= maxDist)
       // lev >= ceil(L1/2): reject on the histogram before the DP
       .filter(aggregate(zip_with(col("__h"), col("__hb"),

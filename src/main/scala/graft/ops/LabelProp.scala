@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * like KCore's peels; synchronous LPA can oscillate (2-cycles on
   * bipartite-ish regions), which fixed rounds make harmless for
   * determinism — size `rounds` near the expected community diameter
-  * (near-dup families are shallow; a handful suffices).
+  * (near-dup families are shallow; a handful suffices). A round that
+  * changes no label short-circuits the remaining rounds exactly
+  * (fixed point ⇒ identity from there on — KCore's convergence
+  * argument in assignment form), so over-sizing `rounds` costs one
+  * cheap node-bounded probe per converged round, not a full loop.
   *
   * Shape at scale: per round one edge⋈labels equi-join (shuffle on
   * node id), one map-side-combined (node, neighbor-label) count, one
@@ -56,13 +60,34 @@ object LabelProp {
         .join(labels.select(col("__n").as("__dst"), col("__lbl")), Seq("__dst"))
         .groupBy("__src", "__lbl").agg(count(lit(1)).as("__c"))
       val top = neigh.groupBy("__src").agg(max(col("__c")).as("__mc"))
-      labels = neigh.join(top, Seq("__src"))
+      val next = neigh.join(top, Seq("__src"))
         .filter(col("__c") === col("__mc"))
         .groupBy(col("__src").as("__n")).agg(min(col("__lbl")).as("__lbl"))
         .localCheckpoint(true)
+      // Convergence early-exit is EXACT (the [[KCore]] argument,
+      // assignment form): full-sync LPA makes round t+1 a pure
+      // function of round t's label map, so if this round changed NO
+      // label, every remaining round is the identity and the output
+      // is bit-identical to the full-rounds contract (LabelPropSpec
+      // proves it). The check is one node-bounded equi-join between
+      // two frames that are BOTH already eagerly checkpointed —
+      // cached-partition reads, no recompute; changed counts the
+      // symmetric difference via a full outer join so a node that
+      // appeared/vanished (impossible here, but cheap to be exact
+      // about) would also count as a change.
+      val changed =
+        if (lastCkpt == null) -1L // round 1: prior frame is the lazy
+                                  // init projection, skip the probe
+        else next.select(col("__n"), col("__lbl").as("__new"))
+          .join(lastCkpt.select(col("__n"), col("__lbl").as("__old")),
+            Seq("__n"), "full_outer")
+          .filter(col("__new").isNull || col("__old").isNull ||
+            col("__new") =!= col("__old"))
+          .count()
       if (lastCkpt != null) lastCkpt.unpersist()
-      lastCkpt = labels
-      i += 1
+      lastCkpt = next
+      labels = next
+      if (changed == 0L) i = rounds else i += 1
     }
     labels.select(col("__n").as("node"), col("__lbl").as("community"))
   }

@@ -904,4 +904,234 @@ object Similarity {
         col("e.id").as("neg_id"), col("e.ord").cast(LongType).as("dist2"))
       .orderBy(col(idCol), col("rank"))
   }
+
+  /** APPROXIMATE hard-negative mining — [[hardNegatives]]'s n² exact
+    * cross-label pair stream swapped for the IVF candidate shape its
+    * scaladoc names as the 100 TB path: every vector is assigned to
+    * the nearest of `nCents` centroids; a query's candidates are the
+    * different-label vectors in its `nProbe` nearest cells; survivors
+    * are EXACTLY re-ranked with the same codegen'd integer
+    * [[QuantSqDistExpr]] and the same bounded [[TopKAgg]] heap, so on
+    * the candidates it does examine the ranking is bit-identical to
+    * the exact operator (recall@k against it is the honest quality
+    * metric — q182 audits exactly that, the q135 int8-vs-exact
+    * pattern).
+    *
+    * Centroids are the seeded-medoid pick: the `nCents` corpus
+    * vectors ranked first by the Knuth multiplicative hash
+    * ((id mod 2³¹)·2654435761 mod 2³², ties by id) — a deterministic
+    * pseudo-random sample. Lloyd-refined centroids ([[fitIvf]]) drop
+    * in without touching the candidate/probe/re-rank plumbing and
+    * buy tighter cells, but their float iterations are not
+    * SQL-replayable; the medoid pick keeps EVERY stage — centroid
+    * choice, assignment, probe set, re-rank — an exact integer
+    * program the DuckDB oracle replays to the bit, which is what
+    * makes q182's recall audit a full hash oracle rather than a
+    * rows-only check. All ties are total: assignment and probe
+    * ranking by (dist², cent id), re-rank by (dist², candidate id).
+    *
+    * Shape at scale: the centroid frame is nCents rows — broadcast
+    * by construction; assignment/probing is one map-side cross
+    * product with map-side-combined reduction (shuffle n rows, never
+    * n·nCents); the candidate join shuffles on the CELL id with
+    * n·nProbe probe rows against n assigned rows, so the pair stream
+    * is Σ_cell |probes(cell)|·|members(cell)| ≈ n²·nProbe/nCents —
+    * the nProbe/nCents scan fraction that is the IVF trade. Size
+    * nCents ~ √n (and ≫ task count: cells ARE the shuffle keys, so
+    * 16 cells cap parallelism at 16 tasks — fine at battery scale,
+    * wrong at 10⁹ vectors). The heap still reduces each query to k
+    * rows before the exchange. Queries whose probed cells hold no
+    * different-label vector are absent (< k rows is legal) — the
+    * audit's denominator is the exact side's row count, so missing
+    * rows count against recall, never silently inflate it.
+    *
+    * Returns (idCol, rank, neg_id, dist2) ordered by (idCol, rank). */
+  def ivfHardNegatives(emb: DataFrame, k: Int = 5,
+      nCents: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1 && nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
+    def qdist(a: Column, b: Column): Column =
+      graft.engine.Columns.ofExpr(QuantSqDistExpr(
+        graft.engine.Columns.exprOf(a),
+        graft.engine.Columns.exprOf(b), quantScale))
+    val q = emb.select(col(idCol).as("__id"), col(labelCol).as("__lab"),
+      col(vecCol).as("__v"))
+    // seeded-medoid centroids: nCents rows, window over a LIMITed
+    // frame (bounded by contract — this is the broadcast side)
+    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val cents = q.select(col("__id"), col("__v"), hk.as("__hk"))
+      .orderBy(col("__hk"), col("__id")).limit(nCents)
+      .withColumn("__cent", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__hk"), col("__id"))).cast(LongType))
+      .select(col("__cent"), col("__v").as("__cv"))
+    // one broadcast cross product yields BOTH the assignment (argmin
+    // cell, the candidate side) and the probe list (nProbe nearest
+    // cells, the query side) in a single map-side-combined pass.
+    // Storage contract: routed backs two consumers of the result plan
+    // and stays persisted until Bench's post-query sweep / session
+    // teardown (the containmentPairs contract).
+    val routed = q.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__lab"), col("__v"), col("__cent"),
+        qdist(col("__v"), col("__cv")).as("__d2c"))
+      .groupBy("__id")
+      .agg(first(col("__lab")).as("__lab"), first(col("__v")).as("__v"),
+        min(struct(col("__d2c"), col("__cent"))).as("__amin"),
+        TopKAgg.topK(col("__d2c"), col("__cent"), nProbe, largest = false)
+          .as("__pr"))
+      .select(col("__id"), col("__lab"), col("__v"),
+        col("__amin.__cent").as("__cell"),
+        transform(col("__pr"), e => e("id")).as("__probes"))
+      .cache()
+    val queries = routed.select(col("__id").as("__qid"),
+      col("__lab").as("__qlab"), col("__v").as("__qv"),
+      explode(col("__probes")).as("__pcell"))
+    val cands = routed.select(col("__id").as("__cand"),
+      col("__lab").as("__clab"), col("__v").as("__cv2"),
+      col("__cell").as("__ccell"))
+    queries.join(cands, col("__pcell") === col("__ccell") &&
+        col("__qlab") =!= col("__clab"))
+      .select(col("__qid"), col("__cand"),
+        qdist(col("__qv"), col("__cv2")).as("__d2"))
+      .groupBy(col("__qid"))
+      .agg(TopKAgg.topK(col("__d2"), col("__cand"), k, largest = false).as("tk"))
+      .select(col("__qid").as(idCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as("neg_id"), col("e.ord").cast(LongType).as("dist2"))
+      .orderBy(col(idCol), col("rank"))
+  }
+
+  /** PRODUCT-QUANTIZATION codes (Jégou et al. TPAMI'11): the vector
+    * is split into `m` contiguous subspaces; each subvector is
+    * replaced by the index of its nearest codeword in that subspace's
+    * `nCodes`-entry codebook. A 64-dim float32 vector (256 B)
+    * becomes m = 8 one-byte codes — 32× compression, the memory
+    * lever AFTER [[quantizeInt8]]'s 4×, and the scan cost per
+    * candidate drops from D multiplies to m table lookups (ADC —
+    * [[pqAdcRecall]] audits what that costs in recall). Codebooks
+    * are the seeded-medoid pick ([[ivfHardNegatives]]'s argument):
+    * the `nCodes` hash-ranked corpus vectors contribute their s-th
+    * slice as subspace s's codewords, keeping every stage — codebook
+    * choice, integer assignment distances, tie-breaks — an exact
+    * integer program the SQL oracle replays bit-for-bit; Lloyd-
+    * refined per-subspace codebooks drop in at scale without
+    * touching the assignment/ADC plumbing, they are just not
+    * SQL-replayable. Assignment ties break by ascending code.
+    *
+    * Shape at scale: the codebook frame is m·nCodes rows — broadcast
+    * by construction; assignment is one map-side cross product per
+    * subspace with map-side-combined argmin (shuffle n·m rows of
+    * three integers, never n·m·nCodes). The dimension probe is one
+    * limit(1) collect (bounded by contract, the q135 idiom).
+    *
+    * Returns (idCol, subspace, code) ordered by (idCol, subspace). */
+  def pqCodes(emb: DataFrame, m: Int = 8, nCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    val (codes, _, _) = pqParts(emb, m, nCodes, idCol, vecCol, quantScale)
+    codes.select(col("__id").as(idCol), col("__s").as("subspace"),
+      col("__code").as("code"))
+      .orderBy(idCol, "subspace")
+  }
+
+  /** Internal: (codes frame (__id, __s, __code), codebook frame
+    * (__s, __code, __cv), subLen) shared by [[pqCodes]] and
+    * [[pqAdcRecall]]. */
+  private def pqParts(emb: DataFrame, m: Int, nCodes: Int,
+      idCol: String, vecCol: String, quantScale: Double)
+      : (DataFrame, DataFrame, Int) = {
+    require(m >= 1 && nCodes >= 1)
+    val dim = emb.select(size(col(vecCol)).as("d")).limit(1)
+      .collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subLen = dim / m
+    def qdist(a: Column, b: Column): Column =
+      graft.engine.Columns.ofExpr(QuantSqDistExpr(
+        graft.engine.Columns.exprOf(a),
+        graft.engine.Columns.exprOf(b), quantScale))
+    val hk = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val meds = emb.select(col(idCol).as("__mid"), col(vecCol).as("__mv"),
+        hk.as("__hk"))
+      .orderBy(col("__hk"), col("__mid")).limit(nCodes)
+      .withColumn("__code", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__hk"), col("__mid"))).cast(LongType))
+    val books = meds
+      .select(col("__code"), explode(sequence(lit(0), lit(m - 1))).as("__s"),
+        col("__mv"))
+      .select(col("__s"), col("__code"),
+        slice(col("__mv"), col("__s") * subLen + 1, lit(subLen)).as("__cv"))
+    val sub = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), explode(sequence(lit(0), lit(m - 1))).as("__s"),
+        col("__v"))
+      .select(col("__id"), col("__s"),
+        slice(col("__v"), col("__s") * subLen + 1, lit(subLen)).as("__sv"))
+    val codes = sub.join(broadcast(books), Seq("__s"))
+      .select(col("__id"), col("__s"), col("__code"),
+        qdist(col("__sv"), col("__cv")).as("__d2"))
+      .groupBy("__id", "__s")
+      .agg(min(struct(col("__d2"), col("__code"))).as("__m"))
+      .select(col("__id"), col("__s"), col("__m.__code").as("__code"))
+    (codes, books, subLen)
+  }
+
+  /** ADC RECALL audit for [[pqCodes]]: recall@k of asymmetric-
+    * distance ranking (query against the codebook reconstruction —
+    * m lookups in a query-specific m×nCodes table, the PQ scan
+    * primitive) versus the exact integer quantized distance on raw
+    * vectors, for one probe query — "how much retrieval does 32×
+    * compression cost", the q135/q182 audit family. Every quantity
+    * is exact integer arithmetic (the LUT entries and their m-term
+    * sums), so both rankings and the overlaps replay in SQL. With
+    * nCodes = n every vector is its own codeword and ADC degenerates
+    * to the exact distance — recall 1 at every k (Round16OpsSpec
+    * pins it).
+    *
+    * Returns (k, n_overlap, recall_ppm) ordered by k. */
+  def pqAdcRecall(emb: DataFrame, queryId: Long = 0L,
+      ks: Seq[Int] = Seq(1, 5, 10), m: Int = 8, nCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    val spark = emb.sparkSession
+    val maxK = ks.max
+    val (codes, books, subLen) = pqParts(emb, m, nCodes, idCol, vecCol,
+      quantScale)
+    def qdist(a: Column, b: Column): Column =
+      graft.engine.Columns.ofExpr(QuantSqDistExpr(
+        graft.engine.Columns.exprOf(a),
+        graft.engine.Columns.exprOf(b), quantScale))
+    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol))
+      .limit(1).collect()(0).getSeq[Float](0).map(_.toDouble)
+    val qlit = typedLit(qv)
+    val lut = books.select(col("__s"), col("__code"),
+      qdist(slice(qlit, col("__s") * subLen + 1, lit(subLen)), col("__cv"))
+        .as("__qd2"))
+    val adc = codes.join(broadcast(lut), Seq("__s", "__code"))
+      .groupBy("__id").agg(sum(col("__qd2")).as("__adc"))
+    def topRanks(scored: DataFrame, scoreCol: String, rankName: String) =
+      scored
+        .agg(TopKAgg.topK(col(scoreCol), col("__id"), maxK, largest = false)
+          .as("tk"))
+        .select(posexplode(col("tk")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast(LongType).as(rankName),
+          col("e.id").as("__id"))
+    val adcR = topRanks(adc, "__adc", "__ar")
+    val exR = topRanks(
+      emb.select(col(idCol).as("__id"), qdist(qlit, col(vecCol)).as("__dx")),
+      "__dx", "__er")
+    val j = exR.join(adcR, Seq("__id"))
+    val ksDf = spark.range(0, ks.length).select(
+      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
+        .as("k"))
+    j.crossJoin(broadcast(ksDf))
+      .groupBy("k")
+      .agg(sum(when(col("__er") <= col("k") && col("__ar") <= col("k"), 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy("k")
+  }
 }

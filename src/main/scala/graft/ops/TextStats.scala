@@ -688,6 +688,12 @@ object TextStats {
     require(sizes.nonEmpty && sizes.forall(_ >= 1))
     val spark = docs.sparkSession
     import spark.implicits._
+    // Storage contract: the vocabulary-bounded count frame stays
+    // persisted after return (the result plan reads it lazily), and is
+    // released by Bench's post-query sweep / session teardown — the
+    // [[graft.ops.Dedup.containmentPairs]] / rrfFusion contract.
+    // Library callers embedding this in a long-lived session should
+    // sweep `spark.sparkContext.getPersistentRDDs` between invocations.
     val counts = docs
       .select(explode(filter(tokens(col(textCol)), t => length(t) > lit(0)))
         .as("__tok"))
@@ -757,6 +763,13 @@ object TextStats {
           .as("__i") :+ col("__t"): _*)
         .select(keep ++ fields: _*)
     }
+    // Storage contract for the three table caches below (n3/n2/uni,
+    // each read by a derived context-total frame AND the probe join):
+    // they stay persisted after return — the result plan reads them
+    // lazily — and are released by Bench's post-query sweep / session
+    // teardown, the [[graft.ops.Dedup.containmentPairs]] / rrfFusion
+    // contract. Library callers in a long-lived session should sweep
+    // `spark.sparkContext.getPersistentRDDs` between invocations.
     val n3 = grams(ref, 3).groupBy("__w1", "__w2", "__w3")
       .agg(count(lit(1)).as("__n3")).cache()
     n3.count() // eager: c2 + the probe join both read it

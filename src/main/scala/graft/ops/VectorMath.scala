@@ -1,9 +1,30 @@
 package graft.ops
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Analysis-time input validation shared by the binary array kernels:
+  * reject non-`array<float|double>` children DURING ANALYSIS (the
+  * Spark expression convention) instead of from the first compute /
+  * codegen call on an executor — a mis-typed column now fails the
+  * query at plan time with a type-check message, not mid-job. The
+  * `floatElems` throw in each kernel stays as the runtime backstop
+  * for hand-built never-analyzed plans. */
+private[ops] trait ArrayPairInputCheck { self: BinaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+}
 
 /** Σ aᵢ·bᵢ over two numeric arrays (float or double elements) in one
   * imperative pass, as double.
@@ -22,7 +43,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * must surface as null, not silently rank with a partial sum).
   */
 case class DotExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayPairInputCheck {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
@@ -81,7 +102,7 @@ case class DotExpr(left: Expression, right: Expression)
   * subtract, square, accumulate left to right from 0.0; length
   * mismatch or null element → NULL, like zip_with would produce. */
 case class SqDistExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayPairInputCheck {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sqdist"
@@ -151,7 +172,7 @@ case class SqDistExpr(left: Expression, right: Expression)
   * as Clustering's guard): dims·(2·max|⌊x·s⌋|)² must stay < 2⁶³ —
   * callers quantize unit-normalized embeddings at s ≤ 1e4. */
 case class QuantSqDistExpr(left: Expression, right: Expression, scale: Double)
-    extends BinaryExpression {
+    extends BinaryExpression with ArrayPairInputCheck {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_quant_sqdist"

@@ -21,8 +21,9 @@ import graft.ops.{Classifier, TextStats}
 object Round15 {
 
   /** DuckDB twin of [[graft.ops.Classifier.tokenHash]] as a scalar
-    * over an identifier `t` bound in scope. */
-  private def tokHashSql(t: String): String =
+    * over an identifier `t` bound in scope (shared with Round16's
+    * chunk-consuming oracles). */
+  private[queries] def tokHashSql(t: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(range(1, length($t) + 1),
        |        c -> CAST(unicode(substr($t, CAST(c AS INT), 1)) AS BIGINT))),
