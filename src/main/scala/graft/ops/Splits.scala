@@ -482,4 +482,65 @@ object Splits {
       .select(col(groupCol), col(idCol), col("__w").as("weight"),
         col("n_picks"))
   }
+
+  /** TRAINING-ORDER MIXING audit: per source, how often adjacent
+    * documents in the engine's standing pseudo-shuffle order
+    * ([[Packing.packShuffled]]'s (knuth-hash, id) permutation — the
+    * order real packing consumes) come from the SAME source, against
+    * the independence expectation. Ingest order is site/day-
+    * clustered; if the shuffle left residual clustering, consecutive
+    * training sequences over-sample one source and the optimizer
+    * sees non-iid batches — this is the health check that the
+    * permutation actually mixed. Exact integers throughout:
+    * `adj_same_ppm` = same-source adjacent pairs ·10⁶ div (n−1);
+    * `expected_ppm` = cₛ(cₛ−1)·10⁶ div n(n−1) (the probability both
+    * ends of a random adjacent slot are source s), DECIMAL(38,0)
+    * cross-multiplied so 10⁹-doc sources cannot overflow the
+    * numerator. A healthy shuffle has adj_same_ppm ≈ expected_ppm
+    * per source; excess is residual clustering in ppm.
+    *
+    * Shape at scale: the global (hv, id) rank is the two-phase
+    * bucket decomposition [[Packing.packSequences]] uses — bucket
+    * counts (≤ 2³²/bucketSpan rows) get a value-domain cumulative
+    * window, in-bucket ranks a partitioned window, so nothing
+    * corpus-sized hits one task; adjacency is one self-join on
+    * rank+1 (shuffle-keyed), and the rollup is source-bounded.
+    *
+    * Returns (source, n_docs, adj_same, adj_same_ppm, expected_ppm)
+    * ordered by source. */
+  def orderMixingAudit(docs: DataFrame, groupCol: String = "source",
+      idCol: String = "doc_id", bucketSpan: Long = 1L << 20): DataFrame = {
+    require(bucketSpan > 0)
+    val b = docs.select(col(idCol).cast("long").as("__id"),
+        col(groupCol).as("__g"),
+        hashBucketN(col(idCol), 1L << 32).as("__hv"))
+      .withColumn("__bk", expr(s"__hv div $bucketSpan"))
+    val cnts = b.groupBy("__bk").agg(count(lit(1)).as("__n"))
+    // value-domain window: one row per occupied bucket, ≤ 2^32/span
+    val overB = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("__off", coalesce(sum(col("__n")).over(overB), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val wIn = Window.partitionBy("__bk").orderBy(col("__hv"), col("__id"))
+    val ranked = b.join(offs, Seq("__bk"))
+      .withColumn("__r", col("__off") + row_number().over(wIn))
+    val adj = ranked.select(col("__r").as("__ra"), col("__g").as("__ga"))
+      .join(ranked.select((col("__r") - 1).as("__ra"), col("__g").as("__gb")),
+        Seq("__ra"))
+    val perSrc = b.groupBy(col("__g").as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val sameAdj = adj.filter(col("__ga") === col("__gb"))
+      .groupBy(col("__ga").as("source")).agg(count(lit(1)).as("adj_same"))
+    val nTot = b.agg(count(lit(1)).as("__N"))
+    perSrc.join(sameAdj, Seq("source"), "left")
+      .na.fill(0L, Seq("adj_same"))
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("n_docs"), col("adj_same"),
+        expr("(adj_same * 1000000) div (__N - 1)").as("adj_same_ppm"),
+        expr("""cast((cast(n_docs as decimal(38,0)) * (n_docs - 1) * 1000000)
+                div (cast(__N as decimal(38,0)) * (__N - 1)) as bigint)""")
+          .as("expected_ppm"))
+      .orderBy("source")
+  }
 }

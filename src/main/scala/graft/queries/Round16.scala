@@ -321,9 +321,76 @@ object Round16 {
        |ORDER BY k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q186
+  /** TRAINING-ORDER MIXING audit
+    * ([[graft.ops.Splits.orderMixingAudit]]): per source, the
+    * same-source adjacency rate of the engine's standing
+    * pseudo-shuffle order (the permutation q114's packing consumes)
+    * vs the independence expectation, both in exact ppm — the
+    * shuffle-quality health check before packed batches are trusted
+    * as iid. */
+  private def q186(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.orderMixingAudit(Tables.documents(s, dir))
+
+  private val q186Sql =
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |    CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+      |         % 4294967296 AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (SELECT source, ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS r
+      |      FROM h),
+      |adj AS (SELECT a.source AS ga, b.source AS gb
+      |        FROM r a JOIN r b ON b.r = a.r - 1),
+      |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |       FROM h GROUP BY source),
+      |sa AS (SELECT ga AS source, CAST(COUNT(*) AS BIGINT) AS adj_same
+      |       FROM adj WHERE ga = gb GROUP BY ga),
+      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h)
+      |SELECT ps.source, ps.n_docs,
+      |  COALESCE(sa.adj_same, 0) AS adj_same,
+      |  CAST((COALESCE(sa.adj_same, 0) * 1000000) // (nt.n - 1) AS BIGINT)
+      |    AS adj_same_ppm,
+      |  CAST((CAST(ps.n_docs AS HUGEINT) * (ps.n_docs - 1) * 1000000)
+      |       // (CAST(nt.n AS HUGEINT) * (nt.n - 1)) AS BIGINT)
+      |    AS expected_ppm
+      |FROM ps LEFT JOIN sa USING (source), nt
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q187
+  /** K-ANONYMITY generalization audit
+    * ([[graft.ops.Privacy.kAnonymityLevels]]): per document, the
+    * first level of the (lang, source, length-bucket) → (lang,
+    * source) → (lang) → corpus generalization ladder whose cohort
+    * reaches k=3, with that cohort's exact size — the metadata
+    * re-identification gate run before a corpus release. */
+  private def q187(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.kAnonymityLevels(Tables.documents(s, dir), k = 3L)
+
+  private val q187Sql =
+    """WITH b AS (
+      |  SELECT doc_id, lang, source, n_chars // 100 AS lb FROM documents),
+      |c0 AS (SELECT lang, source, lb, CAST(COUNT(*) AS BIGINT) AS n0
+      |       FROM b GROUP BY 1, 2, 3),
+      |c1 AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n1
+      |       FROM b GROUP BY 1, 2),
+      |c2 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n2 FROM b GROUP BY 1),
+      |c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n3 FROM b)
+      |SELECT b.doc_id,
+      |  CAST(CASE WHEN n0 >= 3 THEN 0 WHEN n1 >= 3 THEN 1
+      |            WHEN n2 >= 3 THEN 2 ELSE 3 END AS BIGINT) AS anon_level,
+      |  CASE WHEN n0 >= 3 THEN n0 WHEN n1 >= 3 THEN n1
+      |       WHEN n2 >= 3 THEN n2 ELSE n3 END AS cohort_size
+      |FROM b JOIN c0 USING (lang, source, lb)
+      |       JOIN c1 USING (lang, source)
+      |       JOIN c2 USING (lang), c3
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q182_approx_negatives_recall", q182, Some(q182Sql)),
     QueryDef("q183_chunk_dedup", q183, Some(q183Sql)),
     QueryDef("q184_clamped_cdc", q184, Some(q184Sql)),
-    QueryDef("q185_pq_adc_recall", q185, Some(q185Sql)))
+    QueryDef("q185_pq_adc_recall", q185, Some(q185Sql)),
+    QueryDef("q186_shuffle_mixing", q186, Some(q186Sql)),
+    QueryDef("q187_k_anonymity", q187, Some(q187Sql)))
 }

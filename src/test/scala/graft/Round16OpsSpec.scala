@@ -180,6 +180,43 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(out.last._3 <= 16L)
   }
 
+  // ------------------------------- q186 shuffle-mixing audit
+  test("orderMixingAudit: hand-computed adjacency in knuth-hash order") {
+    // hash order of ids 1..6 is (5, 2, 4, 1, 6, 3); with sources
+    // 1-3 = A and 4-6 = B the shuffled order alternates BABABA —
+    // zero same-source adjacencies against an expectation of
+    // 3*2/(6*5) = 200000 ppm per source
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("doc_id", "source")
+    val out = graft.ops.Splits.orderMixingAudit(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("A", 3L, 0L, 0L, 200000L),
+      ("B", 3L, 0L, 0L, 200000L)))
+  }
+
+  test("orderMixingAudit: a single source saturates at 1e6 ppm observed and expected") {
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"))
+      .toDF("doc_id", "source")
+    val out = graft.ops.Splits.orderMixingAudit(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("A", 4L, 3L, 1000000L, 1000000L)))
+  }
+
+  // ------------------------------- q187 k-anonymity ladder
+  test("kAnonymityLevels: hand-computed generalization ladder") {
+    val docs = Seq(
+      (1L, "en", "web", 100L), (2L, "en", "web", 150L),
+      (3L, "en", "web", 120L), // len bucket 1 shared by 3 -> level 0
+      (4L, "en", "web", 250L), // unique bucket; (en,web)=4 -> level 1
+      (5L, "en", "book", 300L), // (en,book)=1; (en)=5 -> level 2
+      (6L, "fr", "web", 100L)) // (fr)=1 -> level 3, corpus cohort 6
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val out = graft.ops.Privacy.kAnonymityLevels(docs, k = 3L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 0L, 3L), (2L, 0L, 3L), (3L, 0L, 3L),
+      (4L, 1L, 4L), (5L, 2L, 5L), (6L, 3L, 6L)))
+  }
+
   // ------------------------------- q185 product quantization
   test("pqCodes: hand-computed seeded-medoid codebooks and assignments") {
     // Knuth-hash order of ids 1..5 is (5, 2, 4, 1, 3), so with
