@@ -133,6 +133,100 @@ object Classifier {
         when(col("n_tok") === 0L, lit(0L))
           .otherwise(expr("affinity * 1000000 DIV n_tok")))
   }
+
+  /** CALIBRATION (reliability-diagram) audit of any integer quality
+    * score against any boolean reference label: rank every document
+    * by (score desc, id), cut the ranking into `buckets` equal-count
+    * bins, and report each bin's exact observed positive rate — the
+    * table a reliability diagram plots, and the measurement that
+    * decides whether a cheap gate's threshold transfers to a new
+    * corpus slice ("the top decile is 92 % good, the 6th is 31 % —
+    * gate at decile 3"). Score and label are caller-supplied columns,
+    * so the same audit runs over the stopword-rate heuristic, the
+    * q108 hashed classifier, or the q109 percentile gate unchanged.
+    *
+    * The global rank is the exact two-phase radix decomposition
+    * (bucket on `score div rankSpan` — value-domain rows only — then
+    * an in-bucket window): no corpus-sized sort lands on one task,
+    * the [[Ranks.exactGroupRank]] argument. Bin = ((rank−1)·buckets)
+    * div n — equal-count bins exact to ±1 row, deterministic under
+    * any partitioning. All outputs exact integers:
+    * `pos_ppm = n_pos·10⁶ div n_docs` per bin.
+    *
+    * `score` must be a non-negative long. Returns
+    * (bucket, n_docs, score_min, score_max, n_pos, pos_ppm)
+    * ordered by bucket (0 = highest scores). */
+  def calibrationAudit(docs: DataFrame, score: Column, label: Column,
+      buckets: Int = 10, rankSpan: Long = 1024L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 1 && rankSpan >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).cast("long").as("__id"),
+        score.cast(LongType).as("__s"),
+        when(label, 1L).otherwise(0L).as("__pos"))
+      .cache()
+    base.count() // eager: rank offsets + total both read it
+    // rank by (score DESC, id): bucket on the negated span cell so
+    // bucket-ascending order is score-descending
+    val b = base.withColumn("__bk", expr(s"-(__s div $rankSpan)"))
+    val cnts = b.groupBy("__bk").agg(count(lit(1)).as("__c"))
+    val overB = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("__off", coalesce(sum(col("__c")).over(overB), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val wIn = Window.partitionBy("__bk").orderBy(col("__s").desc, col("__id"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    b.join(broadcast(offs), Seq("__bk"))
+      .withColumn("__r", col("__off") + row_number().over(wIn))
+      .crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"((__r - 1) * $buckets) div __n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__s")).as("score_min"), max(col("__s")).as("score_max"),
+        sum(col("__pos")).as("n_pos"))
+      .withColumn("pos_ppm", expr("(n_pos * 1000000) div n_docs"))
+      .orderBy("bucket")
+  }
+}
+
+/** `bigint → bigint`: FNV-1a over the input long's 8 little-endian
+  * bytes — the REPLAYABLE 64-bit avalanche. The prime-field hashes
+  * this engine replays in SQL live below 2³⁰, which breaks
+  * Kirsch–Mitzenmacher double hashing against a power-of-two bit
+  * array: every position mod 2^b is then a function of the input's
+  * low b bits alone, so distinct keys sharing low bits collide on
+  * ALL probe positions ([[BloomAudit]] measured the resulting FPR at
+  * 38× the fill-ratio model before this expression existed). FNV-1a
+  * spreads those 30 bits across all 64; DuckDB replays it exactly in
+  * HUGEINT mod-2⁶⁴ arithmetic (the q32 FNV-over-codepoints
+  * precedent — xor only ever touches the low byte, which the
+  * `h − h mod 256 + xor(h mod 256, byte)` spelling reproduces).
+  * Input must be ≥ 0 (callers feed prime-field hashes). */
+case class Fnv64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fnv64"
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv64Expr.hash(input.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Fnv64Expr.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64Expr =
+    copy(child = newChild)
+}
+
+object Fnv64Expr {
+  def hash(v: Long): Long = {
+    var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
+    var b = 0
+    while (b < 8) {
+      h = (h ^ ((v >>> (8 * b)) & 0xffL)) * 0x100000001b3L
+      b += 1
+    }
+    h
+  }
 }
 
 /** `string → bigint`: Σ-fold `(acc·131 + codePoint) mod 1000000007`

@@ -1621,9 +1621,15 @@ object Dedup {
     left.join(right, col("__jb") === col("__bb") &&
         col("__jb2") === col("__bb2") && col("__id") < col("__idb"))
       .filter(abs(col("__len") - col("__lenb")) <= maxDist)
-      // lev >= ceil(L1/2): reject on the histogram before the DP
-      .filter(aggregate(zip_with(col("__h"), col("__hb"),
-        (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v) <= 2 * maxDist)
+      // lev >= ceil(L1/2): reject on the histogram before the DP.
+      // Codegen'd zero-allocation kernel — the HOF spelling
+      // (aggregate ∘ zip_with ∘ abs) allocates a boxed 37-element
+      // delta array per candidate PAIR once projection collapse
+      // inlines it into the band join (round-15 ADVICE; the q167
+      // QuantSqDistExpr trap, same fix).
+      .filter(graft.engine.Columns.ofExpr(IntL1Expr(
+        graft.engine.Columns.exprOf(col("__h")),
+        graft.engine.Columns.exprOf(col("__hb")))) <= lit(2L * maxDist))
       .withColumn("dist", levenshtein(col("__tx"), col("__txb"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("__id").as("doc_a"), col("__idb").as("doc_b"),

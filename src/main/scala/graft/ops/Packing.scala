@@ -163,6 +163,86 @@ object Packing {
     * (length, bucket) cell (bounded by bucketSpan). Everything
     * shuffled is (id, count) longs.
     */
+  /** INFERENCE-BATCH padding-waste audit: fixed-size batches of
+    * `batchSize` sequences are padded to each batch's longest member
+    * (the static-batching serving model); this measures, in exact
+    * integers, what fraction of the compute rectangle is padding
+    * under two batching policies over the SAME corpus —
+    *  - `hash`: the q114 pseudo-shuffle order (arrival-order
+    *    stand-in: batches mix lengths, every batch pays the longest
+    *    straggler), and
+    *  - `sorted_desc`: length-descending order (the vLLM/fairseq
+    *    length-bucketing trick: neighbors have near-equal lengths,
+    *    padding collapses) —
+    * the measurement that justifies (or kills) a batch-sorting stage
+    * before an embedding/scoring backfill over 100 TB.
+    *
+    * Both global orders are EXACT two-phase radix ranks (the
+    * [[packShuffled]] / [[Splits.orderMixingAudit]] decomposition):
+    * `hash` buckets on `hv div 2²⁰` (≤ 2¹² value-domain rows),
+    * `sorted_desc` buckets on the token count itself (value-domain =
+    * distinct lengths; in-bucket rank is by id among equal lengths) —
+    * nothing corpus-sized ever meets one window partition. Batch
+    * rollups are map-side-combinable aggregates on `(rank−1) div B`.
+    *
+    * `waste_ppm = padding·10⁶ div (padding + tokens)` — the padded
+    * share of the Σ batch_rows·batch_max compute rectangle (the last,
+    * possibly short, batch pads only to its own row count).
+    *
+    * Returns one row per policy: (policy, n_seqs, n_batches,
+    * total_tokens, padded_tokens, waste_ppm), ordered by policy. */
+  def batchWasteAudit(docs: DataFrame, batchSize: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketSpan: Long = 1L << 20,
+      countExpr: Option[Column] = None): DataFrame = {
+    require(batchSize >= 1)
+    val counted = docs.select(
+      col(idCol).cast("long").as("__id"),
+      Splits.hashBucketN(col(idCol), 1L << 32).as("__hv"),
+      countExpr.getOrElse(TextStats.tokenCount(col(textCol))).as("__n"))
+      .filter(col("__n") > 0)
+      .cache()
+    counted.count() // eager: both policy rankings read it
+
+    // exact global rank via bucket offsets + in-bucket row_number
+    def rank(bucket: Column, ord: Seq[Column]): DataFrame = {
+      val b = counted.withColumn("__bk", bucket)
+      val cnts = b.groupBy("__bk").agg(count(lit(1)).as("__c"))
+      val overB = Window.orderBy(col("__bk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = cnts
+        .withColumn("__off", coalesce(sum(col("__c")).over(overB), lit(0L)))
+        .select(col("__bk"), col("__off"))
+      val wIn = Window.partitionBy("__bk").orderBy(ord: _*)
+      b.join(broadcast(offs), Seq("__bk"))
+        .withColumn("__r", col("__off") + row_number().over(wIn))
+        .select(col("__id"), col("__n"), col("__r"))
+    }
+    // hash policy: (hv asc, id asc). sorted_desc: (len desc, id asc) —
+    // bucket on the NEGATED length so bucket order asc == length desc
+    val byHash = rank(expr(s"__hv div $bucketSpan"),
+      Seq(col("__hv"), col("__id")))
+    val bySorted = rank(-col("__n"), Seq(col("__n").desc, col("__id")))
+
+    def rollup(ranked: DataFrame, policy: String): DataFrame =
+      ranked
+        .withColumn("__batch", expr(s"(__r - 1) div $batchSize"))
+        .groupBy("__batch")
+        .agg(count(lit(1)).as("__rows"), max(col("__n")).as("__mx"),
+          sum(col("__n")).as("__tok"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("__rows")).as("n_seqs"),
+          sum(col("__tok")).as("total_tokens"),
+          sum(col("__rows") * col("__mx") - col("__tok")).as("padded_tokens"))
+        .select(lit(policy).as("policy"), col("n_seqs"), col("n_batches"),
+          col("total_tokens"), col("padded_tokens"),
+          expr("""(padded_tokens * 1000000)
+                  div (padded_tokens + total_tokens)""").as("waste_ppm"))
+
+    rollup(byHash, "hash").unionAll(rollup(bySorted, "sorted_desc"))
+      .orderBy("policy")
+  }
+
   def packBestFit(docs: DataFrame, budget: Long,
       idCol: String = "doc_id", textCol: String = "text",
       groupSize: Int = 4096, bucketSpan: Long = 1L << 20): DataFrame = {

@@ -596,6 +596,52 @@ object Similarity {
     (spark.read.parquet(s"$dir/lists"), IvfModel(cents, radii))
   }
 
+  /** APPEND a batch to a stored IVF index WITHOUT refitting — the
+    * maintenance operation a live 100 TB ANN index needs daily:
+    * re-fitting centroids re-shuffles the whole corpus, while an
+    * append is one map-only assignment of the increment against the
+    * FROZEN centroid set plus a partitioned write into the existing
+    * list directories (the [[graft.ops.Dedup]] q112 index-append
+    * stance, applied to the vector index).
+    *
+    * Correctness hinges on the radii: [[exactIvfKnn]]'s
+    * triangle-inequality pruning is exact only while each stored
+    * radius upper-bounds every member's distance to its unit
+    * centroid. Appended vectors can only GROW a list's true radius,
+    * so the model is rewritten with the cell-wise max of the stored
+    * radii and the increment's (the same merge-by-max algebra as the
+    * q173 HLL registers); a list a stale radius under-covered would
+    * silently drop true neighbors — which is exactly what the q196
+    * oracle (brute-force equivalence) would catch.
+    *
+    * Frozen centroids trade assignment optimality for zero refit
+    * cost: exactness is UNAFFECTED (adaptive probing is exact under
+    * ANY assignment), only pruning efficiency drifts as the data
+    * distribution moves — the standard IVF maintenance contract
+    * (re-fit when probe fan-out degrades, not on every batch). */
+  def appendIvf(spark: org.apache.spark.sql.SparkSession,
+      increment: DataFrame, dir: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val (_, model) = loadIvf(spark, dir) // model rows are collected eagerly
+    val asDouble = increment
+      .withColumn("__v", transform(col(vecCol), x => x.cast(DoubleType)))
+    val assigned = assignLists(asDouble, "__v", model.centroids)
+      .withColumnRenamed("list", "ivf_list").drop("__v")
+      .cache() // two consumers: radii aggregate + the append write
+    val incRadii = listRadii(assigned, unitCentroids(model.centroids), vecCol)
+    val merged = (model.radii.keySet ++ incRadii.keySet).map { l =>
+      l -> math.max(model.radii.getOrElse(l, 0.0), incRadii.getOrElse(l, 0.0))
+    }.toMap
+    assigned.write.mode("append").partitionBy("ivf_list")
+      .parquet(s"$dir/lists")
+    assigned.unpersist(blocking = false)
+    val rows = model.centroids.zipWithIndex.map { case (c, i) =>
+      (i, c, merged.get(i))
+    }
+    spark.createDataFrame(rows).toDF("list", "centroid", "radius")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  }
+
   /** SemDeDup-style semantic deduplication: partition the corpus into
     * `nClusters` Voronoi cells around hash-sampled seed points, then
     * mark as a duplicate every vector whose cosine to a LOWER-id vector

@@ -818,4 +818,159 @@ object TextStats {
       .withColumn("surprisal_per_100",
         expr("(surprisal_sum * 100L) div n_scored"))
   }
+
+  /** VOCABULARY-GROWTH (Heaps'78) audit: distinct types and total
+    * token occurrences seen in the first s documents of the
+    * deterministic pseudo-shuffle order, at a ladder of prefix sizes
+    * — the empirical V(n) curve whose power-law bend tells you how
+    * much NEW vocabulary (entities, code identifiers, typo mass)
+    * additional corpus actually buys, the sizing instrument for
+    * "will 10× more of this source still grow the vocab or just
+    * repeat it". Complements [[vocabCoverageAt]] (q179: token mass of
+    * a FIXED top-s vocabulary) by walking the other axis: vocabulary
+    * as a function of CORPUS size.
+    *
+    * Deterministic and exact: the prefix order is the standing
+    * (knuth-hash, id) permutation ([[graft.ops.Splits.hashBucketN]] at
+    * full 2³² range — the q114/q186 order), ranked with the two-phase
+    * bucket decomposition (value-domain offsets + in-bucket windows;
+    * nothing corpus-sized meets one task). Each type's contribution
+    * to every level is decided by its MIN first-seen rank — one
+    * map-side-combinable aggregate over the exploded token stream,
+    * then a levels×types broadcast comparison (levels is a handful of
+    * literals). No per-level rescan of the corpus.
+    *
+    * Returns one row per level: (prefix_docs, n_docs, n_tokens,
+    * n_types) ordered by prefix_docs, where n_docs = min(prefix_docs,
+    * corpus size) is the realized prefix. */
+  def vocabGrowth(docs: DataFrame,
+      levels: Seq[Long] = Seq(16L, 64L, 256L, 1024L, 4096L),
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketSpan: Long = 1L << 20): DataFrame = {
+    require(levels.nonEmpty && levels.forall(_ >= 1))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = docs.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__tx"),
+        Splits.hashBucketN(col(idCol), 1L << 32).as("__hv"))
+      .withColumn("__bk", expr(s"__hv div $bucketSpan"))
+    val cnts = b.groupBy("__bk").agg(count(lit(1)).as("__c"))
+    val overB = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("__off", coalesce(sum(col("__c")).over(overB), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val wIn = Window.partitionBy("__bk").orderBy(col("__hv"), col("__id"))
+    val ranked = b.join(broadcast(offs), Seq("__bk"))
+      .withColumn("__r", col("__off") + row_number().over(wIn))
+      .select(col("__r"),
+        filter(tokens(col("__tx")), t => length(t) > lit(0)).as("__t"))
+      .cache()
+    ranked.count() // eager: type table + per-level token sums read it
+    val lv = broadcast(levels.toDF("prefix_docs"))
+    // per-type first-seen rank (map-side combinable min)
+    val firstSeen = ranked
+      .select(col("__r"), explode(col("__t")).as("__tok"))
+      .groupBy("__tok").agg(min(col("__r")).as("__fs"))
+    val types = firstSeen.crossJoin(lv)
+      .groupBy("prefix_docs")
+      .agg(sum(when(col("__fs") <= col("prefix_docs"), 1L).otherwise(0L))
+        .as("n_types"))
+    val toks = ranked
+      .select(col("__r"), size(col("__t")).cast(LongType).as("__n"))
+      .crossJoin(lv)
+      .groupBy("prefix_docs")
+      .agg(sum(when(col("__r") <= col("prefix_docs"), col("__n")).otherwise(0L))
+        .as("n_tokens"),
+        sum(when(col("__r") <= col("prefix_docs"), 1L).otherwise(0L))
+          .as("n_docs"))
+    toks.join(types, Seq("prefix_docs"))
+      .select(col("prefix_docs"), col("n_docs"), col("n_tokens"),
+        col("n_types"))
+      .orderBy("prefix_docs")
+  }
+
+  /** CODE-SWITCHING / language-mixture profile: slice each document
+    * into fixed `windowTokens`-token windows, classify every window
+    * with the [[langMarkers]] marker-count argmax (ties break in
+    * marker-list order; zero markers → 'und' — the window-local
+    * version of [[predictedLang]], WITHOUT the CJK short-circuit,
+    * since the window is already a token array), and roll up per
+    * document: window count, dominant window language with its exact
+    * ppm share, adjacent-window switch count, and the number of
+    * distinct non-'und' languages seen. A document-level langid
+    * (q18 family) averages the whole text — a 90 % English doc with a
+    * 10 % Spanish tail looks purely English; this is the gate that
+    * catches mixed-language and template-injected documents before
+    * they poison a monolingual training split, and the `n_switches`
+    * column is the standard code-switch-rate statistic.
+    *
+    * Shape at scale: ENTIRELY map-only — every window slice, marker
+    * count, argmax, and adjacency comparison is a HOF over the
+    * document's own bounded token array; no explode, no shuffle, no
+    * window function. A 100 TB corpus runs this scan-bound. Exact
+    * integers throughout (`dominant_ppm = dom·10⁶ div n_windows`).
+    *
+    * Returns (idCol, n_windows, dominant_lang, dominant_ppm,
+    * n_switches, n_langs); `dominant_ppm` is NULL for tokenless
+    * documents (n_windows = 0, dominant 'und'). */
+  def codeSwitchProfile(docs: DataFrame, windowTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 1)
+    val w = windowTokens
+    val t = filter(tokens(col(textCol)), x => length(x) > lit(0))
+    // ceil-div in INTEGER arithmetic (Column `/` is double division)
+    val nwin = expr(s"(size(__t) + ${w - 1}) div $w").cast(LongType)
+    def windowLang(win: Column): Column = {
+      val counts = langMarkers.map { case (l, m) =>
+        l -> size(filter(win, tk => array_contains(typedLit(m), tk)))
+      }
+      val maxc = greatest(counts.map(_._2): _*)
+      counts.foldLeft(when(maxc === 0, lit("und"))) { case (acc, (l, c)) =>
+        acc.when(c === maxc, lit(l))
+      }.otherwise(lit("und"))
+    }
+    val langsCol = transform(sequence(lit(0L), col("__nw") - 1L),
+      wi => windowLang(slice(col("__t"), wi * w + 1, lit(w))))
+    val allLangs = langMarkers.map(_._1) :+ "und"
+    docs
+      .select(col(idCol), t.as("__t"))
+      .withColumn("__nw", nwin.cast(LongType))
+      // sequence(0, -1) would DESCEND — guard the tokenless case
+      .withColumn("__langs",
+        when(col("__nw") > 0, langsCol)
+          .otherwise(array().cast("array<string>")))
+      .select(
+        col(idCol),
+        col("__nw").as("n_windows"),
+        // dominant = first lang in (en, de, es, fr, und) order hitting
+        // the max window count; 'und' for tokenless docs
+        {
+          val cnts = allLangs.map { l =>
+            l -> size(filter(col("__langs"), x => x === lit(l))).cast(LongType)
+          }
+          val mx = greatest(cnts.map(_._2): _*)
+          cnts.foldLeft(when(col("__nw") === 0, lit("und"))) {
+            case (acc, (l, c)) => acc.when(c === mx, lit(l))
+          }.otherwise(lit("und")).as("dominant_lang")
+        },
+        col("__langs"))
+      .withColumn("__dom",
+        greatest(allLangs.map(l =>
+          size(filter(col("__langs"), x => x === lit(l))).cast(LongType)): _*))
+      .withColumn("dominant_ppm",
+        when(col("n_windows") > 0,
+          expr("(__dom * 1000000) div n_windows")))
+      .withColumn("n_switches",
+        when(col("n_windows") >= 2,
+          aggregate(sequence(lit(1L), col("n_windows") - 1L), lit(0L),
+            (acc, i) => acc + when(element_at(col("__langs"), i.cast("int")) =!=
+              element_at(col("__langs"), (i + 1L).cast("int")), 1L).otherwise(0L)))
+          .otherwise(lit(0L)))
+      .withColumn("n_langs",
+        size(array_distinct(filter(col("__langs"), x => x =!= lit("und"))))
+          .cast(LongType))
+      .select(col(idCol), col("n_windows"), col("dominant_lang"),
+        col("dominant_ppm"), col("n_switches"), col("n_langs"))
+  }
 }

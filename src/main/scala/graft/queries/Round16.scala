@@ -386,11 +386,447 @@ object Round16 {
       |       JOIN c2 USING (lang), c3
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle fragment: the [[graft.ops.Splits.hashBucketN]]
+    * Knuth hash of doc_id at full 2³² range, in HUGEINT (BIGINT would
+    * overflow at 2³²·2654435761). */
+  private def knuthSql(id: String): String =
+    s"CAST((CAST($id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)"
+
+  /** Shared oracle fragment: filtered token array. */
+  private val toksSql =
+    """list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)"""
+
+  /** Shared oracle fragment: the 3-gram polynomial hash over
+    * [[Round15.tokHashSql]] token hashes — the Winnowing/LshAudit
+    * gram spelling. `tk` is the token array, `i` the 0-based gram
+    * start. */
+  private def gramHashSql(tk: String, i: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(3), j ->
+       |          ${Round15.tokHashSql(s"$tk[CAST($i + j + 1 AS INT)]")})),
+       |        (acc, h) -> (acc * 10007 + h) % 1000000007)""".stripMargin
+
+  // ---------------------------------------------------------------- q188
+  /** MinHash-LSH PARAMETER audit
+    * ([[graft.ops.LshAudit.minhashParamAudit]]): measured recall and
+    * precision of banded-MinHash candidate generation vs exact n-gram
+    * Jaccard ground truth at τ = 0.5, for the (bands, rows) grid
+    * {(12,2), (8,3), (4,6)} over one shared 24-minimum signature —
+    * the S-curve measured on the corpus's own similarity distribution
+    * before a band layout is committed to a 100 TB dedup pass
+    * (q135/q182/q185's audit pattern, applied to the near-dup rung).
+    * Closed-form coefficients and replayable gram hashes mean the
+    * oracle re-derives signatures, band keys, candidates, AND the
+    * exact side bit-for-bit. Ground truth is (deterministic 1/8 query
+    * sample) × full corpus — exact-side cost linear in the corpus,
+    * and the truth set keeps pairs with ONE sampled endpoint (an
+    * in-sample-pairs design was measured degenerate: 0 of the 25
+    * planted near-dup pairs survive p² endpoint sampling). */
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LshAudit.minhashParamAudit(Tables.documents(s, dir))
+
+  private val q188Sql = {
+    // per-config band-key CTE arms: key = Σ sig·10007^(r−1−(ci mod r))
+    // mod p — the same value as the engine's per-step-mod fold
+    val configs = Seq((0, 12, 2), (1, 8, 3), (2, 4, 6))
+    val pows = Array.iterate(1L, 6)(p => p * 10007L % 1000000007L)
+    val arms = configs.map { case (cfg, _, r) =>
+      val caseArm = (0 until r).map(t =>
+        s"WHEN ${t} THEN ${pows(r - 1 - t)}").mkString(" ")
+      s"""  SELECT doc_id, $cfg AS cfg, ci // $r AS band,
+         |    SUM(sg.s * CASE ci % $r $caseArm END) % 1000000007 AS key
+         |  FROM sg GROUP BY doc_id, band""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val vals = configs.map { case (c, b, r) => s"($c, $b, $r)" }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, ${knuthSql("doc_id")} % 8 = 0 AS q,
+       |    list_distinct(list_transform(range(len(tk) - 2),
+       |      i -> ${gramHashSql("tk", "i")})) AS gh
+       |  FROM t WHERE len(tk) >= 3
+       |),
+       |exj AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |    (CAST(len(list_intersect(a.gh, b.gh)) AS BIGINT) * 1000000)
+       |      // (CAST(len(a.gh) + len(b.gh) AS BIGINT)
+       |         - CAST(len(list_intersect(a.gh, b.gh)) AS BIGINT)) AS jppm
+       |  FROM g a JOIN g b ON a.q AND a.doc_id <> b.doc_id
+       |),
+       |cf AS (
+       |  SELECT CAST(i AS BIGINT) AS ci,
+       |    (1 + (i + 1) * 2654435761) % 1000000007 AS a,
+       |    ((i + 1) * 40503) % 1000000007 AS b
+       |  FROM range(24) r(i)
+       |),
+       |gu AS (SELECT doc_id, unnest(gh) AS h FROM g),
+       |sg AS (
+       |  SELECT doc_id, ci, MIN((cf.a * gu.h + cf.b) % 1000000007) AS s
+       |  FROM gu CROSS JOIN cf GROUP BY doc_id, ci
+       |),
+       |bk AS (
+       |$arms
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.cfg, x.doc_id AS ida, y.doc_id AS idb
+       |  FROM bk x JOIN bk y ON x.cfg = y.cfg AND x.band = y.band
+       |    AND x.key = y.key AND x.doc_id <> y.doc_id
+       |  WHERE ${knuthSql("x.doc_id")} % 8 = 0
+       |),
+       |cfgs AS (SELECT * FROM (VALUES $vals) c(cfg, bands, rows_per_band)),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM g WHERE q),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM exj
+       |       WHERE jppm >= 500000),
+       |pc AS (
+       |  SELECT cfg, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    CAST(SUM(CASE WHEN jppm >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hit
+       |  FROM cand JOIN exj USING (ida, idb) GROUP BY cfg
+       |)
+       |SELECT CAST(bands AS BIGINT) AS bands,
+       |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |  ns.n_sample, tt.n_true,
+       |  COALESCE(pc.n_cand, 0) AS n_cand, COALESCE(pc.n_hit, 0) AS n_hit,
+       |  CASE WHEN tt.n_true > 0
+       |    THEN (COALESCE(pc.n_hit, 0) * 1000000) // tt.n_true END AS recall_ppm,
+       |  CASE WHEN COALESCE(pc.n_cand, 0) > 0
+       |    THEN (pc.n_hit * 1000000) // pc.n_cand END AS precision_ppm
+       |FROM cfgs LEFT JOIN pc USING (cfg), ns, tt
+       |ORDER BY bands DESC""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q189
+  /** Bloom-filter FPR audit ([[graft.ops.BloomAudit.fprAudit]]):
+    * the production [[graft.ops.BloomFns]] filter built over the
+    * deterministic 1/10 member slice's distinct 3-gram hashes
+    * (FNV-1a-avalanched — the audit measured and rejected two
+    * non-avalanched feeds, see the op scaladoc), probed with
+    * exactly-known non-members; measured false-positive ppm vs the
+    * iid-bits fill-ratio prediction ones³·10⁶ div m³. The oracle
+    * re-derives every probe position — u = fnv64(gh),
+    * h2 = oddify((u div 2³³)·0xff51afd7ed558ccd mod 2⁶⁴),
+    * posᵢ = ((u + i·h2) mod 2⁶⁴) mod 2⁶³ mod m — in HUGEINT (the q32
+    * 64-bit-modular precedent), so the committed bitset aggregate and
+    * probe expression are hash-checked bit-for-bit. */
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    graft.ops.BloomAudit.fprAudit(Tables.documents(s, dir))
+
+  private val q189Sql = {
+    // FNV-1a over the gram hash's 8 little-endian bytes, mod 2⁶⁴ —
+    // the [[graft.ops.Fnv64Expr]] replay (q32's xor-low-bits spelling,
+    // byte-wide here)
+    val fnvSql =
+      """list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |    list_transform(range(8), b ->
+        |      (h // (CAST(1 AS BIGINT) << CAST(8 * b AS INT))) % 256)),
+        |    (acc, c) -> ((acc - acc % 256
+        |       + xor(CAST(acc % 256 AS BIGINT), CAST(c AS BIGINT)))
+        |      * 1099511628211) % 18446744073709551616)""".stripMargin
+    val posSql =
+      """CAST(((fu + u.i * (h2m - h2m % 2 + 1)) % 18446744073709551616)
+        |  % 9223372036854775808 % 65536 AS BIGINT)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS tk,
+       |    ${knuthSql("doc_id")} % 10 = 0 AS member
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, member,
+       |    list_distinct(list_transform(range(len(tk) - 2),
+       |      i -> ${gramHashSql("tk", "i")})) AS gh
+       |  FROM t WHERE len(tk) >= 3
+       |),
+       |mg AS (SELECT DISTINCT unnest(gh) AS h FROM g WHERE member),
+       |pg AS (
+       |  SELECT h FROM (
+       |    SELECT DISTINCT unnest(gh) AS h FROM g WHERE NOT member)
+       |  WHERE h NOT IN (SELECT h FROM mg)
+       |),
+       |mh AS (SELECT fu,
+       |  ((fu // 8589934592) * 18397679294719823053)
+       |    % 18446744073709551616 AS h2m
+       |  FROM (SELECT $fnvSql AS fu FROM mg)),
+       |mp AS (
+       |  SELECT DISTINCT $posSql AS pos
+       |  FROM mh, UNNEST(range(3)) u(i)
+       |),
+       |ph AS (SELECT h, fu,
+       |  ((fu // 8589934592) * 18397679294719823053)
+       |    % 18446744073709551616 AS h2m
+       |  FROM (SELECT h, $fnvSql AS fu FROM pg)),
+       |pp AS (
+       |  SELECT h, $posSql AS pos
+       |  FROM ph, UNNEST(range(3)) u(i)
+       |),
+       |fp AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_false_pos FROM (
+       |    SELECT pp.h FROM pp JOIN mp USING (pos)
+       |    GROUP BY pp.h HAVING COUNT(*) = 3)
+       |),
+       |ones AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ones FROM mp),
+       |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM mg),
+       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM pg)
+       |SELECT nm.n_members, np.n_probes,
+       |  CAST(65536 AS BIGINT) AS n_bits, CAST(3 AS BIGINT) AS n_hashes,
+       |  ones.n_ones,
+       |  (ones.n_ones * 1000000) // 65536 AS fill_ppm,
+       |  fp.n_false_pos,
+       |  CASE WHEN np.n_probes > 0
+       |    THEN (fp.n_false_pos * 1000000) // np.n_probes
+       |  END AS fpr_measured_ppm,
+       |  CAST((CAST(ones.n_ones AS HUGEINT) * ones.n_ones * ones.n_ones
+       |    * 1000000) // (CAST(65536 AS HUGEINT) * 65536 * 65536)
+       |    AS BIGINT) AS fpr_predicted_ppm
+       |FROM nm, np, ones, fp""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q190
+  /** CODE-SWITCHING profile
+    * ([[graft.ops.TextStats.codeSwitchProfile]]): 20-token windows,
+    * marker-count argmax per window ('und' on zero markers), per-doc
+    * dominant language + exact ppm share + adjacent-window switch
+    * count + distinct non-'und' language count — the mixed-language
+    * gate a document-level langid can't provide. Entirely map-only
+    * HOFs; the oracle replays every window slice, count, and CASE
+    * ladder. */
+  private def q190(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.codeSwitchProfile(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
+  private val q190Sql = {
+    val markers = graft.ops.TextStats.langMarkers
+    def winCount(m: Seq[String]): String =
+      s"""len(list_filter(tk[CAST(wi * 20 + 1 AS INT):CAST(wi * 20 + 20 AS INT)],
+         |            x -> list_contains(${m.map(w => s"'$w'").mkString("[", ", ", "]")}, x)))""".stripMargin
+    val winMax = s"greatest(${markers.map(m => winCount(m._2)).mkString(", ")})"
+    val winCase = markers.map { case (l, m) =>
+      s"WHEN ${winCount(m)} = $winMax THEN '$l'"
+    }.mkString("\n           ")
+    def domCount(l: String): String =
+      s"CAST(len(list_filter(langs, x -> x = '$l')) AS BIGINT)"
+    val langs = markers.map(_._1) :+ "und"
+    val domMax = s"greatest(${langs.map(domCount).mkString(", ")})"
+    val domCase = langs.map(l =>
+      s"WHEN ${domCount(l)} = $domMax THEN '$l'").mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |),
+       |w AS (
+       |  SELECT doc_id, CAST((len(tk) + 19) // 20 AS BIGINT) AS nw, tk FROM t
+       |),
+       |la AS (
+       |  SELECT doc_id, nw,
+       |    CASE WHEN nw = 0 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(nw), wi ->
+       |      CASE WHEN $winMax = 0 THEN 'und'
+       |           $winCase
+       |           ELSE 'und' END)
+       |    END AS langs
+       |  FROM w
+       |)
+       |SELECT doc_id, nw AS n_windows,
+       |  CASE WHEN nw = 0 THEN 'und'
+       |    $domCase
+       |    ELSE 'und' END AS dominant_lang,
+       |  CASE WHEN nw > 0 THEN ($domMax * 1000000) // nw END AS dominant_ppm,
+       |  CAST(len(list_filter(range(nw - 1), i ->
+       |    langs[CAST(i + 1 AS INT)] <> langs[CAST(i + 2 AS INT)]))
+       |    AS BIGINT) AS n_switches,
+       |  CAST(len(list_distinct(list_filter(langs, x -> x <> 'und')))
+       |    AS BIGINT) AS n_langs
+       |FROM la
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q191
+  /** INFERENCE-BATCH padding-waste audit
+    * ([[graft.ops.Packing.batchWasteAudit]]): exact padded-token
+    * share of the batch compute rectangle at batch size 8 under the
+    * pseudo-shuffle order vs length-descending sorting — the
+    * measurement that justifies a sort stage before an
+    * embedding/scoring backfill. Engine ranks are the two-phase radix
+    * decomposition; the oracle replays them as plain window
+    * ROW_NUMBERs (equal by the packShuffled order argument). */
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.batchWasteAudit(Tables.documents(s, dir), batchSize = 8)
+
+  private val q191Sql = {
+    s"""WITH c AS (
+       |  SELECT doc_id, ${knuthSql("doc_id")} AS hv,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(text, '\\s+')) > 0
+       |),
+       |bh AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1) // 8 AS b, n
+       |  FROM c
+       |),
+       |bs AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) - 1) // 8 AS b, n
+       |  FROM c
+       |),
+       |gh AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rows_,
+       |         MAX(n) AS mx, SUM(n) AS tok FROM bh GROUP BY b),
+       |gs AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rows_,
+       |         MAX(n) AS mx, SUM(n) AS tok FROM bs GROUP BY b)
+       |SELECT 'hash' AS policy,
+       |  CAST(SUM(rows_) AS BIGINT) AS n_seqs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+       |  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(rows_ * mx - tok) AS BIGINT) AS padded_tokens,
+       |  CAST((SUM(rows_ * mx - tok) * 1000000)
+       |    // (SUM(rows_ * mx - tok) + SUM(tok)) AS BIGINT) AS waste_ppm
+       |FROM gh
+       |UNION ALL
+       |SELECT 'sorted_desc',
+       |  CAST(SUM(rows_) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(tok) AS BIGINT), CAST(SUM(rows_ * mx - tok) AS BIGINT),
+       |  CAST((SUM(rows_ * mx - tok) * 1000000)
+       |    // (SUM(rows_ * mx - tok) + SUM(tok)) AS BIGINT)
+       |FROM gs
+       |ORDER BY policy""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q192
+  /** CALIBRATION audit ([[graft.ops.Classifier.calibrationAudit]]):
+    * reliability diagram of the stopword-rate heuristic (score =
+    * n_stopwords·10⁶ div n_tokens, the cheap fluency gate) against
+    * the composite q17 quality verdict (quality ≥ 0.5) in 10
+    * equal-count score deciles — per-decile exact observed positive
+    * ppm, the table that decides where a threshold actually sits on
+    * THIS corpus. Exact two-phase radix rank engine-side; plain
+    * ROW_NUMBER oracle-side. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.ops.TextStats.stopwordCount(t).as("__nstop"),
+      graft.ops.TextStats.tokenCount(t).as("__ntok"),
+      graft.ops.TextStats.qualityScore(t).as("__q"))
+    graft.ops.Classifier.calibrationAudit(base,
+      // split("") is [""], so __ntok >= 1 — no zero divisor
+      score = expr("(__nstop * 1000000) div __ntok"),
+      label = col("__q") >= 0.5)
+  }
+
+  private val q192Sql = {
+    val stops = graft.ops.TextStats.miniStopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val nstop = s"CAST(len(list_filter(regexp_split_to_array(text,'\\s+'), t -> list_contains($stops, t))) AS BIGINT)"
+    val ntok = s"CAST(len(regexp_split_to_array(text,'\\s+')) AS BIGINT)"
+    val quality =
+      s"""(least(CAST(len(regexp_split_to_array(text,'\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+         | + least($nstop / CAST($ntok AS DOUBLE) * 5.0, 1.0) * 0.3
+         | + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
+         | + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1)""".stripMargin
+    s"""WITH s AS (
+       |  SELECT doc_id, ($nstop * 1000000) // $ntok AS sc,
+       |    CASE WHEN $quality >= 0.5 THEN 1 ELSE 0 END AS pos
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT sc, pos,
+       |    ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rk
+       |  FROM s
+       |),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM s)
+       |SELECT CAST(((rk - 1) * 10) // n.nn AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MIN(sc) AS BIGINT) AS score_min,
+       |  CAST(MAX(sc) AS BIGINT) AS score_max,
+       |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  (CAST(SUM(pos) AS BIGINT) * 1000000) // COUNT(*) AS pos_ppm
+       |FROM r, n
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q193
+  /** VOCABULARY-GROWTH (Heaps) audit
+    * ([[graft.ops.TextStats.vocabGrowth]]): distinct types + token
+    * occurrences seen in the first s docs of the deterministic
+    * pseudo-shuffle order at s ∈ {16, 64, 256, 1024, 4096} — the
+    * V(n) curve that says whether 10× more of this source still buys
+    * vocabulary or just repetition (the sizing complement to q179's
+    * fixed-vocabulary coverage). Min-first-seen-rank per type, never
+    * a per-level rescan; oracle replays the knuth-order ROW_NUMBER
+    * and both rollups. */
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.vocabGrowth(Tables.documents(s, dir))
+
+  private val q193Sql =
+    s"""WITH h AS (
+       |  SELECT doc_id, ${knuthSql("doc_id")} AS hv, $toksSql AS tk
+       |  FROM documents
+       |),
+       |rk AS (
+       |  SELECT doc_id, tk, ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS r
+       |  FROM h
+       |),
+       |fs AS (
+       |  SELECT tok, MIN(r) AS fs
+       |  FROM (SELECT r, unnest(tk) AS tok FROM rk) GROUP BY tok
+       |),
+       |lv AS (SELECT CAST(unnest([16, 64, 256, 1024, 4096]) AS BIGINT)
+       |       AS prefix_docs),
+       |ty AS (
+       |  SELECT prefix_docs,
+       |    CAST(SUM(CASE WHEN fs <= prefix_docs THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_types
+       |  FROM fs, lv GROUP BY prefix_docs
+       |),
+       |tk2 AS (
+       |  SELECT prefix_docs,
+       |    CAST(SUM(CASE WHEN r <= prefix_docs THEN len(tk) ELSE 0 END)
+       |      AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN r <= prefix_docs THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_docs
+       |  FROM rk, lv GROUP BY prefix_docs
+       |)
+       |SELECT prefix_docs, n_docs, n_tokens, n_types
+       |FROM tk2 JOIN ty USING (prefix_docs)
+       |ORDER BY prefix_docs""".stripMargin
+
+  // ---------------------------------------------------------------- q194
+  /** STORED-IVF APPEND without refit
+    * ([[graft.ops.Similarity.appendIvf]]): fit + store the index on
+    * the vec_id % 5 ≠ 0 slice, append the remaining 20 % as an
+    * increment (map-only assignment against the FROZEN centroids,
+    * radii merged cell-wise by max — growth-only, so the triangle
+    * pruning bound stays an upper bound), reload, probe. The oracle
+    * is brute-force cosine over the FULL corpus (q42's adaptive-exact
+    * equivalence): an under-merged radius would prune a list holding
+    * a true neighbor and hash-mismatch immediately — the maintenance
+    * operation a live ANN index runs daily, correctness-gated. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select("embedding").limit(1).collect()
+      .head.getSeq[Float](0).map(_.toDouble)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val inc = emb.filter(col("vec_id") % 5 === 0)
+    val (indexed, model) = Similarity.fitIvf(base, nLists = 16)
+    val idxDir = Round11.freshScratchDirShared("graft_q194_ivf")
+    Similarity.saveIvf(indexed, model, idxDir)
+    Similarity.appendIvf(s, inc, idxDir)
+    val (stored, m2) = Similarity.loadIvf(s, idxDir)
+    Similarity.exactIvfKnn(stored, m2, qvec, k = 20, nProbe0 = 4)
+      .select(col("rank").as("rk"), col("vec_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q182_approx_negatives_recall", q182, Some(q182Sql)),
     QueryDef("q183_chunk_dedup", q183, Some(q183Sql)),
     QueryDef("q184_clamped_cdc", q184, Some(q184Sql)),
     QueryDef("q185_pq_adc_recall", q185, Some(q185Sql)),
     QueryDef("q186_shuffle_mixing", q186, Some(q186Sql)),
-    QueryDef("q187_k_anonymity", q187, Some(q187Sql)))
+    QueryDef("q187_k_anonymity", q187, Some(q187Sql)),
+    QueryDef("q188_lsh_param_audit", q188, Some(q188Sql)),
+    QueryDef("q189_bloom_fpr_audit", q189, Some(q189Sql)),
+    QueryDef("q190_code_switch", q190, Some(q190Sql)),
+    QueryDef("q191_batch_waste", q191, Some(q191Sql)),
+    QueryDef("q192_calibration", q192, Some(q192Sql)),
+    QueryDef("q193_vocab_growth", q193, Some(q193Sql)),
+    QueryDef("q194_ivf_append", q194, Some(Pipelines.q42Sql)))
 }
