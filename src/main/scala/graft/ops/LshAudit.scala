@@ -72,6 +72,105 @@ object LshAudit {
     (a, b)
   }
 
+  /** DETECTOR-AGREEMENT audit (Cohen'60 κ): do two structurally
+    * different near-dup detectors — banded MinHash over gram SETS
+    * (resemblance) and banded SimHash over token-frequency vectors
+    * (weighted angular proximity) — actually flag the same pairs?
+    * Run on the same query-sampled directed universe as
+    * [[minhashParamAudit]] (queries × corpus, docs with ≥ shingleSize
+    * tokens so both detectors are defined), it reports the agreement
+    * matrix, observed/chance agreement and κ in exact ppm, plus the
+    * positive-set Jaccard — the method-comparison table a pipeline
+    * owner reads before trusting either detector's recall claims, or
+    * before OR-ing them (q146's cross-signal union) at 100 TB.
+    * Chance agreement pₑ uses the standard marginal product,
+    * DECIMAL(38,0) cross-multiplied: at 10⁹-doc corpora N² overflows
+    * anything smaller. κ is most informative under exactly this kind
+    * of class imbalance (positives are ≪ 1 % of the universe):
+    * raw observed agreement would read ~10⁶ ppm for ANY two
+    * conservative detectors, while κ credits only the shared
+    * positives beyond chance.
+    *
+    * Returns ONE row: (n_universe, n_minhash, n_simhash, n_both,
+    * po_ppm, pe_ppm, kappa_ppm, pair_jaccard_ppm); κ and the pair
+    * Jaccard are NULL when degenerate (pₑ = 1 or both sets empty). */
+  def detectorAgreement(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 3,
+      maxHamming: Int = 12, shingleSize: Int = 3, sampleMod: Long = 8L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val (ca, cb) = coefs(bands * rowsPerBand)
+
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > lit(0))
+    def gramHash(ts: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      aggregate(
+        transform(sequence(lit(0), lit(shingleSize - 1)),
+          j => Classifier.tokenHash(element_at(ts, i + j + 1))),
+        lit(0L), (acc, h) => (acc * 10007L + h) % lit(P))
+    val grams = docs
+      .select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= shingleSize)
+      .select(col("__id"),
+        array_distinct(transform(sequence(lit(0), size(col("__t")) - shingleSize),
+          i => gramHash(col("__t"), i))).as("__g"))
+      .cache()
+    grams.count() // eager: universe count, minhash side, simhash filter
+    val inUniverse = grams.select(col("__id"))
+    val isQ = Splits.hashBucketN(col("__id"), sampleMod) === 0
+
+    // ---- detector A: banded MinHash directed candidates ------------
+    val sig = grams.select(col("__id"),
+      Columns.ofExpr(MinHashSigExpr(Columns.exprOf(col("__g")), ca, cb, P))
+        .as("__sig"))
+    val bandRows = sig.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        j => aggregate(slice(col("__sig"), j * rowsPerBand + 1, lit(rowsPerBand)),
+          lit(0L), (acc, s) => (acc * 10007L + s) % lit(P))))
+        .as(Seq("__band", "__key")))
+    val mh = bandRows.filter(isQ).alias("x")
+      .join(bandRows.alias("y"),
+        col("x.__band") === col("y.__band") && col("x.__key") === col("y.__key") &&
+          col("x.__id") =!= col("y.__id"))
+      .select(col("x.__id").as("__q"), col("y.__id").as("__c"))
+      .distinct()
+
+    // ---- detector B: banded SimHash (≤ maxHamming), directed, ------
+    // restricted to the gram-able universe
+    val sh0 = Dedup.simhashCandidates(spark, docs, idCol, textCol, maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+    val shU = sh0
+      .join(inUniverse.select(col("__id").as("doc_a")), Seq("doc_a"))
+      .join(inUniverse.select(col("__id").as("doc_b")), Seq("doc_b"))
+    val sh = shU.select(col("doc_a").as("__q"), col("doc_b").as("__c"))
+      .unionAll(shU.select(col("doc_b").as("__q"), col("doc_a").as("__c")))
+      .filter(Splits.hashBucketN(col("__q"), sampleMod) === 0)
+
+    // ---- agreement rollup ------------------------------------------
+    val nQ = grams.filter(isQ).agg(count(lit(1)).as("__nq"))
+    val nAll = grams.agg(count(lit(1)).as("__n"))
+    val both = mh.intersect(sh).agg(count(lit(1)).as("n_both"))
+    val na = mh.agg(count(lit(1)).as("n_minhash"))
+    val nb = sh.agg(count(lit(1)).as("n_simhash"))
+    na.crossJoin(nb).crossJoin(both).crossJoin(nQ).crossJoin(nAll)
+      .select(expr("__nq * (__n - 1)").as("n_universe"),
+        col("n_minhash"), col("n_simhash"), col("n_both"))
+      .withColumn("po_ppm", expr(
+        """((n_universe - n_minhash - n_simhash + 2 * n_both) * 1000000)
+           div n_universe"""))
+      .withColumn("pe_ppm", expr(
+        """cast((cast(n_minhash as decimal(38,0)) * n_simhash
+              + cast(n_universe - n_minhash as decimal(38,0))
+                * (n_universe - n_simhash)) * 1000000
+            div (cast(n_universe as decimal(38,0)) * n_universe)
+            as bigint)"""))
+      .withColumn("kappa_ppm",
+        when(col("pe_ppm") < 1000000L, expr(
+          "((po_ppm - pe_ppm) * 1000000) div (1000000 - pe_ppm)")))
+      .withColumn("pair_jaccard_ppm",
+        when(col("n_minhash") + col("n_simhash") - col("n_both") > 0, expr(
+          """(n_both * 1000000)
+             div (n_minhash + n_simhash - n_both)""")))
+  }
+
   def minhashParamAudit(docs: DataFrame,
       configs: Seq[(Int, Int)] = Seq((12, 2), (8, 3), (4, 6)),
       tauPpm: Long = 500000L, shingleSize: Int = 3,
@@ -90,13 +189,18 @@ object LshAudit {
           j => Classifier.tokenHash(element_at(ts, i + j + 1))),
         lit(0L), (acc, h) => (acc * 10007L + h) % lit(P))
 
-    // corpus-wide distinct gram-hash sets (>= shingleSize tokens)
+    // corpus-wide distinct gram-hash sets, SORTED ONCE at build time
+    // (map-only) so every exact-side pair evaluation is a
+    // zero-allocation merge — array_intersect builds a hash set per
+    // pair and was the measured 28.7 s top cost of this audit at
+    // sf0.1 (see [[SortedIntersectCountExpr]])
     val grams = docs
       .select(col(idCol).as("__id"), toks.as("__t"))
       .filter(size(col("__t")) >= shingleSize)
       .select(col("__id"),
-        array_distinct(transform(sequence(lit(0), size(col("__t")) - shingleSize),
-          i => gramHash(col("__t"), i))).as("__g"))
+        sort_array(array_distinct(
+          transform(sequence(lit(0), size(col("__t")) - shingleSize),
+            i => gramHash(col("__t"), i)))).as("__g"))
       .cache()
     grams.count() // eager: query slice, exact side, signatures read it
     val queries = grams.filter(Splits.hashBucketN(col("__id"), sampleMod) === 0)
@@ -106,7 +210,9 @@ object LshAudit {
     val gb = grams.select(col("__id").as("__idb"), col("__g").as("__gb"))
     val exact = ga.join(gb, col("__ida") =!= col("__idb"))
       .select(col("__ida"), col("__idb"),
-        size(array_intersect(col("__ga"), col("__gb"))).cast(LongType).as("__ni"),
+        Columns.ofExpr(SortedIntersectCountExpr(
+          Columns.exprOf(col("__ga")), Columns.exprOf(col("__gb"))))
+          .as("__ni"),
         (size(col("__ga")) + size(col("__gb"))).cast(LongType).as("__sum"))
       .select(col("__ida"), col("__idb"),
         // integer division: |union| = sum - inter >= 1 (sets nonempty)

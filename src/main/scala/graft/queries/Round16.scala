@@ -815,6 +815,143 @@ object Round16 {
       .select(col("rank").as("rk"), col("vec_id"))
   }
 
+  // ---------------------------------------------------------------- q195
+  /** DETECTOR-AGREEMENT audit
+    * ([[graft.ops.LshAudit.detectorAgreement]]): Cohen's κ between
+    * banded MinHash (resemblance over gram sets, (8,3) over the
+    * shared 24-min signature) and banded SimHash (angular proximity
+    * over token-frequency vectors, ≤ 12/64 Hamming) on the q188
+    * query-sampled directed universe — the method-comparison row
+    * read before OR-ing detectors (q146 style) at 100 TB. κ, not raw
+    * agreement, because positives are ≪ 1 % of the universe: any two
+    * conservative detectors "agree" on almost everything by chance.
+    * The oracle replays BOTH detectors end-to-end (the q188 minhash
+    * fragments + the q32 FNV/vote/band/Hamming chain) plus the exact
+    * marginal-product chance term in HUGEINT. */
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LshAudit.detectorAgreement(Tables.documents(s, dir))
+
+  private val q195Sql = {
+    // 10007^2 = 100140049 < p, so the r=3 band key needs no extra mod
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, ${knuthSql("doc_id")} % 8 = 0 AS q,
+       |    list_distinct(list_transform(range(len(tk) - 2),
+       |      i -> ${gramHashSql("tk", "i")})) AS gh
+       |  FROM t WHERE len(tk) >= 3
+       |),
+       |cf AS (
+       |  SELECT CAST(i AS BIGINT) AS ci,
+       |    (1 + (i + 1) * 2654435761) % 1000000007 AS a,
+       |    ((i + 1) * 40503) % 1000000007 AS b
+       |  FROM range(24) r(i)
+       |),
+       |gu AS (SELECT doc_id, unnest(gh) AS h FROM g),
+       |sg AS (
+       |  SELECT doc_id, ci, MIN((cf.a * gu.h + cf.b) % 1000000007) AS s
+       |  FROM gu CROSS JOIN cf GROUP BY doc_id, ci
+       |),
+       |bk8 AS (
+       |  SELECT doc_id, ci // 3 AS band,
+       |    SUM(s * CASE ci % 3 WHEN 0 THEN 100140049 WHEN 1 THEN 10007
+       |             ELSE 1 END) % 1000000007 AS key
+       |  FROM sg GROUP BY doc_id, band
+       |),
+       |mh AS (
+       |  SELECT DISTINCT x.doc_id AS qd, y.doc_id AS cd
+       |  FROM bk8 x JOIN bk8 y ON x.band = y.band AND x.key = y.key
+       |    AND x.doc_id <> y.doc_id
+       |  WHERE ${knuthSql("x.doc_id")} % 8 = 0
+       |),
+       |stoks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |  FROM documents
+       |),
+       |sth AS (
+       |  SELECT doc_id,
+       |    bin(list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(range(length(tok)), i ->
+       |          CAST(unicode(substr(tok, CAST(i+1 AS INTEGER), 1)) AS HUGEINT))),
+       |      (h, c) -> ((h - (h % 65536) + xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)))
+       |                 * 1099511628211) % 18446744073709551616)) AS bn
+       |  FROM stoks
+       |),
+       |sbits AS (
+       |  SELECT doc_id, bb.b,
+       |    SUM(CASE WHEN length(bn) > bb.b
+       |         AND substr(bn, CAST(length(bn) - bb.b AS INTEGER), 1) = '1'
+       |        THEN 1 ELSE -1 END) AS vote
+       |  FROM sth, (SELECT unnest(range(64)) AS b) bb
+       |  GROUP BY doc_id, bb.b
+       |),
+       |ssigs AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS s
+       |  FROM sbits GROUP BY doc_id
+       |),
+       |sbanded AS (
+       |  SELECT doc_id, s, bb.band,
+       |    substr(s, CAST(49 - 16*bb.band AS INTEGER), 16) AS key
+       |  FROM ssigs, (SELECT unnest(range(4)) AS band) bb
+       |),
+       |scand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.s AS sa, b.s AS sb
+       |  FROM sbanded a JOIN sbanded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |),
+       |sham AS (
+       |  SELECT da, db FROM scand
+       |  WHERE len(list_filter(range(64), i ->
+       |    substr(sa, CAST(i+1 AS INTEGER), 1) <> substr(sb, CAST(i+1 AS INTEGER), 1))) <= 12
+       |),
+       |shu AS (
+       |  SELECT da, db FROM sham
+       |  JOIN (SELECT doc_id AS da FROM g) ga USING (da)
+       |  JOIN (SELECT doc_id AS db FROM g) gb USING (db)
+       |),
+       |shq AS (
+       |  SELECT qd, cd FROM (
+       |    SELECT da AS qd, db AS cd FROM shu
+       |    UNION ALL SELECT db AS qd, da AS cd FROM shu)
+       |  WHERE ${knuthSql("qd")} % 8 = 0
+       |),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM g WHERE q),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+       |cn AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mh) AS n_minhash,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM shq) AS n_simhash,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+       |      (SELECT * FROM mh INTERSECT SELECT * FROM shq)) AS n_both
+       |),
+       |base AS (
+       |  SELECT nq.nq * (nn.n - 1) AS n_universe,
+       |    cn.n_minhash, cn.n_simhash, cn.n_both
+       |  FROM nq, nn, cn
+       |),
+       |pp AS (
+       |  SELECT *,
+       |    ((n_universe - n_minhash - n_simhash + 2 * n_both) * 1000000)
+       |      // n_universe AS po_ppm,
+       |    CAST((CAST(n_minhash AS HUGEINT) * n_simhash
+       |        + CAST(n_universe - n_minhash AS HUGEINT)
+       |          * (n_universe - n_simhash)) * 1000000
+       |      // (CAST(n_universe AS HUGEINT) * n_universe) AS BIGINT) AS pe_ppm
+       |  FROM base
+       |)
+       |SELECT n_universe, n_minhash, n_simhash, n_both, po_ppm, pe_ppm,
+       |  CASE WHEN pe_ppm < 1000000
+       |    THEN ((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm)
+       |  END AS kappa_ppm,
+       |  CASE WHEN n_minhash + n_simhash - n_both > 0
+       |    THEN (n_both * 1000000) // (n_minhash + n_simhash - n_both)
+       |  END AS pair_jaccard_ppm
+       |FROM pp""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q182_approx_negatives_recall", q182, Some(q182Sql)),
     QueryDef("q183_chunk_dedup", q183, Some(q183Sql)),
@@ -828,5 +965,6 @@ object Round16 {
     QueryDef("q191_batch_waste", q191, Some(q191Sql)),
     QueryDef("q192_calibration", q192, Some(q192Sql)),
     QueryDef("q193_vocab_growth", q193, Some(q193Sql)),
-    QueryDef("q194_ivf_append", q194, Some(Pipelines.q42Sql)))
+    QueryDef("q194_ivf_append", q194, Some(Pipelines.q42Sql)),
+    QueryDef("q195_detector_agreement", q195, Some(q195Sql)))
 }

@@ -48,6 +48,25 @@ class Round16bOpsSpec extends AnyFunSuite {
       || ex.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  // ------------------------------- SortedIntersectCountExpr kernel
+  test("SortedIntersectCountExpr: equals array_intersect size on sorted distinct sets") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map { _ =>
+      val a = (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted.toArray
+      val b = (1 to rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted.toArray
+      (a, b)
+    } :+ ((Array.empty[Long], Array(1L, 2L)))
+    val out = rows.toDF("a", "b").select(
+      graft.engine.Columns.ofExpr(graft.ops.SortedIntersectCountExpr(
+        graft.engine.Columns.exprOf(col("a")),
+        graft.engine.Columns.exprOf(col("b")))).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (k, ref) => assert(k === ref) }
+  }
+
   // ------------------------------- q188 LSH parameter audit
   test("minhashParamAudit: an exact duplicate is found at recall 1 in every config") {
     // doc 2 duplicates doc 1; doc 3 is unrelated. sampleMod=1 samples
@@ -243,6 +262,26 @@ class Round16bOpsSpec extends AnyFunSuite {
     assert(out.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
     assert(out.last._2 === 50L) // level 64 realizes the whole corpus
     assert(out.last._3 === 500L)
+  }
+
+  // ------------------------------- q195 detector agreement
+  test("detectorAgreement: exact twins are flagged by both detectors; kappa positive") {
+    // docs 1,2 identical (both detectors must flag the directed pair
+    // both ways under sampleMod=1); 3..6 mutually unrelated noise
+    val twin = (1 to 40).map(i => s"tw${i * 13 % 97}z$i").mkString(" ")
+    val docs = (Seq((1L, twin), (2L, twin)) ++ (3L to 6L).map(id =>
+      (id, (1 to 40).map(i => s"n${id}w${(i * 17 + id) % 83}q$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val r = graft.ops.LshAudit.detectorAgreement(docs, sampleMod = 1L)
+      .collect().head
+    assert(r.getAs[Long]("n_universe") === 6L * 5L)
+    assert(r.getAs[Long]("n_both") >= 2L)     // (1→2) and (2→1)
+    assert(r.getAs[Long]("n_minhash") >= 2L)
+    assert(r.getAs[Long]("n_simhash") >= 2L)
+    assert(r.getAs[Long]("kappa_ppm") > 0L)
+    val po = r.getAs[Long]("po_ppm")
+    val pe = r.getAs[Long]("pe_ppm")
+    assert(po <= 1000000L && pe <= 1000000L && po >= pe)
   }
 
   // ------------------------------- q194 stored-IVF append
