@@ -952,6 +952,87 @@ object Round16 {
        |FROM pp""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q196
+  /** SELF-RETRIEVAL eval ([[graft.ops.SparseSim.selfRetrievalAudit]]):
+    * first-16-token prefixes of the 1/8 query sample retrieve from
+    * the full corpus under the q171 integer TF-IDF program; per query
+    * the rank of its own source document plus the exact reciprocal
+    * ppm an MRR sums — the index-sanity eval run before trusting any
+    * retrieval stage. The self rank is a candidate-bounded
+    * count-of-better, never a per-query sort. */
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SparseSim.selfRetrievalAudit(Tables.documents(s, dir),
+      qTokens = 16, sampleMod = 8L)
+
+  private val q196Sql =
+    s"""WITH td AS (
+       |  SELECT doc_id, $toksSql AS tk FROM documents
+       |),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+       |          i -> ${gramHashSql("tk", "i")})) AS tok
+       |        FROM td WHERE len(tk) >= 3)
+       |  GROUP BY 1, 2
+       |),
+       |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+       |idf AS (
+       |  SELECT tok, length(bin(nn.n // df.df)) - 1 AS idf
+       |  FROM df CROSS JOIN nn
+       |  WHERE df.df <= 1000000 AND length(bin(nn.n // df.df)) - 1 > 0
+       |),
+       |post AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf * idf.idf AS w
+       |  FROM tf JOIN idf USING (tok)
+       |),
+       |dn AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS dn2
+       |       FROM post GROUP BY 1),
+       |samp AS (
+       |  SELECT doc_id AS qid, tk[1:16] AS p
+       |  FROM td
+       |  WHERE ${knuthSql("doc_id")} % 8 = 0 AND len(tk[1:16]) >= 3
+       |),
+       |qtf AS (
+       |  SELECT qid, tok, CAST(COUNT(*) AS BIGINT) AS qtf
+       |  FROM (SELECT qid, unnest(list_transform(range(len(p) - 2),
+       |          i -> ${gramHashSql("p", "i")})) AS tok
+       |        FROM samp)
+       |  GROUP BY 1, 2
+       |),
+       |qpost AS (
+       |  SELECT qtf.qid, qtf.tok, qtf.qtf * idf.idf AS qw
+       |  FROM qtf JOIN idf USING (tok)
+       |),
+       |qn AS (SELECT qid, CAST(SUM(qw * qw) AS BIGINT) AS qn2
+       |       FROM qpost GROUP BY 1),
+       |sc AS (
+       |  SELECT d.qid, d.doc_id,
+       |    CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000000000)
+       |         // (CAST(qn.qn2 AS HUGEINT) * dn.dn2) AS BIGINT) AS score
+       |  FROM (
+       |    SELECT q.qid, p.doc_id, CAST(SUM(q.qw * p.w) AS BIGINT) AS dot
+       |    FROM qpost q JOIN post p USING (tok)
+       |    GROUP BY 1, 2) d
+       |  JOIN qn ON qn.qid = d.qid
+       |  JOIN dn ON dn.doc_id = d.doc_id
+       |),
+       |selfs AS (SELECT qid, score AS self FROM sc WHERE qid = doc_id),
+       |rk AS (
+       |  SELECT sc.qid, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |    CAST(SUM(CASE WHEN sc.score > s.self
+       |          OR (sc.score = s.self AND sc.doc_id < sc.qid)
+       |        THEN 1 ELSE 0 END) + 1 AS BIGINT) AS self_rank
+       |  FROM sc JOIN selfs s USING (qid)
+       |  GROUP BY 1
+       |)
+       |SELECT samp.qid AS query_id,
+       |  COALESCE(rk.n_candidates, 0) AS n_candidates,
+       |  rk.self_rank,
+       |  COALESCE(1000000 // rk.self_rank, 0) AS reciprocal_ppm
+       |FROM samp LEFT JOIN rk ON rk.qid = samp.qid
+       |ORDER BY query_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q182_approx_negatives_recall", q182, Some(q182Sql)),
     QueryDef("q183_chunk_dedup", q183, Some(q183Sql)),
@@ -966,5 +1047,6 @@ object Round16 {
     QueryDef("q192_calibration", q192, Some(q192Sql)),
     QueryDef("q193_vocab_growth", q193, Some(q193Sql)),
     QueryDef("q194_ivf_append", q194, Some(Pipelines.q42Sql)),
-    QueryDef("q195_detector_agreement", q195, Some(q195Sql)))
+    QueryDef("q195_detector_agreement", q195, Some(q195Sql)),
+    QueryDef("q196_self_retrieval", q196, Some(q196Sql)))
 }

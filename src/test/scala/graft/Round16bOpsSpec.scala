@@ -264,6 +264,27 @@ class Round16bOpsSpec extends AnyFunSuite {
     assert(out.last._3 === 500L)
   }
 
+  // ------------------------------- q196 self-retrieval
+  test("selfRetrievalAudit: unique docs self-retrieve at rank 1; an exact twin ties and loses by id") {
+    // N = 5 so the twins' shared grams sit at df = 2 ≤ N/2 and keep
+    // idf bits (at N = 3 the gate prunes them — df > N/2 is
+    // stopword-grade by the operator's own semantics)
+    val a = (1 to 30).map(i => s"aa${i * 13 % 97}z$i").mkString(" ")
+    def noise(id: Long) =
+      (1 to 30).map(i => s"n${id}w${(i * 29 + id) % 89}q$i").mkString(" ")
+    val docs = (Seq((1L, a), (2L, a)) ++ (3L to 5L).map(id => (id, noise(id))))
+      .toDF("doc_id", "text")
+    val out = graft.ops.SparseSim.selfRetrievalAudit(docs, sampleMod = 1L)
+      .as[(Long, Long, Option[Long], Long)].collect().toSeq
+    // twins share every gram: equal scores, (score desc, id asc) puts
+    // doc 1 above doc 2 for BOTH twin queries
+    assert(out.map(r => (r._1, r._3)) ===
+      Seq((1L, Some(1L)), (2L, Some(2L)), (3L, Some(1L)),
+        (4L, Some(1L)), (5L, Some(1L))))
+    assert(out.map(_._4) ===
+      Seq(1000000L, 500000L, 1000000L, 1000000L, 1000000L))
+  }
+
   // ------------------------------- q195 detector agreement
   test("detectorAgreement: exact twins are flagged by both detectors; kappa positive") {
     // docs 1,2 identical (both detectors must flag the directed pair
