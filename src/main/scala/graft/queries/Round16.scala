@@ -1033,6 +1033,73 @@ object Round16 {
        |FROM samp LEFT JOIN rk ON rk.qid = samp.qid
        |ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q197
+  /** DATASET CARD ([[graft.ops.DatasetCard.card]]): the one-call
+    * corpus datasheet — volume, type counts, exact-dup mass,
+    * language/source composition ppm, exact value-domain length
+    * percentiles, stopword mass, quality-gate pass rate — ~20
+    * (stat, value) rows however large the corpus, every one an exact
+    * integer two engines agree on (the compliance-artifact
+    * property). */
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    graft.ops.DatasetCard.card(Tables.documents(s, dir))
+
+  private val q197Sql = {
+    val stops = graft.ops.TextStats.miniStopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val ntok = s"CAST(len(regexp_split_to_array(text,'\\s+')) AS BIGINT)"
+    val nstop = s"CAST(len(list_filter(regexp_split_to_array(text,'\\s+'), t -> list_contains($stops, t))) AS BIGINT)"
+    val quality =
+      s"""(least(CAST(len(regexp_split_to_array(text,'\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+         | + least($nstop / CAST($ntok AS DOUBLE) * 5.0, 1.0) * 0.3
+         | + (1.0 - least(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.2
+         | + (1.0 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5.0, 1.0)) * 0.1)""".stripMargin
+    def pct(k: Int) =
+      s"""SELECT 'len_p$k' AS stat, CAST(MIN(len) AS BIGINT) AS value FROM (
+         |  SELECT len, SUM(c) OVER (ORDER BY len
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT $ntok AS len, COUNT(*) AS c FROM documents GROUP BY 1)
+         |), (SELECT COUNT(*) AS n FROM documents)
+         |WHERE cum * 100 >= $k * n""".stripMargin
+    s"""SELECT stat, value FROM (
+       |SELECT 'n_docs' AS stat, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+       |UNION ALL
+       |SELECT 'n_tokens', CAST(SUM($ntok) AS BIGINT) FROM documents
+       |UNION ALL
+       |SELECT 'n_chars', CAST(SUM(length(text)) AS BIGINT) FROM documents
+       |UNION ALL
+       |SELECT 'n_stopwords', CAST(SUM($nstop) AS BIGINT) FROM documents
+       |UNION ALL
+       |SELECT 'quality_pass_ppm',
+       |  CAST((SUM(CASE WHEN $quality >= 0.5 THEN 1 ELSE 0 END) * 1000000)
+       |    // COUNT(*) AS BIGINT) FROM documents
+       |UNION ALL
+       |SELECT 'n_types', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM
+       |  (SELECT unnest(list_filter(regexp_split_to_array(text,'\\s+'),
+       |     x -> length(x) > 0)) AS tok FROM documents)
+       |UNION ALL
+       |SELECT 'n_exact_dup_docs',
+       |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) FROM documents
+       |UNION ALL
+       |SELECT 'lang_' || lang || '_ppm',
+       |  CAST((COUNT(*) * 1000000) // (SELECT COUNT(*) FROM documents)
+       |    AS BIGINT)
+       |FROM documents GROUP BY lang
+       |UNION ALL
+       |SELECT 'source_' || source || '_ppm',
+       |  CAST((COUNT(*) * 1000000) // (SELECT COUNT(*) FROM documents)
+       |    AS BIGINT)
+       |FROM documents GROUP BY source
+       |UNION ALL
+       |${pct(50)}
+       |UNION ALL
+       |${pct(90)}
+       |UNION ALL
+       |${pct(99)}
+       |)
+       |ORDER BY stat""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q182_approx_negatives_recall", q182, Some(q182Sql)),
     QueryDef("q183_chunk_dedup", q183, Some(q183Sql)),
@@ -1048,5 +1115,6 @@ object Round16 {
     QueryDef("q193_vocab_growth", q193, Some(q193Sql)),
     QueryDef("q194_ivf_append", q194, Some(Pipelines.q42Sql)),
     QueryDef("q195_detector_agreement", q195, Some(q195Sql)),
-    QueryDef("q196_self_retrieval", q196, Some(q196Sql)))
+    QueryDef("q196_self_retrieval", q196, Some(q196Sql)),
+    QueryDef("q197_dataset_card", q197, Some(q197Sql)))
 }

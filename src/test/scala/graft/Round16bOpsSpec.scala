@@ -218,6 +218,31 @@ class Round16bOpsSpec extends AnyFunSuite {
     assert(sorted._5 <= hash._5)
   }
 
+  // ------------------------------- q197 dataset card
+  test("DatasetCard: hand-computed card on a four-doc corpus with one exact dup") {
+    val docs = Seq(
+      (1L, "the a b", "en", "s1"),
+      (2L, "the a b", "en", "s1"),   // exact dup of 1
+      (3L, "x y", "de", "s2"),
+      (4L, "z z z z z", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val card = graft.ops.DatasetCard.card(docs)
+      .as[(String, Long)].collect().toMap
+    assert(card("n_docs") === 4L)
+    assert(card("n_tokens") === 3L + 3L + 2L + 5L)
+    assert(card("n_exact_dup_docs") === 1L)
+    assert(card("n_types") === 6L) // the a b x y z
+    assert(card("n_stopwords") === 4L) // 'the','a' twice each
+    assert(card("lang_en_ppm") === 750000L)
+    assert(card("lang_de_ppm") === 250000L)
+    assert(card("source_s1_ppm") === 500000L)
+    // lengths 3,3,2,5 sorted: 2,3,3,5. p50: smallest len with
+    // cum*100 >= 50*4 -> cum >= 2 -> len 3; p90 -> cum >= 3.6 -> len 5
+    assert(card("len_p50") === 3L)
+    assert(card("len_p90") === 5L)
+    assert(card("len_p99") === 5L)
+  }
+
   // ------------------------------- q192 calibration audit
   test("calibrationAudit: hand-computed two-bucket reliability table") {
     // scores 10..1 on ids 1..10, label = score >= 8 (3 positives)
