@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.ops.{Chunking, Similarity}
 
-/** Round-16 battery additions (q182–q184): the approximate
-  * hard-negative path with its recall@k audit (the operator the q167
-  * scaladoc promised for 100 TB), chunk-level dedup over the
-  * content-defined chunk fingerprints (the LBFS re-crawl use case
-  * q181's keys exist for), and clamped FastCDC-style chunking with
-  * min/max length bounds replayed through a DuckDB struct-accumulator
-  * fold. All reference-scope-none LLM-pipeline extensions (SURVEY §8).
+/** Round-16 battery additions (q182–q197): the approximate
+  * hard-negative path with its recall@k audit, CDC chunk-level dedup
+  * and clamped FastCDC, PQ/ADC recall, shuffle-mixing and
+  * k-anonymity audits (q182–q187, wave 1); then the MEASUREMENT
+  * ARC — LSH parameter audit, bloom FPR audit, code-switch profile,
+  * batch padding waste, calibration, Heaps vocabulary growth,
+  * stored-IVF append, detector agreement (κ), self-retrieval MRR,
+  * and the dataset card (q188–q197, waves 2–5): the instruments a
+  * 100 TB pipeline runs to grade its OWN operators before trusting
+  * them. All reference-scope-none LLM-pipeline extensions
+  * (SURVEY §8).
   */
 object Round16 {
 
