@@ -890,6 +890,51 @@ object TextStats {
       .orderBy("prefix_docs")
   }
 
+  /** TEMPLATE-PREFIX families: group documents by the exact hash of
+    * their first `prefixTokens` tokens and report every family of
+    * `minFamily`-plus members — the boilerplate-opening detector
+    * (crawler template pages, licence headers, generated-form
+    * preambles all share their opening line verbatim while their
+    * tails differ, so whole-document dedup misses them). Each family
+    * row carries its exact document count, ppm share of the eligible
+    * corpus, and the min-id exemplar to inspect. The prefix hash is
+    * the replayable [[graft.ops.Classifier.tokenHash]] polynomial
+    * fold, so families are stable across engines and reruns.
+    *
+    * Shape at scale: one map pass computes the prefix hash, one
+    * map-side-combinable aggregate sizes the families — family rows,
+    * not document rows, cross the final exchange. Documents shorter
+    * than `prefixTokens` have no full prefix and are excluded (and
+    * counted out of the share denominator).
+    *
+    * Returns (prefix_hash, n_docs, exemplar_id, share_ppm) for
+    * families with n_docs ≥ minFamily, ordered by
+    * (n_docs desc, prefix_hash). */
+  def templatePrefixFamilies(docs: DataFrame, prefixTokens: Int = 8,
+      minFamily: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(prefixTokens >= 1 && minFamily >= 1)
+    val t = filter(tokens(col(textCol)), x => length(x) > lit(0))
+    val hashed = docs
+      .select(col(idCol).as("__id"), t.as("__t"))
+      .filter(size(col("__t")) >= prefixTokens)
+      .select(col("__id"),
+        aggregate(slice(col("__t"), 1, prefixTokens),
+          lit(0L), (acc, tk) =>
+            (acc * 10007L + Classifier.tokenHash(tk)) % lit(Classifier.HashPrime))
+          .as("prefix_hash"))
+      .cache()
+    hashed.count() // families + the denominator both read it
+    val tot = hashed.agg(count(lit(1)).as("__n"))
+    hashed.groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("exemplar_id"))
+      .filter(col("n_docs") >= minFamily)
+      .crossJoin(broadcast(tot))
+      .select(col("prefix_hash"), col("n_docs"), col("exemplar_id"),
+        expr("(n_docs * 1000000) div __n").as("share_ppm"))
+      .orderBy(col("n_docs").desc, col("prefix_hash"))
+  }
+
   /** CODE-SWITCHING / language-mixture profile: slice each document
     * into fixed `windowTokens`-token windows, classify every window
     * with the [[langMarkers]] marker-count argmax (ties break in

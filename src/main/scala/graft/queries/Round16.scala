@@ -1104,6 +1104,114 @@ object Round16 {
        |ORDER BY stat""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q198
+  /** INCREMENTAL winnowing overlap vs a STORED fingerprint index
+    * ([[graft.ops.Winnowing.incrementalOverlapPairs]]): corpus
+    * (doc_id % 5 ≠ 0) fingerprinted ONCE, round-tripped through
+    * parquet (the stored-index stance), then the 20 % increment
+    * matches against it — combined-df boilerplate cap, overlap ppm
+    * vs the smaller sketch. The oracle re-derives both sketches from
+    * text (the q166 window-min replay), the combined df cap, and the
+    * match join — proving the stored index is exactly what a fresh
+    * fingerprint pass would produce. */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val inc = docs.filter(col("doc_id") % 5 === 0)
+    val idxDir = Round11.freshScratchDirShared("graft_q198_winnow")
+    graft.ops.Winnowing.fingerprints(corpus, k = 3, w = 4)
+      .write.mode("overwrite").parquet(idxDir)
+    val stored = s.read.parquet(idxDir)
+    graft.ops.Winnowing.incrementalOverlapPairs(inc, stored,
+      k = 3, w = 4, minShared = 2L, maxDf = 64L)
+  }
+
+  private val q198Sql = {
+    // the q166 fingerprint replay, parameterized by the doc slice
+    def fps(name: String, pred: String) =
+      s"""${name}_g AS (
+         |  SELECT doc_id, CAST(len(tk) - 3 AS BIGINT) AS maxpos,
+         |    CAST(u.i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(3), j ->
+         |        ${Round15.tokHashSql("tk[CAST(u.i + j + 1 AS INT)]")})),
+         |      (acc, h) -> (acc * 10007 + h) % 1000000007) AS gh
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents WHERE $pred)
+         |    t, UNNEST(range(0, len(tk) - 2)) AS u(i)
+         |  WHERE len(tk) >= 3
+         |),
+         |${name}_sel AS (
+         |  SELECT doc_id,
+         |    MIN(gh * 16777216 + (16777215 - pos)) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+         |    pos, maxpos
+         |  FROM ${name}_g
+         |),
+         |${name} AS (
+         |  SELECT DISTINCT doc_id, selkey // 16777216 AS fp
+         |  FROM ${name}_sel
+         |  WHERE pos <= greatest(maxpos - 3, 0)
+         |)""".stripMargin
+    s"""WITH ${fps("cfp", "doc_id % 5 <> 0")},
+       |${fps("ifp", "doc_id % 5 = 0")},
+       |cn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_corpus
+       |       FROM cfp GROUP BY doc_id),
+       |inn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+       |        FROM ifp GROUP BY doc_id),
+       |dfu AS (
+       |  SELECT fp FROM (
+       |    SELECT fp, CAST(COUNT(*) AS BIGINT) AS df FROM (
+       |      SELECT fp, doc_id FROM cfp UNION ALL SELECT fp, doc_id FROM ifp)
+       |    GROUP BY fp)
+       |  WHERE df <= 64
+       |),
+       |m AS (
+       |  SELECT i.doc_id AS new_id, c.doc_id AS corpus_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM (SELECT doc_id, fp FROM ifp JOIN dfu USING (fp)) i
+       |  JOIN (SELECT doc_id, fp FROM cfp JOIN dfu USING (fp)) c USING (fp)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |)
+       |SELECT m.new_id, m.corpus_id, m.n_shared, inn.n_new, cn.n_corpus,
+       |  (m.n_shared * 1000000) // least(inn.n_new, cn.n_corpus)
+       |    AS overlap_ppm
+       |FROM m JOIN inn ON inn.doc_id = m.new_id
+       |       JOIN cn ON cn.doc_id = m.corpus_id
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q199
+  /** TEMPLATE-PREFIX families
+    * ([[graft.ops.TextStats.templatePrefixFamilies]]): documents
+    * grouped by the exact hash of their first 8 tokens — the
+    * boilerplate-opening detector whole-document dedup misses
+    * (template pages share openings, not tails). Family rows only
+    * cross the exchange; the oracle replays the prefix fold and the
+    * family algebra. */
+  private def q199(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.templatePrefixFamilies(Tables.documents(s, dir),
+      prefixTokens = 8, minFamily = 2L)
+
+  private val q199Sql =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(8), i ->
+       |        ${Round15.tokHashSql("tk[CAST(i + 1 AS INT)]")})),
+       |      (acc, th) -> (acc * 10007 + th) % 1000000007) AS prefix_hash
+       |  FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+       |  WHERE len(tk) >= 8
+       |),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM h)
+       |SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS exemplar_id,
+       |  CAST((COUNT(*) * 1000000) // n.n AS BIGINT) AS share_ppm
+       |FROM h, n
+       |GROUP BY prefix_hash, n.n
+       |HAVING COUNT(*) >= 2
+       |ORDER BY n_docs DESC, prefix_hash""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q182_approx_negatives_recall", q182, Some(q182Sql)),
     QueryDef("q183_chunk_dedup", q183, Some(q183Sql)),
@@ -1120,5 +1228,7 @@ object Round16 {
     QueryDef("q194_ivf_append", q194, Some(Pipelines.q42Sql)),
     QueryDef("q195_detector_agreement", q195, Some(q195Sql)),
     QueryDef("q196_self_retrieval", q196, Some(q196Sql)),
-    QueryDef("q197_dataset_card", q197, Some(q197Sql)))
+    QueryDef("q197_dataset_card", q197, Some(q197Sql)),
+    QueryDef("q198_incremental_winnow", q198, Some(q198Sql)),
+    QueryDef("q199_template_prefixes", q199, Some(q199Sql)))
 }

@@ -243,6 +243,49 @@ class Round16bOpsSpec extends AnyFunSuite {
     assert(card("len_p99") === 5L)
   }
 
+  // ------------------------------- q198 incremental winnowing
+  test("incrementalOverlapPairs: equals the batch operator restricted to cross pairs") {
+    val rnd = new scala.util.Random(19)
+    def doc(seed: Int) =
+      (1 to 60).map(i => s"w${(i * 7 + seed) % 41}t${(i + seed) % 13}").mkString(" ")
+    val corpus = (1L to 8L).map(id => (id, doc(id.toInt))).toDF("doc_id", "text")
+    // increment: one exact copy of corpus doc 3, one fresh doc
+    val inc = Seq((101L, doc(3)), (102L, doc(99))).toDF("doc_id", "text")
+    val stored = graft.ops.Winnowing.fingerprints(corpus, k = 3, w = 4)
+    val out = graft.ops.Winnowing
+      .incrementalOverlapPairs(inc, stored, minShared = 2L, maxDf = 64L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // batch reference over the union, restricted to (inc, corpus)
+    val union = corpus.unionAll(inc)
+    val batch = graft.ops.Winnowing
+      .overlapPairs(union, k = 3, w = 4, minShared = 2L, maxDf = 64L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .filter { case (a, b, _, _, _, _) => a <= 8L && b >= 100L }
+      .map { case (a, b, ns, na, nb, ppm) => (b, a, ns, nb, na, ppm) }
+      .sorted
+    assert(out.sorted === batch)
+    // the exact copy matches its original at full containment
+    val copyRow = out.find(r => r._1 === 101L && r._2 === 3L).get
+    assert(copyRow._6 === 1000000L)
+  }
+
+  // ------------------------------- q199 template prefixes
+  test("templatePrefixFamilies: shared openings group; short docs excluded") {
+    val open = "the quick brown fox jumps over the lazy"   // 8 tokens
+    val docs = Seq(
+      (1L, open + " tail one x y z"),
+      (2L, open + " a completely different continuation"),
+      (3L, "some other opening entirely for this doc here now"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val fam = graft.ops.TextStats.templatePrefixFamilies(docs,
+      prefixTokens = 8, minFamily = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fam.length === 1)
+    val (_, n, ex, ppm) = fam.head
+    // denominator is the 3 docs long enough to have a full prefix
+    assert((n, ex, ppm) === ((2L, 1L, 666666L)))
+  }
+
   // ------------------------------- q192 calibration audit
   test("calibrationAudit: hand-computed two-bucket reliability table") {
     // scores 10..1 on ids 1..10, label = score >= 8 (3 positives)
