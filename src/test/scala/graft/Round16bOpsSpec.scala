@@ -167,6 +167,40 @@ class Round16bOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("fill_ppm") === ones.size.toLong * 1000000L / numBits)
   }
 
+  test("fprAudit: numHashes=4 uses the fourth probe (simulation agrees at k=4)") {
+    val docs = (1L to 20L).map { id =>
+      (id, (1 to 20).map(i => s"k${id}v${i * 5 % 17}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val numBits = 1 << 9
+    val row = graft.ops.BloomAudit.fprAudit(docs, numBits = numBits,
+      numHashes = 4, memberMod = 2L).collect().head
+    val txts = docs.as[(Long, String)].collect()
+    def gramHashes(t: String): Set[Long] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      tk.sliding(3).filter(_.length == 3).map { g =>
+        g.foldLeft(0L)((acc, tok) =>
+          (acc * 10007L + graft.ops.CodepointHashExpr.hash(tok)) % 1000000007L)
+      }.toSet
+    }
+    def bucket(id: Long): Long = {
+      val base = id & 0xFFFFFFFFL
+      ((base & 0xFFFFL) * 2654435761L +
+        (((base >>> 16) * 2654435761L) % 65536L << 16)) % 4294967296L % 2L
+    }
+    val members = txts.filter(t => bucket(t._1) == 0L).flatMap(t => gramHashes(t._2)).toSet
+    val probes = txts.filter(t => bucket(t._1) != 0L).flatMap(t => gramHashes(t._2)).toSet -- members
+    def positions(gh: Long): Seq[Long] = {
+      val u = graft.ops.Fnv64Expr.hash(gh)
+      val h2 = (u >>> 33) * 0xff51afd7ed558ccdL | 1L
+      (0 until 4).map(i => ((u + i * h2) & Long.MaxValue) % numBits)
+    }
+    val ones = members.flatMap(positions)
+    val fps = probes.count(p => positions(p).forall(ones.contains))
+    assert(row.getAs[Long]("n_ones") === ones.size.toLong)
+    assert(row.getAs[Long]("n_false_pos") === fps.toLong)
+    assert(row.getAs[Long]("n_hashes") === 4L)
+  }
+
   // ------------------------------- q190 code-switch profile
   test("codeSwitchProfile: hand-computed mixed, monolingual and empty docs") {
     val en20 = Seq.fill(20)("the").mkString(" ")
@@ -196,6 +230,26 @@ class Round16bOpsSpec extends AnyFunSuite {
       .as[(Long, Long, String, Option[Long], Long, Long)].collect().toSeq
     assert(out(0)._3 === "en")
     assert(out(1)._3 === "de")
+  }
+
+  test("codeSwitchProfile: exact window-multiple token counts produce no ragged window") {
+    // exactly 40 tokens -> 2 full windows, no third partial window
+    val docs = Seq((1L, (Seq.fill(20)("the") ++ Seq.fill(20)("el")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.ops.TextStats.codeSwitchProfile(docs)
+      .as[(Long, Long, String, Option[Long], Long, Long)].collect().head
+    assert(r._2 === 2L && r._5 === 1L && r._6 === 2L)
+  }
+
+  test("vocabGrowth: a level of 1 sees exactly the first doc's types") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "a f")).toDF("doc_id", "text")
+    val first = docs.select(col("doc_id"),
+      graft.ops.Splits.hashBucketN(col("doc_id"), 1L << 32).as("hv"))
+      .orderBy("hv", "doc_id").as[(Long, Long)].collect().head._1
+    val expTypes = Map(1L -> 3L, 2L -> 2L, 3L -> 2L)(first)
+    val out = graft.ops.TextStats.vocabGrowth(docs, levels = Seq(1L))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out._2 === 1L && out._4 === expTypes)
   }
 
   // ------------------------------- q191 batch padding-waste audit
