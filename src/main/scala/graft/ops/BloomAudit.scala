@@ -55,6 +55,13 @@ object BloomAudit {
       shingleSize: Int = 3, memberMod: Long = 10L,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes >= 1 && numHashes <= 4 && numBits >= 64)
+    // BloomAgg/BloomFns.positions probe mod mBits = numBits rounded UP to
+    // a 64-bit word; this audit re-derives positions mod the raw numBits.
+    // Insist the two moduli coincide, or the ones-count / prediction would
+    // silently grade a different filter than the one probed.
+    require(numBits % 64 == 0,
+      s"numBits must be a multiple of 64 (the filter word-rounds to " +
+        s"${(numBits + 63) / 64 * 64} bits; the audit would use $numBits)")
     val spark = docs.sparkSession
 
     val toks = filter(split(col(textCol), "\\s+"), t => length(t) > lit(0))

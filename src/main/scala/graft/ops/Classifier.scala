@@ -153,7 +153,11 @@ object Classifier {
     * any partitioning. All outputs exact integers:
     * `pos_ppm = n_pos·10⁶ div n_docs` per bin.
     *
-    * `score` must be a non-negative long. Returns
+    * `score` may be any long: `div` truncates toward zero, so the
+    * bucket cell for scores in (−rankSpan, rankSpan) straddles both
+    * signs, but bucket-ascending order stays score-descending (cells
+    * never interleave) and the in-bucket window re-orders exactly.
+    * Returns
     * (bucket, n_docs, score_min, score_max, n_pos, pos_ppm)
     * ordered by bucket (0 = highest scores). */
   def calibrationAudit(docs: DataFrame, score: Column, label: Column,

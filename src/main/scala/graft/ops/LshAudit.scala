@@ -153,9 +153,13 @@ object LshAudit {
     na.crossJoin(nb).crossJoin(both).crossJoin(nQ).crossJoin(nAll)
       .select(expr("__nq * (__n - 1)").as("n_universe"),
         col("n_minhash"), col("n_simhash"), col("n_both"))
+      // po cross-multiplies in DECIMAL(38,0) for the same reason pe does:
+      // n_universe ~ n²/8, so the BIGINT numerator would overflow past
+      // ~10⁷ docs while the contract claims 10⁹.
       .withColumn("po_ppm", expr(
-        """((n_universe - n_minhash - n_simhash + 2 * n_both) * 1000000)
-           div n_universe"""))
+        """cast((cast(n_universe - n_minhash - n_simhash + 2 * n_both
+              as decimal(38,0)) * 1000000)
+           div cast(n_universe as decimal(38,0)) as bigint)"""))
       .withColumn("pe_ppm", expr(
         """cast((cast(n_minhash as decimal(38,0)) * n_simhash
               + cast(n_universe - n_minhash as decimal(38,0))

@@ -1150,8 +1150,20 @@ object Similarity {
       graft.engine.Columns.ofExpr(QuantSqDistExpr(
         graft.engine.Columns.exprOf(a),
         graft.engine.Columns.exprOf(b), quantScale))
-    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol))
-      .limit(1).collect()(0).getSeq[Float](0).map(_.toDouble)
+    val qRows = emb.filter(col(idCol) === queryId).select(col(vecCol))
+      .limit(1).collect()
+    require(qRows.nonEmpty,
+      s"pqAdcRecall: no row with $idCol = $queryId in the embedding frame")
+    // widen float|double element types like benchContamination does —
+    // Row.getSeq materializes as a collection.Seq, not immutable Seq
+    val qv: Seq[Double] = (qRows(0).get(0) match {
+      case s: scala.collection.Seq[_] => s.map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }
+      case other => sys.error(
+        s"pqAdcRecall: $vecCol must be array<float|double>, got $other")
+    }).toSeq
     val qlit = typedLit(qv)
     val lut = books.select(col("__s"), col("__code"),
       qdist(slice(qlit, col("__s") * subLen + 1, lit(subLen)), col("__cv"))
