@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round17OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------- q200 unigram-LM Viterbi
+  // Hand-computed corpus: docs (1, "aa aa ab"), (2, "aab x").
+  // Word counts: aa:2, ab:1, aab:1, x:1 → vocabN=2 picks (cnt DESC,
+  // tok ASC): aa(2), aab(1). Alphabet {a, b}. TOTAL = Σ cnt·len =
+  // 2·2 + 1·2 + 1·3 + 1·1 = 10. Char-stream counts: a = 4+1+2 = 7,
+  // b = 1+1 = 2. Surprisal = length(bin(TOTAL div cnt)):
+  //   aa → bin(5) = 3 bits; aab → bin(10) = 4; a → bin(1) = 1;
+  //   b → bin(5) = 3.
+  // Viterbi: "aa" → [a,a] cost 2 BEATS [aa] cost 3 (2 pieces, cost 2
+  // — minimum-cost differs from greedy longest-match); "ab" → [a,b]
+  // cost 4; "aab" → [aab] cost 4 beats [a,a,b] cost 5; "x" → UNK.
+  test("unigramStats: hand-computed Viterbi DP on the 2-doc corpus") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "aab x")).toDF("doc_id", "text")
+    val got = graft.text.UnigramLm.unigramStats(docs, vocabN = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 6L, 0L, 8L),   // 2+2+2 pieces, cost 2+2+4
+      (2L, 2L, 2L, 1L, 4L)))  // aab(1 piece, 4 bits) + x(UNK)
+  }
+
+  test("UnigramVocab: packed lexicographic tie-break picks fewest pieces") {
+    // surp(a) = bits(10/10) = 1, surp(aa) = bits(10/4) = 2:
+    // "aa" as [aa] costs 2 with 1 piece, as [a,a] costs 2 with 2
+    // pieces — equal cost, so the packed min must take 1 piece
+    val v = graft.text.UnigramVocab.build(Seq(("a", 10L), ("aa", 4L)), 10L)
+    assert(v.stats("aa").toSeq === Seq(1L, 1L, 0L, 2L))
+    // and the DP is a true minimum, not greedy: with surp(aa) = 3,
+    // surp(a) = 1 (total 10, cnt(aa)=2 → bits(5)=3), [a,a] wins
+    val g = graft.text.UnigramVocab.build(Seq(("a", 10L), ("aa", 2L)), 10L)
+    assert(g.stats("aa").toSeq === Seq(1L, 2L, 0L, 2L))
+  }
+
+  test("UnigramVocab: split semantics, empty words and UNK") {
+    // surp(a) = bits(10/5=2) = 2, surp(b) = bits(10/2=5) = 3
+    val v = graft.text.UnigramVocab.build(Seq(("a", 5L), ("b", 2L)), 10L)
+    // leading whitespace yields an empty first token: a word with
+    // zero pieces (the q104 contract)
+    assert(v.stats(" a b").toSeq === Seq(3L, 2L, 0L, 5L))
+    // a word containing an out-of-alphabet char is one UNK piece
+    assert(v.stats("ax b").toSeq === Seq(2L, 2L, 1L, 3L))
+  }
+}
