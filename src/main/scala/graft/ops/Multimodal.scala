@@ -217,4 +217,46 @@ object Multimodal {
       .select(col("id").as("__loser"))
     exact.join(losers, exact(idCol) === col("__loser"), "left_anti")
   }
+
+  /** THREE-detector cross-signal dedup: [[deduplicateCrossModal]]'s
+    * MinHash-text ∪ phash-imagery edge union, plus the WINNOWING
+    * overlap edges ([[Winnowing.overlapPairs]]) — the detector with
+    * the strongest exact guarantee (every shared k-gram run ≥ w+k−1
+    * tokens is provably caught), which whole-document Jaccard misses
+    * on partial containment (a long page quoting a short one dilutes
+    * Jaccard below the MinHash threshold while sharing dozens of
+    * fingerprints). q195 measured MinHash-vs-SimHash agreement
+    * precisely to license this kind of OR-composition: detectors are
+    * OR-ed when each catches pairs the others miss, and the κ audit
+    * says how much marginal signal each adds.
+    *
+    * Scale shape: all THREE edge generators stay banded/bucketed
+    * (MinHash band buckets, phash pigeonhole bands, winnowing
+    * fingerprint buckets with the df ≤ maxDf cap), the union is
+    * edge-count-sized, and the single shared CC pass is the same
+    * pointer-halving loop — adding a detector adds one edge stream,
+    * never a new quadratic stage. */
+  def deduplicateCrossSignal(spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleSize: Int = 3, maxJaccardDist: Double = 0.4,
+      maxHamming: Int = 1, winnowK: Int = 3, winnowW: Int = 4,
+      minShared: Long = 2L, maxDf: Long = 64L): DataFrame = {
+    Dedup.ensureCheckpointDir(docs.sparkSession.sparkContext)
+    val exact = Dedup.dropExact(docs, textCol, idCol).cache()
+    val textPairs = Dedup.minhashPairs(exact, idCol, textCol,
+        shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
+      .select(col("doc_a"), col("doc_b"))
+    val imagePairs = phashNearDupPairs(spark,
+        packAsAssets(exact, idCol, textCol), maxHamming = maxHamming)
+      .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+    val winnowPairs = Winnowing.overlapPairs(exact, winnowK, winnowW,
+        minShared, maxDf, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = textPairs.unionByName(imagePairs).unionByName(winnowPairs)
+      .distinct()
+    val losers = Dedup.connectedComponents(edges)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    exact.join(losers, exact(idCol) === col("__loser"), "left_anti")
+  }
 }

@@ -40,44 +40,54 @@ object Round15 {
     Winnowing.overlapPairs(Tables.documents(s, dir),
       k = 3, w = 4, minShared = 2L, maxDf = 64L)
 
-  private val q166Sql = {
+  /** q166's winnowing pair CTEs (k=3, w=4, minShared=2, maxDf=64),
+    * parameterized over the source relation and a CTE-name prefix so
+    * q201 can replay the same fingerprint fold over the
+    * exact-survivor frame. Ends in `<pre>p(doc_a, doc_b, n_shared)`
+    * and `<pre>cnts(doc_id, n_fps)`. */
+  private[queries] def winnowPairCtes(src: String, pre: String): String = {
     val gram = // hash of the k=3 gram starting at 0-based pos i
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      list_transform(range(0, 3), j ->
          |        ${tokHashSql("tk[CAST(i + j + 1 AS INT)]")})),
          |      (acc, h) -> (acc * 10007 + h) % 1000000007)""".stripMargin
-    s"""WITH t AS (
+    s"""${pre}t AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
        |    x -> length(x) > 0) AS tk
-       |  FROM documents
+       |  FROM $src
        |),
-       |g AS (
+       |${pre}g AS (
        |  SELECT doc_id, len(tk) - 3 AS maxpos, CAST(i AS BIGINT) AS pos,
        |    $gram AS gh
-       |  FROM t, UNNEST(range(0, len(tk) - 2)) AS u(i)
+       |  FROM ${pre}t, UNNEST(range(0, len(tk) - 2)) AS u(i)
        |  WHERE len(tk) >= 3
        |),
-       |sel AS (
+       |${pre}sel AS (
        |  SELECT doc_id, pos, maxpos,
        |    MIN(gh * 16777216 + (16777215 - pos)) OVER (
        |      PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS skey
-       |  FROM g
+       |  FROM ${pre}g
        |),
-       |fps AS (
+       |${pre}fps AS (
        |  SELECT DISTINCT doc_id, skey // 16777216 AS fp
-       |  FROM sel WHERE pos <= greatest(maxpos - 3, 0)
+       |  FROM ${pre}sel WHERE pos <= greatest(maxpos - 3, 0)
        |),
-       |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps
-       |         FROM fps GROUP BY doc_id),
-       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64),
-       |jf AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
-       |p AS (
+       |${pre}cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps
+       |         FROM ${pre}fps GROUP BY doc_id),
+       |${pre}rare AS (SELECT fp FROM ${pre}fps GROUP BY fp HAVING COUNT(*) <= 64),
+       |${pre}jf AS (SELECT f.doc_id, f.fp
+       |        FROM ${pre}fps f JOIN ${pre}rare r ON f.fp = r.fp),
+       |${pre}p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(COUNT(*) AS BIGINT) AS n_shared
-       |  FROM jf a JOIN jf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  FROM ${pre}jf a JOIN ${pre}jf b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
-       |)
+       |)""".stripMargin
+  }
+
+  private val q166Sql =
+    s"""WITH ${winnowPairCtes("documents", "")}
        |SELECT p.doc_a, p.doc_b, p.n_shared,
        |  ca.n_fps AS n_a, cb.n_fps AS n_b,
        |  CAST((p.n_shared * 1000000) // least(ca.n_fps, cb.n_fps) AS BIGINT)
@@ -85,7 +95,6 @@ object Round15 {
        |FROM p JOIN cnts ca ON ca.doc_id = p.doc_a
        |       JOIN cnts cb ON cb.doc_id = p.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q167
   /** HARD-NEGATIVE mining ([[graft.ops.Similarity.hardNegatives]]):

@@ -108,6 +108,68 @@ object Round17 {
        |GROUP BY w.doc_id
        |ORDER BY w.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+  /** THREE-detector cross-signal dedup ([[graft.ops.Multimodal
+    * .deduplicateCrossSignal]]): q146's MinHash-text ∪ phash-imagery
+    * edges plus the q166 WINNOWING overlap edges (the
+    * exact-guarantee detector that catches partial containment both
+    * others dilute away), ONE connected-components pass — the
+    * OR-composition the q195 agreement audit licenses. Oracle: the
+    * q146 recursive component search with the q166 fingerprint CTEs
+    * replayed over the exact-survivor frame unioned in as a third
+    * edge set. */
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.deduplicateCrossSignal(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private val q201Sql =
+    s"""WITH RECURSIVE
+       |exact0 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |kept_exact AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN exact0 e USING (doc_id)
+       |),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM kept_exact
+       |),
+       |grams AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(len(t) - 2),
+       |      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+       |  FROM toks WHERE len(t) >= 3
+       |),
+       |tpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+       |  WHERE 1.0 - (CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / (CAST(len(a.g) + len(b.g) AS DOUBLE)
+       |         - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE))) <= 0.4
+       |),
+       |${Round13.phashPairCtes("kept_exact")},
+       |${Round15.winnowPairCtes("kept_exact", "wn")},
+       |allp AS (
+       |  SELECT doc_a, doc_b FROM tpairs
+       |  UNION
+       |  SELECT asset_a, asset_b FROM hp WHERE hamming <= 1
+       |  UNION
+       |  SELECT doc_a, doc_b FROM wnp
+       |),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM allp
+       |  UNION ALL SELECT doc_b, doc_a FROM allp
+       |),
+       |reach AS (
+       |  SELECT DISTINCT s AS id, s AS lab FROM edges
+       |  UNION
+       |  SELECT e.d AS id, r.lab FROM reach r JOIN edges e ON e.s = r.id
+       |),
+       |comp AS (SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id),
+       |losers AS (SELECT id FROM comp WHERE id <> cluster)
+       |SELECT doc_id, lang FROM kept_exact
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q200_unigram_lm", q200, Some(q200Sql)))
+    QueryDef("q200_unigram_lm", q200, Some(q200Sql)),
+    QueryDef("q201_cross_signal_dedup", q201, Some(q201Sql)))
 }

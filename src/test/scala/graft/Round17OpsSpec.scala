@@ -49,4 +49,30 @@ class Round17OpsSpec extends AnyFunSuite {
     // a word containing an out-of-alphabet char is one UNK piece
     assert(v.stats("ax b").toSeq === Seq(2L, 2L, 1L, 3L))
   }
+
+  // ------------------------------- q201 three-detector dedup
+  test("deduplicateCrossSignal: winnowing edge catches a containment pair both other detectors miss") {
+    // doc 2 QUOTES doc 1's 30 tokens inside 90 tokens of filler:
+    // 3-gram Jaccard = 28/118 ≈ 0.24 → distance 0.76 > 0.4, so the
+    // MinHash detector rejects the pair even as a candidate; the fake
+    // phash of different payloads won't sit at hamming ≤ 1. Winnowing
+    // guarantees fingerprints inside any shared run ≥ w+k−1 = 6
+    // tokens, so the 30-token quote shares ≥ 2 selected fingerprints.
+    val quoted = (1 to 30).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 90).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", quoted),
+      (2L, "en", s"$filler $quoted"),
+      (3L, "de", "totally different content here now")
+    ).toDF("doc_id", "lang", "text")
+    val twoDetector = graft.ops.Multimodal
+      .deduplicateCrossModal(spark, docs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(twoDetector === Seq(1L, 2L, 3L),
+      "two-detector dedup must MISS the containment pair for this spec to bite")
+    val threeDetector = graft.ops.Multimodal
+      .deduplicateCrossSignal(spark, docs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(threeDetector === Seq(1L, 3L)) // min-id 1 survives, 2 is the loser
+  }
 }
