@@ -1088,15 +1088,20 @@ object Similarity {
   private def pqParts(emb: DataFrame, m: Int, nCodes: Int,
       idCol: String, vecCol: String, quantScale: Double)
       : (DataFrame, DataFrame, Int) = {
+    val (books, subLen) = pqBooksInternal(emb, m, nCodes, idCol, vecCol)
+    val codes = pqAssignInternal(emb, books, m, subLen, idCol, vecCol,
+      quantScale)
+    (codes, books, subLen)
+  }
+
+  /** Internal: seeded-medoid codebooks (__s, __code, __cv) + subLen. */
+  private def pqBooksInternal(emb: DataFrame, m: Int, nCodes: Int,
+      idCol: String, vecCol: String): (DataFrame, Int) = {
     require(m >= 1 && nCodes >= 1)
     val dim = emb.select(size(col(vecCol)).as("d")).limit(1)
       .collect()(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subLen = dim / m
-    def qdist(a: Column, b: Column): Column =
-      graft.engine.Columns.ofExpr(QuantSqDistExpr(
-        graft.engine.Columns.exprOf(a),
-        graft.engine.Columns.exprOf(b), quantScale))
     val hk = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L))
     val meds = emb.select(col(idCol).as("__mid"), col(vecCol).as("__mv"),
@@ -1110,18 +1115,86 @@ object Similarity {
         col("__mv"))
       .select(col("__s"), col("__code"),
         slice(col("__mv"), col("__s") * subLen + 1, lit(subLen)).as("__cv"))
+    (books, subLen)
+  }
+
+  /** Internal: assign every vector's m subvectors to their nearest
+    * codeword in the GIVEN codebook frame (broadcast by size). */
+  private def pqAssignInternal(emb: DataFrame, books: DataFrame, m: Int,
+      subLen: Int, idCol: String, vecCol: String,
+      quantScale: Double): DataFrame = {
+    def qdist(a: Column, b: Column): Column =
+      graft.engine.Columns.ofExpr(QuantSqDistExpr(
+        graft.engine.Columns.exprOf(a),
+        graft.engine.Columns.exprOf(b), quantScale))
     val sub = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .select(col("__id"), explode(sequence(lit(0), lit(m - 1))).as("__s"),
         col("__v"))
       .select(col("__id"), col("__s"),
         slice(col("__v"), col("__s") * subLen + 1, lit(subLen)).as("__sv"))
-    val codes = sub.join(broadcast(books), Seq("__s"))
+    sub.join(broadcast(books), Seq("__s"))
       .select(col("__id"), col("__s"), col("__code"),
         qdist(col("__sv"), col("__cv")).as("__d2"))
       .groupBy("__id", "__s")
       .agg(min(struct(col("__d2"), col("__code"))).as("__m"))
       .select(col("__id"), col("__s"), col("__m.__code").as("__code"))
-    (codes, books, subLen)
+  }
+
+  /** Fit the seeded-medoid PQ codebooks alone:
+    * (subspace, code, codeword), m·nCodes rows — the frame
+    * [[savePq]] freezes. */
+  def fitPqBooks(emb: DataFrame, m: Int = 8, nCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (books, _) = pqBooksInternal(emb, m, nCodes, idCol, vecCol)
+    books.select(col("__s").cast(LongType).as("subspace"),
+      col("__code").as("code"), col("__cv").as("codeword"))
+  }
+
+  /** Freeze a fitted PQ codebook to parquet — the compression rung's
+    * [[saveIvf]]/q90-`saveIndex` stance: production fits codebooks
+    * once (or per re-train window), then ENCODES daily increments
+    * against the frozen frame; re-fitting per batch would silently
+    * change every stored code's meaning (an ADC scan mixes codes from
+    * different codebooks into one integer sum). m·nCodes rows →
+    * coalesce(1), one tiny file. */
+  def savePq(books: DataFrame, dir: String): Unit =
+    books.select("subspace", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Reload a codebook written by [[savePq]]. */
+  def loadPq(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Encode a batch against a STORED codebook (no refit): the PQ
+    * maintenance path mirroring [[appendIvf]]. m and subLen are read
+    * from the codebook frame itself (one bounded collect — the frame
+    * is m·nCodes rows by contract), so a caller cannot desync the
+    * split geometry from the codebook it loaded. Returns
+    * (idCol, subspace, code) ordered by (idCol, subspace). */
+  def encodePq(emb: DataFrame, books: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    val geo = books.agg(max(col("subspace")).as("mm"),
+        min(size(col("codeword"))).as("lmin"),
+        max(size(col("codeword"))).as("lmax")).collect()(0)
+    val m = geo.getAs[Number](0).intValue() + 1
+    val subLen = geo.getInt(2)
+    require(geo.getInt(1) == subLen,
+      "codebook frame has mixed codeword lengths")
+    val dim = emb.select(size(col(vecCol)).as("d")).limit(1)
+      .collect()(0).getInt(0)
+    require(dim == m * subLen,
+      s"embedding dim $dim does not match stored codebook geometry " +
+        s"m=$m × subLen=$subLen")
+    // subspace is stored as long; the assignment's exploded index is
+    // int — align the join key types explicitly
+    val b = books.select(col("subspace").cast("int").as("__s"),
+      col("code").as("__code"), col("codeword").as("__cv"))
+    pqAssignInternal(emb, b, m, subLen, idCol, vecCol, quantScale)
+      .select(col("__id").as(idCol),
+        col("__s").cast(LongType).as("subspace"), col("__code").as("code"))
+      .orderBy(idCol, "subspace")
   }
 
   /** ADC RECALL audit for [[pqCodes]]: recall@k of asymmetric-

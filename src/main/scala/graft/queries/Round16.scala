@@ -24,7 +24,7 @@ object Round16 {
     * scale 1e4 over two quantized BIGINT[] identifiers in scope —
     * the q167 oracle's distance spelling, shared by every stage of
     * the q182 replay. */
-  private def d2Sql(a: String, b: String): String =
+  private[queries] def d2Sql(a: String, b: String): String =
     s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(range(len($a)), i ->
        |        ($a[CAST(i + 1 AS INT)] - $b[CAST(i + 1 AS INT)])

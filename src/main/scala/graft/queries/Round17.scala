@@ -169,7 +169,63 @@ object Round17 {
        |WHERE doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q202
+  /** STORED PQ codebook round-trip ([[graft.ops.Similarity.savePq]] /
+    * [[graft.ops.Similarity.loadPq]] / [[graft.ops.Similarity
+    * .encodePq]]): fit codebooks on the base corpus (vec_id % 5 ≠ 0),
+    * freeze them to parquet, reload, and encode the INCREMENT
+    * (vec_id % 5 = 0) against the frozen frame — the compression
+    * rung's q194 maintenance stance (q185 fits inline every run;
+    * production encodes daily batches against a stored codebook, or
+    * every previously-written code silently changes meaning). The
+    * oracle replays the seeded-medoid pick over the BASE subset and
+    * the increment's integer assignment — any drift in the stored
+    * frame (or a refit sneaking in) changes codes and fails the
+    * hash. */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val inc = emb.filter(col("vec_id") % 5 === 0)
+    val books = graft.ops.Similarity.fitPqBooks(base, m = 8, nCodes = 16)
+    val pqDir = Round11.freshScratchDirShared("graft_q202_pq")
+    graft.ops.Similarity.savePq(books, pqDir)
+    val stored = graft.ops.Similarity.loadPq(s, pqDir)
+    graft.ops.Similarity.encodePq(inc, stored)
+  }
+
+  private val q202Sql = {
+    val slice8 = (v: String) =>
+      s"$v[CAST(ss.s * 8 + 1 AS INT):CAST(ss.s * 8 + 8 AS INT)]"
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |base AS (SELECT * FROM q WHERE vec_id % 5 <> 0),
+       |inc AS (SELECT * FROM q WHERE vec_id % 5 = 0),
+       |ss AS (SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s)),
+       |med AS (
+       |  SELECT qv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM base
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |books AS (
+       |  SELECT ss.s, m.code, ${slice8("m.qv")} AS cv FROM med m, ss),
+       |sub AS (
+       |  SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv FROM inc a, ss)
+       |SELECT vec_id, s AS subspace, code FROM (
+       |  SELECT sub.vec_id, sub.s, b.code,
+       |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |      ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |  FROM sub JOIN books b ON b.s = sub.s) WHERE rk = 1
+       |ORDER BY vec_id, subspace""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q200_unigram_lm", q200, Some(q200Sql)),
-    QueryDef("q201_cross_signal_dedup", q201, Some(q201Sql)))
+    QueryDef("q201_cross_signal_dedup", q201, Some(q201Sql)),
+    QueryDef("q202_stored_pq_encode", q202, Some(q202Sql)))
 }

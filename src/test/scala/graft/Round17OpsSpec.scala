@@ -75,4 +75,40 @@ class Round17OpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(threeDetector === Seq(1L, 3L)) // min-id 1 survives, 2 is the loser
   }
+
+  // ------------------------------- q202 stored PQ codebook
+  test("savePq/loadPq/encodePq: frozen codebook round-trips and the increment's codes replay the fit-time assignment") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 24L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val inc = emb.filter($"vec_id" % 3 === 0)
+    val books = Similarity.fitPqBooks(base, m = 2, nCodes = 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_spec").toString
+    Similarity.savePq(books, dir)
+    val stored = Similarity.loadPq(spark, dir)
+    // byte-identical round-trip: (subspace, code, codeword) rows match
+    val a = books.orderBy("subspace", "code")
+      .as[(Long, Long, Seq[Float])].collect().toSeq
+    val b = stored.orderBy("subspace", "code")
+      .as[(Long, Long, Seq[Float])].collect().toSeq
+    assert(a === b)
+    // encoding the increment against the STORED frame = encoding it
+    // against the in-memory fit — the codebook is untouched by use
+    val viaStored = Similarity.encodePq(inc, stored)
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaFit = Similarity.encodePq(inc, books)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaStored === viaFit)
+    assert(viaStored.map(_._1).distinct.sorted ===
+      (0L until 24L by 3L).toSeq)
+    // and a geometry mismatch is refused, not mis-encoded
+    val bad = (0L until 4L).map(i =>
+      (i, Array.fill(6)(0.5f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.encodePq(bad, stored)
+    }
+  }
 }
