@@ -104,4 +104,35 @@ object DatasetCard {
       .unionAll(pct(50)).unionAll(pct(90)).unionAll(pct(99))
       .orderBy("stat")
   }
+
+  /** CARD DIFF — the release-over-release drift gate: one [[card]]
+    * per snapshot, full-outer joined on stat, per-stat delta. This is
+    * the artifact a weekly 100 TB refresh actually reviews ("did the
+    * p99 length move? did lang_de's share shift 3000 ppm? did dup
+    * mass double?") — q197 produces the datasheet, q152 measures one
+    * mixture's drift; this composes the whole card into one
+    * before/after table. A composition row absent from one side (a
+    * language or source that appeared or vanished) reads as a 0 ppm
+    * share on that side, so appearing/vanishing groups surface as
+    * their full share in `delta` instead of silently dropping out of
+    * the join. Core stats exist on both sides by construction.
+    *
+    * Shape at scale: two card passes (each the ~20-row bounded
+    * aggregate) + one ~20-row join — the diff itself costs nothing.
+    *
+    * Returns (stat, value_old, value_new, delta = new − old) ordered
+    * by stat. */
+  def cardDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val a = card(oldDocs, idCol, textCol)
+      .withColumnRenamed("value", "value_old")
+    val b = card(newDocs, idCol, textCol)
+      .withColumnRenamed("value", "value_new")
+    a.join(b, Seq("stat"), "full_outer")
+      .select(col("stat"),
+        coalesce(col("value_old"), lit(0L)).as("value_old"),
+        coalesce(col("value_new"), lit(0L)).as("value_new"))
+      .withColumn("delta", col("value_new") - col("value_old"))
+      .orderBy("stat")
+  }
 }

@@ -1048,7 +1048,10 @@ object Round16 {
   private def q197(s: SparkSession, dir: String): DataFrame =
     graft.ops.DatasetCard.card(Tables.documents(s, dir))
 
-  private val q197Sql = {
+  /** q197's full card SQL parameterized over the source relation
+    * (no final ORDER BY) so q203 can replay one card per snapshot
+    * half. */
+  private[queries] def cardSql(src: String): String = {
     val stops = graft.ops.TextStats.miniStopWords
       .map(w => s"'$w'").mkString("[", ", ", "]")
     val ntok = s"CAST(len(regexp_split_to_array(text,'\\s+')) AS BIGINT)"
@@ -1062,47 +1065,49 @@ object Round16 {
       s"""SELECT 'len_p$k' AS stat, CAST(MIN(len) AS BIGINT) AS value FROM (
          |  SELECT len, SUM(c) OVER (ORDER BY len
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM (SELECT $ntok AS len, COUNT(*) AS c FROM documents GROUP BY 1)
-         |), (SELECT COUNT(*) AS n FROM documents)
+         |  FROM (SELECT $ntok AS len, COUNT(*) AS c FROM $src GROUP BY 1)
+         |), (SELECT COUNT(*) AS n FROM $src)
          |WHERE cum * 100 >= $k * n""".stripMargin
     s"""SELECT stat, value FROM (
-       |SELECT 'n_docs' AS stat, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+       |SELECT 'n_docs' AS stat, CAST(COUNT(*) AS BIGINT) AS value FROM $src
        |UNION ALL
-       |SELECT 'n_tokens', CAST(SUM($ntok) AS BIGINT) FROM documents
+       |SELECT 'n_tokens', CAST(SUM($ntok) AS BIGINT) FROM $src
        |UNION ALL
-       |SELECT 'n_chars', CAST(SUM(length(text)) AS BIGINT) FROM documents
+       |SELECT 'n_chars', CAST(SUM(length(text)) AS BIGINT) FROM $src
        |UNION ALL
-       |SELECT 'n_stopwords', CAST(SUM($nstop) AS BIGINT) FROM documents
+       |SELECT 'n_stopwords', CAST(SUM($nstop) AS BIGINT) FROM $src
        |UNION ALL
        |SELECT 'quality_pass_ppm',
        |  CAST((SUM(CASE WHEN $quality >= 0.5 THEN 1 ELSE 0 END) * 1000000)
-       |    // COUNT(*) AS BIGINT) FROM documents
+       |    // COUNT(*) AS BIGINT) FROM $src
        |UNION ALL
        |SELECT 'n_types', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM
        |  (SELECT unnest(list_filter(regexp_split_to_array(text,'\\s+'),
-       |     x -> length(x) > 0)) AS tok FROM documents)
+       |     x -> length(x) > 0)) AS tok FROM $src)
        |UNION ALL
        |SELECT 'n_exact_dup_docs',
-       |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) FROM documents
+       |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) FROM $src
        |UNION ALL
        |SELECT 'lang_' || lang || '_ppm',
-       |  CAST((COUNT(*) * 1000000) // (SELECT COUNT(*) FROM documents)
+       |  CAST((COUNT(*) * 1000000) // (SELECT COUNT(*) FROM $src)
        |    AS BIGINT)
-       |FROM documents GROUP BY lang
+       |FROM $src GROUP BY lang
        |UNION ALL
        |SELECT 'source_' || source || '_ppm',
-       |  CAST((COUNT(*) * 1000000) // (SELECT COUNT(*) FROM documents)
+       |  CAST((COUNT(*) * 1000000) // (SELECT COUNT(*) FROM $src)
        |    AS BIGINT)
-       |FROM documents GROUP BY source
+       |FROM $src GROUP BY source
        |UNION ALL
        |${pct(50)}
        |UNION ALL
        |${pct(90)}
        |UNION ALL
        |${pct(99)}
-       |)
-       |ORDER BY stat""".stripMargin
+       |)""".stripMargin
   }
+
+  private val q197Sql = s"""${cardSql("documents")}
+       |ORDER BY stat""".stripMargin
 
   // ---------------------------------------------------------------- q198
   /** INCREMENTAL winnowing overlap vs a STORED fingerprint index

@@ -224,8 +224,37 @@ object Round17 {
        |ORDER BY vec_id, subspace""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q203
+  /** DATASET-CARD DIFF ([[graft.ops.DatasetCard.cardDiff]]): the
+    * q197 datasheet computed per snapshot half (even vs odd doc ids
+    * standing in for last-week/this-week, the q152 convention),
+    * full-outer joined with per-stat integer deltas — the
+    * release-over-release drift gate a weekly refresh reviews.
+    * Oracle: the parameterized q197 card SQL replayed over both
+    * halves plus the COALESCE-to-0 delta arithmetic. */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.ops.DatasetCard.cardDiff(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1))
+  }
+
+  private val q203Sql =
+    s"""WITH olddocs AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |newdocs AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |ca AS (${Round16.cardSql("olddocs")}),
+       |cb AS (${Round16.cardSql("newdocs")})
+       |SELECT COALESCE(ca.stat, cb.stat) AS stat,
+       |  CAST(COALESCE(ca.value, 0) AS BIGINT) AS value_old,
+       |  CAST(COALESCE(cb.value, 0) AS BIGINT) AS value_new,
+       |  CAST(COALESCE(cb.value, 0) - COALESCE(ca.value, 0) AS BIGINT)
+       |    AS delta
+       |FROM ca FULL OUTER JOIN cb ON ca.stat = cb.stat
+       |ORDER BY stat""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q200_unigram_lm", q200, Some(q200Sql)),
     QueryDef("q201_cross_signal_dedup", q201, Some(q201Sql)),
-    QueryDef("q202_stored_pq_encode", q202, Some(q202Sql)))
+    QueryDef("q202_stored_pq_encode", q202, Some(q202Sql)),
+    QueryDef("q203_card_diff", q203, Some(q203Sql)))
 }

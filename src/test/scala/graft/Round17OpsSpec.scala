@@ -111,4 +111,32 @@ class Round17OpsSpec extends AnyFunSuite {
       Similarity.encodePq(bad, stored)
     }
   }
+
+  // ------------------------------- q203 dataset-card diff
+  test("cardDiff: per-stat deltas, appearing groups surface at full share") {
+    // old snapshot: 2 en/web docs; new: 2 en + 1 de doc — 'de'
+    // exists only on the new side and must read value_old = 0 with
+    // delta = its full ppm share, not vanish from the join
+    val mk = (id: Long, lang: String, text: String) =>
+      (id, lang, "web", text)
+    val oldDocs = Seq(
+      mk(1L, "en", "alpha beta gamma"),
+      mk(2L, "en", "alpha beta gamma")).toDF("doc_id", "lang", "source", "text")
+    val newDocs = Seq(
+      mk(1L, "en", "alpha beta gamma"),
+      mk(2L, "en", "delta epsilon"),
+      mk(3L, "de", "zeta eta theta iota")).toDF("doc_id", "lang", "source", "text")
+    val diff = graft.ops.DatasetCard.cardDiff(oldDocs, newDocs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(diff("n_docs") === ((2L, 3L, 1L)))
+    assert(diff("n_tokens") === ((6L, 9L, 3L)))
+    // old has one exact-dup pair; new has none
+    assert(diff("n_exact_dup_docs") === ((1L, 0L, -1L)))
+    // lang_de appears only in new: 1 of 3 docs = 333333 ppm
+    assert(diff("lang_de_ppm") === ((0L, 333333L, 333333L)))
+    assert(diff("lang_en_ppm") === ((1000000L, 666666L, -333334L)))
+    // every row satisfies delta = new − old by construction
+    assert(diff.values.forall { case (o, n, d) => d === n - o })
+  }
 }
