@@ -155,7 +155,11 @@ object Round13 {
     graft.text.Bpe.bpeStats(Tables.documents(s, dir), k = 6)
       .orderBy("doc_id")
 
-  private val q113Sql = {
+  /** q113's BPE training CTE block (k = 6 merges): w0 through fin —
+    * ends in `fin(tok, np)`, the per-word BPE piece count. Exposed so
+    * q204 can replay the trained tokenizer beside the WordPiece and
+    * unigram-LM replays in one fertility table. */
+  private[queries] val bpePerwordCtes: String = {
     val U = "chr(31)"
     // One training round: pair counts → deterministic top-1 (with a
     // chr(30) sentinel row when no pairs remain, so the cross join
@@ -189,8 +193,7 @@ object Round13 {
          |)""".stripMargin
     }
     val k = 6
-    s"""WITH
-       |w0 AS (
+    s"""w0 AS (
        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    array_to_string(list_transform(range(1, length(tok)+1), i -> substr(tok, CAST(i AS INT), 1)), $U) AS sym
        |  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
@@ -198,7 +201,12 @@ object Round13 {
        |  GROUP BY tok
        |),
        |${(1 to k).map(stage).mkString(",\n")},
-       |fin AS (SELECT tok, CAST(len(string_split(sym, $U)) AS BIGINT) AS np FROM w$k),
+       |fin AS (SELECT tok, CAST(len(string_split(sym, $U)) AS BIGINT) AS np FROM w$k)""".stripMargin
+  }
+
+  private val q113Sql =
+    s"""WITH
+       |$bpePerwordCtes,
        |words AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
        |SELECT w.doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -206,7 +214,6 @@ object Round13 {
        |FROM words w LEFT JOIN fin f ON w.tok = f.tok
        |GROUP BY w.doc_id
        |ORDER BY w.doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q114
   /** Semantic decontamination ([[graft.ops.Similarity

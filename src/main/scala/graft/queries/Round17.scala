@@ -252,9 +252,77 @@ object Round17 {
        |FROM ca FULL OUTER JOIN cb ON ca.stat = cb.stat
        |ORDER BY stat""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+  /** THREE-tokenizer FERTILITY table: WordPiece (q104), trained BPE
+    * (q113) and unigram-LM Viterbi (q200) pieces-per-word by
+    * language, side by side — the q134 per-language fertility read
+    * extended into the family-selection table ("which tokenizer pays
+    * the fewest pieces per word on each language slice?"). One
+    * map-only pass per tokenizer over the same word stream, joined
+    * per doc, one lang rollup. The oracle replays ALL THREE piece
+    * machines — greedy longest-match walk, 6-round merge training,
+    * and the Viterbi DP — in a single WITH RECURSIVE. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wp = graft.text.Subword.subwordStats(docs, vocabN = 10)
+      .select(col("doc_id"), col("n_pieces").as("__wp"))
+    val bpe = graft.text.Bpe.bpeStats(docs, k = 6)
+      .select(col("doc_id"), col("n_words").as("__nw"),
+        col("n_pieces").as("__bp"))
+    val uni = graft.text.UnigramLm.unigramStats(docs, vocabN = 10)
+      .select(col("doc_id"), col("n_pieces").as("__up"))
+    wp.join(bpe, "doc_id").join(uni, "doc_id")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("__nw").as("n_words"), sum("__wp").as("wp_pieces"),
+        sum("__bp").as("bpe_pieces"), sum("__up").as("uni_pieces"))
+      .withColumn("wp_fertility_ppm",
+        expr("(CAST(wp_pieces AS decimal(38,0)) * 1000000) div n_words"))
+      .withColumn("bpe_fertility_ppm",
+        expr("(CAST(bpe_pieces AS decimal(38,0)) * 1000000) div n_words"))
+      .withColumn("uni_fertility_ppm",
+        expr("(CAST(uni_pieces AS decimal(38,0)) * 1000000) div n_words"))
+      .orderBy("lang")
+  }
+
+  private val q204Sql =
+    s"""WITH RECURSIVE
+       |${Round12.subwordPerwordCtes},
+       |${Round13.bpePerwordCtes},
+       |$unigramPerwordCtes,
+       |perdoc AS (
+       |  SELECT w.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS nw,
+       |    CAST(SUM(p.np) AS BIGINT) AS wp,
+       |    CAST(SUM(CASE WHEN length(w.tok) = 0 THEN 0 ELSE f.np END)
+       |      AS BIGINT) AS bp,
+       |    CAST(SUM(CASE WHEN u.packed IS NULL THEN 1
+       |                  ELSE u.packed % 1048576 END) AS BIGINT) AS up
+       |  FROM words w
+       |    JOIN perword p USING (tok)
+       |    LEFT JOIN fin f ON w.tok = f.tok
+       |    JOIN uperword u ON u.tok = w.tok
+       |  GROUP BY w.doc_id
+       |)
+       |SELECT d.lang,
+       |  CAST(SUM(nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(wp) AS BIGINT) AS wp_pieces,
+       |  CAST(SUM(bp) AS BIGINT) AS bpe_pieces,
+       |  CAST(SUM(up) AS BIGINT) AS uni_pieces,
+       |  CAST(CAST(SUM(wp) AS HUGEINT) * 1000000
+       |       // CAST(SUM(nw) AS HUGEINT) AS BIGINT) AS wp_fertility_ppm,
+       |  CAST(CAST(SUM(bp) AS HUGEINT) * 1000000
+       |       // CAST(SUM(nw) AS HUGEINT) AS BIGINT) AS bpe_fertility_ppm,
+       |  CAST(CAST(SUM(up) AS HUGEINT) * 1000000
+       |       // CAST(SUM(nw) AS HUGEINT) AS BIGINT) AS uni_fertility_ppm
+       |FROM perdoc p JOIN documents d USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q200_unigram_lm", q200, Some(q200Sql)),
     QueryDef("q201_cross_signal_dedup", q201, Some(q201Sql)),
     QueryDef("q202_stored_pq_encode", q202, Some(q202Sql)),
-    QueryDef("q203_card_diff", q203, Some(q203Sql)))
+    QueryDef("q203_card_diff", q203, Some(q203Sql)),
+    QueryDef("q204_tokenizer_fertility", q204, Some(q204Sql)))
 }
