@@ -80,21 +80,38 @@ object PageRank {
     if (midCkpt) ranks = ranks.localCheckpoint(true)
     var lastCkpt: DataFrame = if (midCkpt) ranks else null
     var i = 0
-    while (i < iterations) {
+    var converged = false
+    while (i < iterations && !converged) {
       val recv = ranks.join(we, ranks("id") === we("src"))
         .select(col("dst"), expr("r div od").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      val next = verts.join(recv, verts("id") === recv("dst"), "left_outer")
-        .select(verts("id"),
-          (lit(tele) + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
+      // the left side is the rank frame itself (same id set as verts
+      // every round), carrying the previous rank so the convergence
+      // probe below is a filter over the just-checkpointed partitions
+      val next = ranks.select(col("id"), col("r").as("__prev"))
+        .join(recv, col("id") === recv("dst"), "left_outer")
+        .select(col("id"),
+          (lit(tele) + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"),
+          col("__prev"))
       // long runs checkpoint every OTHER round (a 2-round lineage caps
       // plan growth at half the blocking materializations); short runs
       // only checkpoint the LAST round — the returned-frame contract
       if ((midCkpt && i % 2 == 1) || i == iterations - 1) {
-        ranks = next.localCheckpoint(true)
+        val ck = next.localCheckpoint(true)
+        // Convergence early-exit is EXACT (the KCore/LabelProp
+        // argument, integer-rank form): round t+1 is a pure function
+        // of round t's rank map, so a round that changed NO rank makes
+        // every remaining round the identity — the early-exit output
+        // is bit-identical to the fixed-rounds contract. Probed only
+        // on checkpoint rounds (cached-partition read, no recompute)
+        // and never on the final round (nothing left to skip), so
+        // short fixed-round runs pay exactly nothing.
+        converged = i < iterations - 1 &&
+          ck.filter(col("r") =!= col("__prev")).limit(1).count() == 0L
         if (lastCkpt != null) lastCkpt.unpersist()
-        lastCkpt = ranks
-      } else ranks = next
+        lastCkpt = ck
+        ranks = ck.select(col("id"), col("r"))
+      } else ranks = next.select(col("id"), col("r"))
       i += 1
     }
     we.unpersist(); verts.unpersist()
@@ -148,23 +165,33 @@ object PageRank {
     val we = e.join(outdeg, "src").cache()
 
     val midCkpt = iterations > midCheckpointAbove
-    var ranks = vt.select(col("id"),
+    // the per-vertex teleport rides INSIDE the rank frame so each
+    // round stays one equi-join and the convergence probe can carry
+    // the previous rank without re-joining vt
+    var ranks = vt.select(col("id"), col("__tele"),
       when(col("__seed"), lit(Scale / nS)).otherwise(lit(0L)).as("r"))
     if (midCkpt) ranks = ranks.localCheckpoint(true)
     var lastCkpt: DataFrame = if (midCkpt) ranks else null
     var i = 0
-    while (i < iterations) {
+    var converged = false
+    while (i < iterations && !converged) {
       val recv = ranks.join(we, ranks("id") === we("src"))
         .select(col("dst"), expr("r div od").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      val next = vt.join(recv, vt("id") === recv("dst"), "left_outer")
-        .select(vt("id"),
-          (col("__tele") + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
+      val next = ranks.select(col("id"), col("__tele"), col("r").as("__prev"))
+        .join(recv, col("id") === recv("dst"), "left_outer")
+        .select(col("id"), col("__tele"),
+          (col("__tele") + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"),
+          col("__prev"))
       if ((midCkpt && i % 2 == 1) || i == iterations - 1) {
-        ranks = next.localCheckpoint(true)
+        val ck = next.localCheckpoint(true)
+        // exact convergence early-exit — see [[ranks]]
+        converged = i < iterations - 1 &&
+          ck.filter(col("r") =!= col("__prev")).limit(1).count() == 0L
         if (lastCkpt != null) lastCkpt.unpersist()
-        lastCkpt = ranks
-      } else ranks = next
+        lastCkpt = ck
+        ranks = ck.select(col("id"), col("__tele"), col("r"))
+      } else ranks = next.select(col("id"), col("__tele"), col("r"))
       i += 1
     }
     we.unpersist(); vt.unpersist()

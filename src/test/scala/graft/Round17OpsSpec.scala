@@ -139,4 +139,46 @@ class Round17OpsSpec extends AnyFunSuite {
     // every row satisfies delta = new − old by construction
     assert(diff.values.forall { case (o, n, d) => d === n - o })
   }
+
+  // ------------------------------- PageRank convergence early-exit
+  test("PageRank: early-exit output is bit-identical to fixed-rounds (regular graph = instant fixed point)") {
+    // on a directed 4-cycle the uniform start IS the integer fixed
+    // point (tele 3.75e10 + 85% of 25e10 = 25e10 exactly), so a
+    // 200-round request must early-exit at its first probe and return
+    // exactly the 1-round output
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r1 = graft.ops.PageRank.ranks(cycle, iterations = 1)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val t0 = System.nanoTime()
+    val r200 = graft.ops.PageRank.ranks(cycle, iterations = 200)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(r1 === r200)
+    assert(r1.map(_._2).distinct === Seq(250000000000L))
+    // 200 genuine rounds of join+agg would take minutes; the exit
+    // must make this a handful of rounds
+    assert(secs < 60.0, s"early exit did not fire: $secs s for 200 rounds")
+  }
+
+  test("PageRank: early-exit never fires before the integer fixed point") {
+    // asymmetric graph at damping 50: diffs halve per round from
+    // ~1.6e11, so rounds 12 and 13 are still moving and must differ
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    def run(n: Int) = graft.ops.PageRank.ranks(e, n, dampingPct = 50)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(run(12) !== run(13))
+    // and once converged, a fixed-round run and a much longer
+    // early-exiting run agree exactly (identity rounds change nothing)
+    assert(run(60) === run(300))
+  }
+
+  test("personalizedRanks: early-exit ≡ fixed-rounds on a converging seed graph") {
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    def run(n: Int) = graft.ops.PageRank
+      .personalizedRanks(e, seeds, n, dampingPct = 50)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(run(12) !== run(13)) // still moving: probe must not fire
+    assert(run(60) === run(300))
+  }
 }
