@@ -292,12 +292,15 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
   private def isolatedScalingJson(spark: SparkSession, sfDir: String): String = {
-    // 2400 s is the documented full-battery protocol budget: the 900 s
+    // 2700 s: the round-16 protocol budget (2400) plus headroom for
+    // the round-17 additions — the 10th section (ann) and the
+    // sparsesim capped cells (~100 s together on a quiet box); the
+    // 900 s original default
     // default starved the last sections on a contended box (round-15
     // driver run lost 5 of 9 curves to refresh_failed), so unattended
     // full runs now get the budget the protocol requires by default;
     // set SPARK_GRAFT_SCALING_BUDGET explicitly for quick subset runs
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "2400").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "2700").toDouble
     val sections = sys.env.get("SPARK_GRAFT_SCALING_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Scaling.sectionNames)

@@ -1003,34 +1003,10 @@ object Similarity {
         graft.engine.Columns.exprOf(b), quantScale))
     val q = emb.select(col(idCol).as("__id"), col(labelCol).as("__lab"),
       col(vecCol).as("__v"))
-    // seeded-medoid centroids: nCents rows, window over a LIMITed
-    // frame (bounded by contract — this is the broadcast side)
-    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
-    val cents = q.select(col("__id"), col("__v"), hk.as("__hk"))
-      .orderBy(col("__hk"), col("__id")).limit(nCents)
-      .withColumn("__cent", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("__hk"), col("__id"))).cast(LongType))
-      .select(col("__cent"), col("__v").as("__cv"))
-    // one broadcast cross product yields BOTH the assignment (argmin
-    // cell, the candidate side) and the probe list (nProbe nearest
-    // cells, the query side) in a single map-side-combined pass.
     // Storage contract: routed backs two consumers of the result plan
     // and stays persisted until Bench's post-query sweep / session
     // teardown (the containmentPairs contract).
-    val routed = q.crossJoin(broadcast(cents))
-      .select(col("__id"), col("__lab"), col("__v"), col("__cent"),
-        qdist(col("__v"), col("__cv")).as("__d2c"))
-      .groupBy("__id")
-      .agg(first(col("__lab")).as("__lab"), first(col("__v")).as("__v"),
-        min(struct(col("__d2c"), col("__cent"))).as("__amin"),
-        TopKAgg.topK(col("__d2c"), col("__cent"), nProbe, largest = false)
-          .as("__pr"))
-      .select(col("__id"), col("__lab"), col("__v"),
-        col("__amin.__cent").as("__cell"),
-        transform(col("__pr"), e => e("id")).as("__probes"))
-      .cache()
+    val routed = ivfRouted(q, nCents, nProbe, quantScale).cache()
     val queries = routed.select(col("__id").as("__qid"),
       col("__lab").as("__qlab"), col("__v").as("__qv"),
       explode(col("__probes")).as("__pcell"))
@@ -1047,6 +1023,80 @@ object Similarity {
       .select(col(idCol), (col("pos") + 1).cast(LongType).as("rank"),
         col("e.id").as("neg_id"), col("e.ord").cast(LongType).as("dist2"))
       .orderBy(col(idCol), col("rank"))
+  }
+
+  /** Internal (shared by [[ivfHardNegatives]] and [[ivfProbeStats]]):
+    * seeded-medoid centroids + one broadcast cross product yielding
+    * BOTH the assignment (argmin cell, the candidate side) and the
+    * probe list (nProbe nearest cells, the query side) in a single
+    * map-side-combined pass. `q` is (__id, __lab, __v); returns
+    * (__id, __lab, __v, __cell, __probes). NOT cached here — each
+    * caller decides its own storage contract. */
+  private def ivfRouted(q: DataFrame, nCents: Int, nProbe: Int,
+      quantScale: Double): DataFrame = {
+    def qdist(a: Column, b: Column): Column =
+      graft.engine.Columns.ofExpr(QuantSqDistExpr(
+        graft.engine.Columns.exprOf(a),
+        graft.engine.Columns.exprOf(b), quantScale))
+    // seeded-medoid centroids: nCents rows, window over a LIMITed
+    // frame (bounded by contract — this is the broadcast side)
+    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val cents = q.select(col("__id"), col("__v"), hk.as("__hk"))
+      .orderBy(col("__hk"), col("__id")).limit(nCents)
+      .withColumn("__cent", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__hk"), col("__id"))).cast(LongType))
+      .select(col("__cent"), col("__v").as("__cv"))
+    q.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__lab"), col("__v"), col("__cent"),
+        qdist(col("__v"), col("__cv")).as("__d2c"))
+      .groupBy("__id")
+      .agg(first(col("__lab")).as("__lab"), first(col("__v")).as("__v"),
+        min(struct(col("__d2c"), col("__cent"))).as("__amin"),
+        TopKAgg.topK(col("__d2c"), col("__cent"), nProbe, largest = false)
+          .as("__pr"))
+      .select(col("__id"), col("__lab"), col("__v"),
+        col("__amin.__cent").as("__cell"),
+        transform(col("__pr"), e => e("id")).as("__probes"))
+  }
+
+  /** IVF probe-volume instrument: how many candidate PAIRS the
+    * [[ivfHardNegatives]] cell join would stream at (nCents, nProbe)
+    * — Σ over cells of |probes(cell)| · |members(cell)|, the
+    * n²·nProbe/nCents scan fraction made measurable WITHOUT running
+    * the join itself (cost: one assignment pass, n·nCents distances,
+    * then two cell-bounded aggregates). This is what the `ann`
+    * scaling curve reports next to wall-clock so "cost tracks the
+    * probed fraction, not n²" is a committed measurement, and the
+    * sizing read behind nCents ~ √n: at fixed nProbe the fraction is
+    * nProbe/nCents, so √n cells turn the n² pair stream into
+    * n^1.5·nProbe. (The pair count ignores the cross-label filter —
+    * it is the stream the shuffle carries; the label filter prunes
+    * inside the join.)
+    *
+    * Returns ONE row (n_vecs, n_cells_used, cand_pairs). */
+  def ivfProbeStats(emb: DataFrame, nCents: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", quantScale: Double = 1e4): DataFrame = {
+    require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
+    val q = emb.select(col(idCol).as("__id"), col(labelCol).as("__lab"),
+      col(vecCol).as("__v"))
+    val routed = ivfRouted(q, nCents, nProbe, quantScale)
+      .select(col("__id"), col("__cell"), col("__probes"))
+      .cache()
+    val members = routed.groupBy("__cell").agg(count(lit(1)).as("__m"))
+    val probes = routed.select(explode(col("__probes")).as("__cell"))
+      .groupBy("__cell").agg(count(lit(1)).as("__p"))
+    val out = members.join(probes, Seq("__cell"))
+      .agg(count(lit(1)).as("n_cells_used"),
+        sum(col("__m") * col("__p")).as("cand_pairs"))
+      .crossJoin(broadcast(routed.agg(count(lit(1)).as("n_vecs"))))
+      .select(col("n_vecs"), col("n_cells_used"), col("cand_pairs"))
+    val materialized = out.cache()
+    materialized.count()
+    routed.unpersist(blocking = false)
+    materialized
   }
 
   /** PRODUCT-QUANTIZATION codes (Jégou et al. TPAMI'11): the vector

@@ -140,6 +140,25 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(diff.values.forall { case (o, n, d) => d === n - o })
   }
 
+  // ------------------------------- ann curve instrument
+  test("ivfProbeStats: cand_pairs is n at nCents=n/nProbe=1 and n² at nCents=1") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 16L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()), i % 3)).toDF("vec_id", "embedding", "label")
+    // one cell: every query probes the single cell holding everyone
+    val one = Similarity.ivfProbeStats(emb, nCents = 1, nProbe = 1)
+      .as[(Long, Long, Long)].collect().head
+    assert(one === ((16L, 1L, 256L)))
+    // n cells, 1 probe: each vector probes its own nearest cell; the
+    // pair stream is Σ members·probes = n when every cell holds its
+    // own medoid (distinct vectors ⇒ each medoid is its own argmin)
+    val own = Similarity.ivfProbeStats(emb, nCents = 16, nProbe = 1)
+      .as[(Long, Long, Long)].collect().head
+    assert(own._1 === 16L)
+    assert(own._3 >= 16L && own._3 <= 32L) // n + slack for shared argmins
+  }
+
   // ------------------------------- PageRank convergence early-exit
   test("PageRank: early-exit output is bit-identical to fixed-rounds (regular graph = instant fixed point)") {
     // on a directed 4-cycle the uniform start IS the integer fixed
