@@ -1247,6 +1247,55 @@ object Similarity {
       .orderBy(idCol, "subspace")
   }
 
+  /** ADC top-k RETRIEVAL over STORED PQ codes — the query path the
+    * compression rung exists for: the corpus is m small integers per
+    * vector ([[encodePq]] against a frozen [[savePq]] codebook), the
+    * probe builds one m×nCodes lookup table against the codebook
+    * (m·nCodes exact integer distances, broadcast by construction),
+    * and every candidate's asymmetric distance is m table lookups
+    * summed — never a D-dim distance against raw vectors, which at
+    * 100 TB no longer fit anywhere. [[pqAdcRecall]] (q185) is the
+    * audit pricing what this scan costs in recall; this is the scan.
+    *
+    * Shape at scale: codes shuffle once on (subspace, code) against
+    * the broadcast LUT, the per-id sum is map-side combined, and
+    * [[TopKAgg]] reduces to k rows before the final exchange. All
+    * integer; ties rank by ascending id (the heap rule), so the
+    * result is exact and SQL-replayable.
+    *
+    * Returns (rank, idCol, adc_d2) ordered by rank. */
+  def adcTopK(codes: DataFrame, books: DataFrame, queryVec: Seq[Double],
+      k: Int = 10, idCol: String = "vec_id",
+      quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1 && queryVec.nonEmpty)
+    val geo = books.agg(max(col("subspace")).as("mm"),
+        min(size(col("codeword"))).as("lmin"),
+        max(size(col("codeword"))).as("lmax")).collect()(0)
+    val m = geo.getAs[Number](0).intValue() + 1
+    val subLen = geo.getInt(2)
+    require(geo.getInt(1) == subLen,
+      "codebook frame has mixed codeword lengths")
+    require(queryVec.length == m * subLen,
+      s"query dim ${queryVec.length} does not match codebook geometry " +
+        s"m=$m × subLen=$subLen")
+    def qdist(a: Column, b: Column): Column =
+      graft.engine.Columns.ofExpr(QuantSqDistExpr(
+        graft.engine.Columns.exprOf(a),
+        graft.engine.Columns.exprOf(b), quantScale))
+    val qlit = typedLit(queryVec)
+    val lut = books.select(col("subspace"), col("code"),
+      qdist(slice(qlit, col("subspace").cast("int") * subLen + 1,
+        lit(subLen)), col("codeword")).as("__qd2"))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col(idCol)).agg(sum(col("__qd2")).as("__adc"))
+      .agg(TopKAgg.topK(col("__adc"), col(idCol), k, largest = false)
+        .as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as(idCol), col("e.ord").cast(LongType).as("adc_d2"))
+      .orderBy("rank")
+  }
+
   /** ADC RECALL audit for [[pqCodes]]: recall@k of asymmetric-
     * distance ranking (query against the codebook reconstruction —
     * m lookups in a query-specific m×nCodes table, the PQ scan

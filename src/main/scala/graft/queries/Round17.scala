@@ -319,10 +319,76 @@ object Round17 {
        |GROUP BY d.lang
        |ORDER BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- q205
+  /** ADC top-k RETRIEVAL over stored PQ codes ([[graft.ops.Similarity
+    * .adcTopK]]): the compression rung's QUERY path — q185 audits the
+    * recall cost, q202 freezes and encodes, this retrieves: one
+    * m×nCodes LUT against the stored codebook, m lookups per
+    * candidate, top-10 by exact integer asymmetric distance. The
+    * oracle replays codebook, assignment, LUT and the ranked sum. */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val books = graft.ops.Similarity.fitPqBooks(emb, m = 8, nCodes = 16)
+    val pqDir = Round11.freshScratchDirShared("graft_q205_pq")
+    graft.ops.Similarity.savePq(books, pqDir)
+    val stored = graft.ops.Similarity.loadPq(s, pqDir)
+    val codes = graft.ops.Similarity.encodePq(emb, stored)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .limit(1).collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    graft.ops.Similarity.adcTopK(codes, stored, qv, k = 10)
+  }
+
+  private val q205Sql = {
+    val slice8 = (v: String) =>
+      s"$v[CAST(ss.s * 8 + 1 AS INT):CAST(ss.s * 8 + 8 AS INT)]"
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |ss AS (SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s)),
+       |med AS (
+       |  SELECT qv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |books AS (
+       |  SELECT ss.s, m.code, ${slice8("m.qv")} AS cv FROM med m, ss),
+       |sub AS (
+       |  SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv FROM q a, ss),
+       |asgn AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub JOIN books b ON b.s = sub.s) WHERE rk = 1
+       |),
+       |pq AS (SELECT qv AS pqv FROM q WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT b.s AS s, b.code,
+       |    ${Round16.d2Sql("pq.pqv[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
+       |  FROM books b, pq
+       |),
+       |adc AS (
+       |  SELECT a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM asgn a JOIN lut l ON l.s = a.s AND l.code = a.code
+       |  GROUP BY a.vec_id
+       |)
+       |SELECT rank, vec_id, adc_d2 FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS BIGINT)
+       |    AS rank, vec_id, adc_d2
+       |  FROM adc) WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q200_unigram_lm", q200, Some(q200Sql)),
     QueryDef("q201_cross_signal_dedup", q201, Some(q201Sql)),
     QueryDef("q202_stored_pq_encode", q202, Some(q202Sql)),
     QueryDef("q203_card_diff", q203, Some(q203Sql)),
-    QueryDef("q204_tokenizer_fertility", q204, Some(q204Sql)))
+    QueryDef("q204_tokenizer_fertility", q204, Some(q204Sql)),
+    QueryDef("q205_adc_knn", q205, Some(q205Sql)))
 }

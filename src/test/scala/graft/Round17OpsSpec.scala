@@ -140,6 +140,26 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(diff.values.forall { case (o, n, d) => d === n - o })
   }
 
+  // ------------------------------- q205 ADC retrieval
+  test("adcTopK: with nCodes = n the ADC scan is the exact distance — the query retrieves itself at distance 0") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 16L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val books = Similarity.fitPqBooks(emb, m = 2, nCodes = 16)
+    val codes = Similarity.encodePq(emb, books)
+    val qv = emb.filter($"vec_id" === 3).select("embedding")
+      .as[Array[Float]].collect().head.map(_.toDouble).toSeq
+    val top = Similarity.adcTopK(codes, books, qv, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(top.head === ((1L, 3L, 0L)))
+    assert(top.map(_._1) === Seq(1L, 2L, 3L))
+    // geometry mismatch refused
+    intercept[IllegalArgumentException] {
+      Similarity.adcTopK(codes, books, qv.take(6), k = 3)
+    }
+  }
+
   // ------------------------------- ann curve instrument
   test("ivfProbeStats: cand_pairs is n at nCents=n/nProbe=1 and n² at nCents=1") {
     import graft.ops.Similarity
