@@ -1061,6 +1061,23 @@ object Similarity {
         transform(col("__pr"), e => e("id")).as("__probes"))
   }
 
+  /** Seeded-medoid IVF assignment, exposed: every vector's cell
+    * (argmin over the nCents hash-ranked medoids) and its nProbe
+    * nearest cells — the label-free routing layer [[ivfHardNegatives]]
+    * and q206's IVF+ADC retrieval share. One broadcast cross product,
+    * map-side-combined; fully integer, SQL-replayable (the q182
+    * replay). Returns (idCol, cell, probes: array<long>). */
+  def ivfAssign(emb: DataFrame, nCents: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
+    val q = emb.select(col(idCol).as("__id"), lit(0L).as("__lab"),
+      col(vecCol).as("__v"))
+    ivfRouted(q, nCents, nProbe, quantScale)
+      .select(col("__id").as(idCol), col("__cell").as("cell"),
+        col("__probes").as("probes"))
+  }
+
   /** IVF probe-volume instrument: how many candidate PAIRS the
     * [[ivfHardNegatives]] cell join would stream at (nCents, nProbe)
     * — Σ over cells of |probes(cell)| · |members(cell)|, the

@@ -384,11 +384,104 @@ object Round17 {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q206
+  /** IVF+ADC retrieval ([[graft.ops.Similarity.ivfAssign]] ∘
+    * [[graft.ops.Similarity.encodePq]] ∘ [[graft.ops.Similarity
+    * .adcTopK]]) — the Jégou'11 IVFADC production index assembled
+    * from this engine's own rungs: route the query to its nProbe=4
+    * nearest of 16 seeded-medoid cells, PQ-encode ONLY the probed
+    * cells' members, rank them by the m-lookup asymmetric distance.
+    * The scan touches nProbe/nCents of the corpus as m-byte codes —
+    * neither the full corpus nor any raw vector. Every stage is
+    * integer and the oracle replays all of them end to end. */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(s, dir)
+    val asg = Similarity.ivfAssign(emb, nCents = 16, nProbe = 4)
+    val probeCells = asg.filter(col("vec_id") === 0)
+      .select(explode(col("probes")).as("cell"))
+    val candIds = asg.join(broadcast(probeCells), Seq("cell"), "left_semi")
+      .select("vec_id")
+    val candEmb = emb.join(candIds, Seq("vec_id"), "left_semi")
+    val books = Similarity.fitPqBooks(emb, m = 8, nCodes = 16)
+    val codes = Similarity.encodePq(candEmb, books)
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .limit(1).collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    Similarity.adcTopK(codes, books, qv, k = 10)
+  }
+
+  private val q206Sql = {
+    val slice8 = (v: String) =>
+      s"$v[CAST(ss.s * 8 + 1 AS INT):CAST(ss.s * 8 + 8 AS INT)]"
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |cent AS (
+       |  SELECT qv AS cqv,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |      AS cent_id
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |rk_ad AS (
+       |  SELECT a.vec_id AS vid, a.qv, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${Round16.d2Sql("a.qv", "c.cqv")}, c.cent_id) AS rk
+       |  FROM q a CROSS JOIN cent c
+       |),
+       |cells AS (SELECT vid, cent_id FROM rk_ad WHERE rk = 1),
+       |pcells AS (SELECT cent_id FROM rk_ad WHERE vid = 0 AND rk <= 4),
+       |cand AS (
+       |  SELECT c.vid FROM cells c JOIN pcells p ON c.cent_id = p.cent_id),
+       |ss AS (SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s)),
+       |med AS (
+       |  SELECT qv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |books AS (
+       |  SELECT ss.s, m.code, ${slice8("m.qv")} AS cv FROM med m, ss),
+       |sub AS (
+       |  SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv
+       |  FROM q a JOIN cand ON cand.vid = a.vec_id, ss),
+       |asgn AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub JOIN books b ON b.s = sub.s) WHERE rk = 1
+       |),
+       |pq AS (SELECT qv AS pqv FROM q WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT b.s AS s, b.code,
+       |    ${Round16.d2Sql("pq.pqv[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
+       |  FROM books b, pq
+       |),
+       |adc AS (
+       |  SELECT a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM asgn a JOIN lut l ON l.s = a.s AND l.code = a.code
+       |  GROUP BY a.vec_id
+       |)
+       |SELECT rank, vec_id, adc_d2 FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS BIGINT)
+       |    AS rank, vec_id, adc_d2
+       |  FROM adc) WHERE rank <= 10
+       |ORDER BY rank""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q200_unigram_lm", q200, Some(q200Sql)),
     QueryDef("q201_cross_signal_dedup", q201, Some(q201Sql)),
     QueryDef("q202_stored_pq_encode", q202, Some(q202Sql)),
     QueryDef("q203_card_diff", q203, Some(q203Sql)),
     QueryDef("q204_tokenizer_fertility", q204, Some(q204Sql)),
-    QueryDef("q205_adc_knn", q205, Some(q205Sql)))
+    QueryDef("q205_adc_knn", q205, Some(q205Sql)),
+    QueryDef("q206_ivf_adc_knn", q206, Some(q206Sql)))
 }

@@ -160,6 +160,33 @@ class Round17OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------- q206 IVF+ADC composition
+  test("ivfAssign + adcTopK: one cell degenerates IVFADC to the plain ADC scan") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(17)
+    val emb = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val asg = Similarity.ivfAssign(emb, nCents = 1, nProbe = 1)
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(asg.length === 20)
+    assert(asg.map(_._2).distinct.length === 1)     // everyone in the cell
+    assert(asg.forall(a => a._3 === Seq(a._2)))     // probes = [own cell]
+    val books = Similarity.fitPqBooks(emb, m = 2, nCodes = 4)
+    val qv = emb.filter($"vec_id" === 7).select("embedding")
+      .as[Array[Float]].collect().head.map(_.toDouble).toSeq
+    val full = Similarity
+      .adcTopK(Similarity.encodePq(emb, books), books, qv, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the q206 composition with one cell probes the whole corpus
+    val probed = asg.filter(_._1 == 7L).flatMap(_._3).toSet
+    val candEmb = emb.filter($"vec_id".isin(
+      asg.filter(a => probed.contains(a._2)).map(_._1).toSeq: _*))
+    val viaIvf = Similarity
+      .adcTopK(Similarity.encodePq(candEmb, books), books, qv, k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaIvf === full)
+  }
+
   // ------------------------------- ann curve instrument
   test("ivfProbeStats: cand_pairs is n at nCents=n/nProbe=1 and n² at nCents=1") {
     import graft.ops.Similarity
