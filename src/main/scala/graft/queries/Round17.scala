@@ -476,8 +476,25 @@ object Round17 {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q207
+  /** STORED unigram vocab round trip ([[graft.text.UnigramLm
+    * .saveVocab]] / `loadVocab`): fit the q200 inventory, persist it
+    * as the (piece, surprisal) artifact, reload, and segment — the
+    * q117 stored-tokenizer stance for the unigram family. Same
+    * oracle as q200: the storage hop must be semantically
+    * invisible. */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fitted = graft.text.UnigramLm.fit(docs, vocabN = 10)
+    val vDir = Round11.freshScratchDirShared("graft_q207_unigram")
+    graft.text.UnigramLm.saveVocab(fitted, vDir, s)
+    val loaded = graft.text.UnigramLm.loadVocab(s, vDir)
+    graft.text.UnigramLm.unigramStatsWith(docs, loaded).orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q200_unigram_lm", q200, Some(q200Sql)),
+    QueryDef("q207_stored_unigram", q207, Some(q200Sql)),
     QueryDef("q201_cross_signal_dedup", q201, Some(q201Sql)),
     QueryDef("q202_stored_pq_encode", q202, Some(q202Sql)),
     QueryDef("q203_card_diff", q203, Some(q203Sql)),

@@ -88,6 +88,17 @@ final class UnigramVocab private (
     if (p < 0L) (1L, 0L, true) else (p % Big, p / Big, false)
   }
 
+  /** The (piece, surprisal) table — the artifact [[UnigramLm
+    * .saveVocab]] persists; [[UnigramVocab.fromCosts]] is its exact
+    * inverse. */
+  def entries: Seq[(String, Long)] = {
+    val b = Seq.newBuilder[(String, Long)]
+    piecesByLen.foreach { m =>
+      if (m != null) m.forEach((p, s) => b += ((p, s.longValue())))
+    }
+    b.result().sortBy(_._1)
+  }
+
   /** Whole-text stats: [n_words, n_pieces, n_unk_words, cost_bits].
     * Split semantics are Spark SQL `split(text, '\s+', -1)` — empty
     * tokens from leading separators included, as in [[SubwordVocab
@@ -122,15 +133,25 @@ object UnigramVocab {
     * applied, plus the corpus character total. */
   def build(pieceCounts: Seq[(String, Long)], total: Long): UnigramVocab = {
     require(pieceCounts.nonEmpty, "unigram vocab needs at least one piece")
-    val maxLen = pieceCounts.iterator.map(_._1.length).max
+    fromCosts(pieceCounts.map { case (p, cnt) =>
+      require(cnt >= 1L && cnt <= total,
+        s"piece '$p' count $cnt out of range for total $total")
+      (p, bits(total / cnt))
+    })
+  }
+
+  /** Rebuild from a stored (piece, surprisal) table — the exact
+    * inverse of [[UnigramVocab.entries]]. */
+  def fromCosts(pieceCosts: Seq[(String, Long)]): UnigramVocab = {
+    require(pieceCosts.nonEmpty, "unigram vocab needs at least one piece")
+    val maxLen = pieceCosts.iterator.map(_._1.length).max
     val arr =
       new Array[java.util.HashMap[String, java.lang.Long]](maxLen + 1)
-    pieceCounts.foreach { case (p, cnt) =>
-      require(p.nonEmpty && cnt >= 1L && cnt <= total,
-        s"piece '$p' count $cnt out of range for total $total")
+    pieceCosts.foreach { case (p, surp) =>
+      require(p.nonEmpty && surp >= 1L, s"piece '$p' needs surprisal ≥ 1")
       val l = p.length
       if (arr(l) == null) arr(l) = new java.util.HashMap[String, java.lang.Long]()
-      arr(l).put(p, java.lang.Long.valueOf(bits(total / cnt)))
+      arr(l).put(p, java.lang.Long.valueOf(surp))
     }
     new UnigramVocab(arr, maxLen)
   }
@@ -197,16 +218,42 @@ object UnigramLm {
     } finally counts.unpersist()
   }
 
-  /** Per-document Viterbi stats against a top-`vocabN` inventory:
-    * (id, n_words, n_pieces, n_unk_words, cost_bits). */
-  def unigramStats(docs: DataFrame, vocabN: Int = 10,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val v = fit(docs, vocabN, textCol)
+  /** Persist a fitted vocab as its (piece, surprisal) table — the
+    * [[graft.text.Bpe.saveMerges]] stance for the unigram family:
+    * train once per corpus refresh, every downstream job loads the
+    * artifact. Bounded rows by contract (top-N + alphabet). */
+  def saveVocab(v: UnigramVocab, dir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    v.entries.toDF("piece", "surprisal")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a vocab written by [[saveVocab]]. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+      dir: String): UnigramVocab =
+    UnigramVocab.fromCosts(
+      spark.read.parquet(dir).select("piece", "surprisal")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq)
+
+  private def statsFrame(docs: DataFrame, v: UnigramVocab,
+      idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), statsCol(col(textCol), v).as("__s"))
       .select(col(idCol),
         element_at(col("__s"), 1).as("n_words"),
         element_at(col("__s"), 2).as("n_pieces"),
         element_at(col("__s"), 3).as("n_unk_words"),
         element_at(col("__s"), 4).as("cost_bits"))
-  }
+
+  /** Per-document Viterbi stats against a top-`vocabN` inventory:
+    * (id, n_words, n_pieces, n_unk_words, cost_bits). */
+  def unigramStats(docs: DataFrame, vocabN: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    statsFrame(docs, fit(docs, vocabN, textCol), idCol, textCol)
+
+  /** [[unigramStats]] against a PRE-FITTED (typically [[loadVocab]]ed)
+    * vocab — the downstream-job path. */
+  def unigramStatsWith(docs: DataFrame, v: UnigramVocab,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    statsFrame(docs, v, idCol, textCol)
 }

@@ -50,6 +50,20 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(v.stats("ax b").toSeq === Seq(2L, 2L, 1L, 3L))
   }
 
+  test("UnigramVocab: saveVocab/loadVocab round-trips the exact cost table") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "aab x")).toDF("doc_id", "text")
+    val v = graft.text.UnigramLm.fit(docs, vocabN = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_uni_spec").toString
+    graft.text.UnigramLm.saveVocab(v, dir, spark)
+    val l = graft.text.UnigramLm.loadVocab(spark, dir)
+    assert(l.entries === v.entries)
+    // the hand-computed table: aa→3, aab→4, a→1, b→3 (q200 spec math)
+    assert(v.entries === Seq(("a", 1L), ("aa", 3L), ("aab", 4L), ("b", 3L)))
+    // and segmentation through the loaded vocab is identical
+    assert(l.stats("aa aa ab").toSeq === v.stats("aa aa ab").toSeq)
+  }
+
   // ------------------------------- q201 three-detector dedup
   test("deduplicateCrossSignal: winnowing edge catches a containment pair both other detectors miss") {
     // doc 2 QUOTES doc 1's 30 tokens inside 90 tokens of filler:
