@@ -69,4 +69,49 @@ object Privacy {
           .otherwise(col("__n3")).as("cohort_size"))
       .orderBy("doc_id")
   }
+
+  /** L-DIVERSITY audit (Machanavajjhala '07) — the attack
+    * k-anonymity alone misses: a cohort of k identical rows still
+    * leaks its SENSITIVE attribute when all k share one value (the
+    * homogeneity attack). Quasi-identifiers here are
+    * (source, length bucket); the sensitive attribute is `lang`
+    * (the stand-in for whatever column release policy deems
+    * sensitive — the operator is column-generic). Per cohort:
+    * member count, distinct sensitive values, the dominant value
+    * with its exact ppm share (the homogeneity measure), and the
+    * 0/1 verdict `n_sensitive ≥ l`. The dominant value is the
+    * determinized argmax — max → filter → min, never max_by (the
+    * q180 spelling), so ties break by ascending value in both
+    * engines.
+    *
+    * Shape at scale: one (cohort × sensitive) count with map-side
+    * combine, then cohort-bounded rollups — rows are bounded by the
+    * attribute combination count, never the corpus; no window, no
+    * self-join.
+    *
+    * Returns (source, len_bucket, n_docs, n_sensitive, top_value,
+    * top_share_ppm, l_diverse) ordered by (source, len_bucket). */
+  def lDiversity(docs: DataFrame, l: Long = 2L, lenBucket: Long = 100L,
+      sensitiveCol: String = "lang", sourceCol: String = "source",
+      lenCol: String = "n_chars"): DataFrame = {
+    require(l >= 1L && lenBucket >= 1L)
+    val base = docs.select(col(sourceCol).as("source"),
+      expr(s"$lenCol div $lenBucket").as("len_bucket"),
+      col(sensitiveCol).as("__sv"))
+    val bySv = base.groupBy("source", "len_bucket", "__sv")
+      .agg(count(lit(1)).as("__c"))
+    val cohorts = bySv.groupBy("source", "len_bucket")
+      .agg(sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("__c")).as("__mc"))
+    bySv.join(cohorts, Seq("source", "len_bucket"))
+      .filter(col("__c") === col("__mc"))
+      .groupBy("source", "len_bucket", "n_docs", "n_sensitive", "__mc")
+      .agg(min(col("__sv")).as("top_value"))
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        col("n_sensitive"), col("top_value"),
+        expr("(__mc * 1000000) div n_docs").as("top_share_ppm"),
+        when(col("n_sensitive") >= l, 1L).otherwise(0L).as("l_diverse"))
+      .orderBy("source", "len_bucket")
+  }
 }

@@ -492,9 +492,48 @@ object Round17 {
     graft.text.UnigramLm.unigramStatsWith(docs, loaded).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q208
+  /** L-DIVERSITY audit ([[graft.ops.Privacy.lDiversity]]): per
+    * (source, len-bucket) cohort, distinct sensitive-value count,
+    * determinized dominant value + exact ppm share, 0/1 `≥ l`
+    * verdict — the homogeneity-attack check q187's k-anonymity
+    * ladder cannot express (k identical rows still leak a shared
+    * sensitive value). Oracle: two grouped rollups + the
+    * max→filter→min argmax replay. */
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.lDiversity(Tables.documents(s, dir), l = 2L)
+
+  private val q208Sql =
+    """WITH b AS (
+      |  SELECT source, n_chars // 100 AS len_bucket, lang AS sv
+      |  FROM documents
+      |),
+      |bysv AS (
+      |  SELECT source, len_bucket, sv, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2, 3
+      |),
+      |coh AS (
+      |  SELECT source, len_bucket,
+      |    CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+      |    CAST(MAX(c) AS BIGINT) AS mc
+      |  FROM bysv GROUP BY 1, 2
+      |)
+      |SELECT k.source, k.len_bucket, k.n_docs, k.n_sensitive,
+      |  MIN(s.sv) AS top_value,
+      |  (k.mc * 1000000) // k.n_docs AS top_share_ppm,
+      |  CAST(CASE WHEN k.n_sensitive >= 2 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS l_diverse
+      |FROM coh k JOIN bysv s
+      |  ON s.source = k.source AND s.len_bucket = k.len_bucket
+      |  AND s.c = k.mc
+      |GROUP BY k.source, k.len_bucket, k.n_docs, k.n_sensitive, k.mc
+      |ORDER BY k.source, k.len_bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q200_unigram_lm", q200, Some(q200Sql)),
     QueryDef("q207_stored_unigram", q207, Some(q200Sql)),
+    QueryDef("q208_l_diversity", q208, Some(q208Sql)),
     QueryDef("q201_cross_signal_dedup", q201, Some(q201Sql)),
     QueryDef("q202_stored_pq_encode", q202, Some(q202Sql)),
     QueryDef("q203_card_diff", q203, Some(q203Sql)),

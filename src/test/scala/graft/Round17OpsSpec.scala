@@ -154,6 +154,24 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(diff.values.forall { case (o, n, d) => d === n - o })
   }
 
+  // ------------------------------- q208 l-diversity
+  test("lDiversity: homogeneous cohort fails the check that k-anonymity passes") {
+    // cohort (web, bucket 0): 3 docs all 'en' — k-anonymous at k=3
+    // yet 0-diverse (homogeneity attack); cohort (api, 0): 2 en + 1 de
+    val docs = Seq(
+      (1L, "en", "web", 10L), (2L, "en", "web", 20L), (3L, "en", "web", 30L),
+      (4L, "en", "api", 10L), (5L, "de", "api", 20L), (6L, "en", "api", 30L)
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val got = graft.ops.Privacy.lDiversity(docs, l = 2L, lenBucket = 100L)
+      .as[(String, Long, Long, Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("api", 0L, 3L, 2L, "en", 666666L, 1L),
+      ("web", 0L, 3L, 1L, "en", 1000000L, 0L)))
+    // the homogeneous web cohort has 3 members — big enough to pass
+    // any k=3 cohort-size rule — yet leaks its sensitive value; that
+    // gap (size ≠ diversity) is the reason this operator exists
+  }
+
   // ------------------------------- q205 ADC retrieval
   test("adcTopK: with nCodes = n the ADC scan is the exact distance — the query retrieves itself at distance 0") {
     import graft.ops.Similarity
