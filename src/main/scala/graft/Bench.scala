@@ -292,15 +292,15 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
   private def isolatedScalingJson(spark: SparkSession, sfDir: String): String = {
-    // 2700 s: the round-16 protocol budget (2400) plus headroom for
-    // the round-17 additions — the 10th section (ann) and the
-    // sparsesim capped cells (~100 s together on a quiet box); the
-    // 900 s original default
-    // default starved the last sections on a contended box (round-15
-    // driver run lost 5 of 9 curves to refresh_failed), so unattended
-    // full runs now get the budget the protocol requires by default;
-    // set SPARK_GRAFT_SCALING_BUDGET explicitly for quick subset runs
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "2700").toDouble
+    // 3000 s: the round-17 budget (2700 = round-16's 2400 plus the ann
+    // section and the sparsesim capped cells, ~100 s together on a
+    // quiet box) plus headroom for the round-18 adc section; the 900 s
+    // original default starved the last sections on a contended box
+    // (round-15 driver run lost 5 of 9 curves to refresh_failed), so
+    // unattended full runs now get the budget the protocol requires by
+    // default; set SPARK_GRAFT_SCALING_BUDGET explicitly for quick
+    // subset runs
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET", "3000").toDouble
     val sections = sys.env.get("SPARK_GRAFT_SCALING_SECTIONS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Scaling.sectionNames)

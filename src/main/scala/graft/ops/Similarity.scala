@@ -1207,6 +1207,51 @@ object Similarity {
       .select(col("__id"), col("__s"), col("__m.__code").as("__code"))
   }
 
+  /** Widened probe-vector extraction: the single bounded collect every
+    * retrieval query def needs, with the float|double element widening
+    * and the nonEmpty guard in ONE place (the r16 pqAdcRecall fix,
+    * promoted to the shared helper the r17 ADVICE asked for — q205/q206
+    * had re-introduced the bare `getSeq[Float]` pattern). Row.getSeq
+    * materializes a collection.Seq whose element class follows the
+    * PARQUET schema, so a fixture migrating array<float> → array<double>
+    * flips the element type at runtime; matching on the boxed classes
+    * keeps every caller schema-agnostic. Bounded by contract: limit(1)
+    * on an id-equality filter. */
+  def probeVector(emb: DataFrame, id: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Double] = {
+    val rows = emb.filter(col(idCol) === id).select(col(vecCol))
+      .limit(1).collect()
+    require(rows.nonEmpty,
+      s"probeVector: no row with $idCol = $id in the embedding frame")
+    (rows(0).get(0) match {
+      case s: scala.collection.Seq[_] => s.map {
+        case f: java.lang.Float  => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+      }
+      case other => sys.error(
+        s"probeVector: $vecCol must be array<float|double>, got $other")
+    }).toSeq
+  }
+
+  /** Codebook geometry (m, subLen) read from a fitted/loaded codebook
+    * frame — shared by [[encodePq]] and [[adcTopK]] so both refuse an
+    * EMPTY frame with a contract message instead of NPE-ing on the
+    * null max(subspace) aggregate (r17 ADVICE), and refuse mixed
+    * codeword lengths the same way. One bounded collect (the frame is
+    * m·nCodes rows by contract). */
+  private def pqGeometry(books: DataFrame): (Int, Int) = {
+    val geo = books.agg(max(col("subspace")).as("mm"),
+        min(size(col("codeword"))).as("lmin"),
+        max(size(col("codeword"))).as("lmax")).collect()(0)
+    require(!geo.isNullAt(0),
+      "codebook frame is empty — fit or load a PQ codebook first")
+    val m = geo.getAs[Number](0).intValue() + 1
+    val subLen = geo.getInt(2)
+    require(geo.getInt(1) == subLen,
+      "codebook frame has mixed codeword lengths")
+    (m, subLen)
+  }
+
   /** Fit the seeded-medoid PQ codebooks alone:
     * (subspace, code, codeword), m·nCodes rows — the frame
     * [[savePq]] freezes. */
@@ -1242,13 +1287,7 @@ object Similarity {
   def encodePq(emb: DataFrame, books: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       quantScale: Double = 1e4): DataFrame = {
-    val geo = books.agg(max(col("subspace")).as("mm"),
-        min(size(col("codeword"))).as("lmin"),
-        max(size(col("codeword"))).as("lmax")).collect()(0)
-    val m = geo.getAs[Number](0).intValue() + 1
-    val subLen = geo.getInt(2)
-    require(geo.getInt(1) == subLen,
-      "codebook frame has mixed codeword lengths")
+    val (m, subLen) = pqGeometry(books)
     val dim = emb.select(size(col(vecCol)).as("d")).limit(1)
       .collect()(0).getInt(0)
     require(dim == m * subLen,
@@ -1285,13 +1324,7 @@ object Similarity {
       k: Int = 10, idCol: String = "vec_id",
       quantScale: Double = 1e4): DataFrame = {
     require(k >= 1 && queryVec.nonEmpty)
-    val geo = books.agg(max(col("subspace")).as("mm"),
-        min(size(col("codeword"))).as("lmin"),
-        max(size(col("codeword"))).as("lmax")).collect()(0)
-    val m = geo.getAs[Number](0).intValue() + 1
-    val subLen = geo.getInt(2)
-    require(geo.getInt(1) == subLen,
-      "codebook frame has mixed codeword lengths")
+    val (m, subLen) = pqGeometry(books)
     require(queryVec.length == m * subLen,
       s"query dim ${queryVec.length} does not match codebook geometry " +
         s"m=$m × subLen=$subLen")
@@ -1339,20 +1372,7 @@ object Similarity {
       graft.engine.Columns.ofExpr(QuantSqDistExpr(
         graft.engine.Columns.exprOf(a),
         graft.engine.Columns.exprOf(b), quantScale))
-    val qRows = emb.filter(col(idCol) === queryId).select(col(vecCol))
-      .limit(1).collect()
-    require(qRows.nonEmpty,
-      s"pqAdcRecall: no row with $idCol = $queryId in the embedding frame")
-    // widen float|double element types like benchContamination does —
-    // Row.getSeq materializes as a collection.Seq, not immutable Seq
-    val qv: Seq[Double] = (qRows(0).get(0) match {
-      case s: scala.collection.Seq[_] => s.map {
-        case f: java.lang.Float  => f.toDouble
-        case d: java.lang.Double => d.doubleValue()
-      }
-      case other => sys.error(
-        s"pqAdcRecall: $vecCol must be array<float|double>, got $other")
-    }).toSeq
+    val qv: Seq[Double] = probeVector(emb, queryId, idCol, vecCol)
     val qlit = typedLit(qv)
     val lut = books.select(col("__s"), col("__code"),
       qdist(slice(qlit, col("__s") * subLen + 1, lit(subLen)), col("__cv"))
@@ -1380,5 +1400,128 @@ object Similarity {
         .otherwise(0L)).as("n_overlap"))
       .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
       .orderBy("k")
+  }
+
+  /** END-TO-END IVFADC recall audit: recall@k of the COMPOSED
+    * route → PQ-encode → ADC-rank system (q206's assembly of
+    * [[ivfAssign]] ∘ [[encodePq]] ∘ [[adcTopK]]) against the exact
+    * integer quantized distance on raw vectors — the number a
+    * production index is actually judged by. [[pqAdcRecall]] (q185)
+    * prices quantization loss ALONE and the q182 audit prices
+    * cell-miss ALONE; the composition loses recall through BOTH
+    * channels at once (a true neighbor can sit in an unprobed cell OR
+    * get out-ranked by a coarser code), and the product of the two
+    * per-rung numbers is not the composed recall — the channels are
+    * correlated through the shared geometry. Same audit algebra as
+    * [[pqAdcRecall]]: both rankings exact integer programs, overlap
+    * counts exact, recall an integer ppm division, so the SQL oracle
+    * replays every stage end to end.
+    *
+    * Degenerate contract (the spec's pin): with nProbe = nCents every
+    * cell is probed (no routing loss) and with nCodes = n every vector
+    * is its own codeword (no quantization loss), so the composed
+    * ranking IS the exact ranking and recall = 1 at every k.
+    *
+    * Shape at scale: the audit runs on a sampled probe set in
+    * production (one query here — the q135 stance); every stage is
+    * the operator under audit itself, so cost is one q206 retrieval
+    * plus one exact scan of the corpus (the ground-truth side, which
+    * is what makes it an offline audit, not a query-path cost).
+    *
+    * Returns (k, n_overlap, recall_ppm) ordered by k. */
+  def ivfAdcRecall(emb: DataFrame, queryId: Long = 0L,
+      ks: Seq[Int] = Seq(1, 5, 10), nCents: Int = 16, nProbe: Int = 4,
+      m: Int = 8, nCodes: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", quantScale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    val spark = emb.sparkSession
+    val maxK = ks.max
+    val qv = probeVector(emb, queryId, idCol, vecCol)
+    // the system under audit — q206's exact assembly
+    val asg = ivfAssign(emb, nCents, nProbe, idCol, vecCol, quantScale)
+    val probeCells = asg.filter(col(idCol) === queryId)
+      .select(explode(col("probes")).as("cell"))
+    val candIds = asg.join(broadcast(probeCells), Seq("cell"), "left_semi")
+      .select(idCol)
+    val candEmb = emb.join(candIds, Seq(idCol), "left_semi")
+    val books = fitPqBooks(emb, m, nCodes, idCol, vecCol)
+    val codes = encodePq(candEmb, books, idCol, vecCol, quantScale)
+    val approx = adcTopK(codes, books, qv, maxK, idCol, quantScale)
+      .select(col("rank").as("__ar"), col(idCol).as("__id"))
+    // exact side: integer quantized distance over the FULL corpus,
+    // bounded-heap top-k — the ground truth both rungs' audits share
+    def qdist(a: Column, b: Column): Column =
+      graft.engine.Columns.ofExpr(QuantSqDistExpr(
+        graft.engine.Columns.exprOf(a),
+        graft.engine.Columns.exprOf(b), quantScale))
+    val exact = emb
+      .select(col(idCol).as("__id"), qdist(typedLit(qv), col(vecCol)).as("__dx"))
+      .agg(TopKAgg.topK(col("__dx"), col("__id"), maxK, largest = false)
+        .as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast(LongType).as("__er"), col("e.id").as("__id"))
+    val j = exact.join(approx, Seq("__id"))
+    val ksDf = spark.range(0, ks.length).select(
+      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
+        .as("k"))
+    j.crossJoin(broadcast(ksDf))
+      .groupBy("k")
+      .agg(sum(when(col("__er") <= col("k") && col("__ar") <= col("k"), 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy("k")
+  }
+
+  /** BATCHED multi-query ADC retrieval — the production spelling of
+    * [[adcTopK]]: that method serves ONE query per Spark job via a
+    * driver-side vector literal, which at 10⁶ queries/day is a
+    * scheduler DoS (one job submission, one broadcast, one shuffle
+    * per query). This takes a query FRAME and serves the whole batch
+    * in ONE job: the per-query LUTs are built as a single
+    * (query × subspace × code) frame — |queries|·m·nCodes rows of
+    * three integers, broadcast by construction for any sane batch —
+    * the stored codes shuffle ONCE against it, the per-(query, id)
+    * sum is map-side combined, and [[TopKAgg]] reduces each query's
+    * candidates to k rows before the final exchange. Per-candidate
+    * work is still m lookups; total shuffle volume is
+    * |queries| × k × 16 B out of the heap stage, independent of
+    * corpus size. All integer, ties by ascending id — exact and
+    * SQL-replayable, and per probe the ranking is IDENTICAL to the
+    * single-query [[adcTopK]] (the spec pins it).
+    *
+    * Returns (queryIdCol, rank, idCol, adc_d2) ordered by
+    * (queryIdCol, rank). */
+  def adcTopKBatch(codes: DataFrame, books: DataFrame, queries: DataFrame,
+      k: Int = 10, idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding", quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1)
+    val (m, subLen) = pqGeometry(books)
+    val qdim = queries.select(size(col(queryVecCol)).as("d")).limit(1)
+      .collect()
+    require(qdim.nonEmpty, "adcTopKBatch: empty query frame")
+    require(qdim(0).getInt(0) == m * subLen,
+      s"query dim ${qdim(0).getInt(0)} does not match codebook geometry " +
+        s"m=$m × subLen=$subLen")
+    def qdist(a: Column, b: Column): Column =
+      graft.engine.Columns.ofExpr(QuantSqDistExpr(
+        graft.engine.Columns.exprOf(a),
+        graft.engine.Columns.exprOf(b), quantScale))
+    val lut = queries
+      .select(col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv"))
+      .crossJoin(books)
+      .select(col("__qid"), col("subspace"), col("code"),
+        qdist(slice(col("__qv"), col("subspace").cast("int") * subLen + 1,
+          lit(subLen)), col("codeword")).as("__qd2"))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__qd2")).as("__adc"))
+      .groupBy(col("__qid"))
+      .agg(TopKAgg.topK(col("__adc"), col(idCol), k, largest = false)
+        .as("tk"))
+      .select(col("__qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__qid").as(queryIdCol),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as(idCol), col("e.ord").cast(LongType).as("adc_d2"))
+      .orderBy(queryIdCol, "rank")
   }
 }

@@ -333,8 +333,7 @@ object Round17 {
     graft.ops.Similarity.savePq(books, pqDir)
     val stored = graft.ops.Similarity.loadPq(s, pqDir)
     val codes = graft.ops.Similarity.encodePq(emb, stored)
-    val qv = emb.filter(col("vec_id") === 0).select("embedding")
-      .limit(1).collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val qv = graft.ops.Similarity.probeVector(emb, 0L)
     graft.ops.Similarity.adcTopK(codes, stored, qv, k = 10)
   }
 
@@ -405,8 +404,7 @@ object Round17 {
     val candEmb = emb.join(candIds, Seq("vec_id"), "left_semi")
     val books = Similarity.fitPqBooks(emb, m = 8, nCodes = 16)
     val codes = Similarity.encodePq(candEmb, books)
-    val qv = emb.filter(col("vec_id") === 0).select("embedding")
-      .limit(1).collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val qv = Similarity.probeVector(emb, 0L)
     Similarity.adcTopK(codes, books, qv, k = 10)
   }
 
