@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.Similarity
+
+/** Round-18 battery additions: the END-TO-END IVFADC recall audit
+  * (q209 — the composed route→encode→rank system's recall, which
+  * neither per-rung audit q182/q185 measures), the batched multi-query
+  * ADC retrieval (q212 — the production spelling of the q205 query
+  * path). All reference-scope-none LLM-pipeline extensions
+  * (SURVEY §8).
+  */
+object Round18 {
+
+  /** Shared IVFADC CTE block (q209): the full q206 assembly — seeded
+    * medoid cells, query routing, candidate restriction, PQ codebooks,
+    * candidate assignment, query LUT, ADC sums — ending in
+    * `adc(vec_id, adc_d2)` over the probed cells' members, plus the
+    * `q(vec_id, qv)` quantized frame and `pq(pqv)` probe vector for
+    * the exact side. Parameters fixed at the battery's nCents=16,
+    * nProbe=4, m=8, nCodes=16, queryId=0. */
+  private val slice8 = (v: String) =>
+    s"$v[CAST(ss.s * 8 + 1 AS INT):CAST(ss.s * 8 + 8 AS INT)]"
+
+  private def ivfAdcCtes: String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |cent AS (
+       |  SELECT qv AS cqv,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |      AS cent_id
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |rk_ad AS (
+       |  SELECT a.vec_id AS vid, a.qv, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${Round16.d2Sql("a.qv", "c.cqv")}, c.cent_id) AS rk
+       |  FROM q a CROSS JOIN cent c
+       |),
+       |cells AS (SELECT vid, cent_id FROM rk_ad WHERE rk = 1),
+       |pcells AS (SELECT cent_id FROM rk_ad WHERE vid = 0 AND rk <= 4),
+       |cand AS (
+       |  SELECT c.vid FROM cells c JOIN pcells p ON c.cent_id = p.cent_id),
+       |ss AS (SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s)),
+       |med AS (
+       |  SELECT qv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |books AS (
+       |  SELECT ss.s, m.code, ${slice8("m.qv")} AS cv FROM med m, ss),
+       |sub AS (
+       |  SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv
+       |  FROM q a JOIN cand ON cand.vid = a.vec_id, ss),
+       |asgn AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub JOIN books b ON b.s = sub.s) WHERE rk = 1
+       |),
+       |pq AS (SELECT qv AS pqv FROM q WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT b.s AS s, b.code,
+       |    ${Round16.d2Sql("pq.pqv[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
+       |  FROM books b, pq
+       |),
+       |adc AS (
+       |  SELECT a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM asgn a JOIN lut l ON l.s = a.s AND l.code = a.code
+       |  GROUP BY a.vec_id
+       |)""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+  /** END-TO-END IVFADC recall audit ([[graft.ops.Similarity
+    * .ivfAdcRecall]]): recall@{1,5,10} of the COMPOSED q206 system —
+    * route to nProbe=4 of 16 cells, PQ-encode only probed members,
+    * ADC-rank — against the exact integer quantized distance over the
+    * FULL corpus. q185 prices quantization loss alone and q182 prices
+    * cell-miss alone; the composed system loses recall through both
+    * channels at once (a true neighbor in an unprobed cell OR
+    * out-ranked by a coarse code), and that composed number — the one
+    * a production index is judged by — is what this audit measures.
+    * The oracle replays every stage of both rankings and the exact
+    * ppm recall algebra (the q135/q185 audit family). */
+  private def q209(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAdcRecall(Tables.embeddings(s, dir), queryId = 0L,
+      ks = Seq(1, 5, 10), nCents = 16, nProbe = 4, m = 8, nCodes = 16)
+
+  private val q209Sql =
+    s"""WITH
+       |$ivfAdcCtes,
+       |apxr AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS BIGINT) AS ar
+       |  FROM adc
+       |),
+       |exr AS (
+       |  SELECT a.vec_id,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY ${Round16.d2Sql("a.qv", "pq.pqv")}, a.vec_id) AS BIGINT)
+       |      AS er
+       |  FROM q a, pq
+       |),
+       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k))
+       |SELECT k.k AS k,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM exr e
+       |  JOIN apxr x USING (vec_id)
+       |  CROSS JOIN ks k
+       |WHERE e.er <= 10 AND x.ar <= 10
+       |GROUP BY k.k
+       |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q212
+  /** BATCHED multi-query ADC retrieval ([[graft.ops.Similarity
+    * .adcTopKBatch]]): every 50th vector plays a probe batch and the
+    * whole batch is served in ONE job — per-query LUTs as a single
+    * broadcast (query × subspace × code) frame, codes shuffled once,
+    * map-side-combined per-(query, id) sums, per-query bounded-heap
+    * top-10. The production spelling of the q205 path (one job per
+    * query is a scheduler DoS at 10⁶ queries/day). The oracle replays
+    * codebook, assignment, ALL per-query LUTs and the partitioned
+    * ranking. */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val books = Similarity.fitPqBooks(emb, m = 8, nCodes = 16)
+    val codes = Similarity.encodePq(emb, books)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.adcTopKBatch(codes, books, probes, k = 10)
+  }
+
+  private val q212Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |ss AS (SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s)),
+       |med AS (
+       |  SELECT qv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |books AS (
+       |  SELECT ss.s, m.code, ${slice8("m.qv")} AS cv FROM med m, ss),
+       |sub AS (
+       |  SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv FROM q a, ss),
+       |asgn AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub JOIN books b ON b.s = sub.s) WHERE rk = 1
+       |),
+       |probes AS (SELECT vec_id AS qid, qv AS pqv FROM q WHERE vec_id % 50 = 0),
+       |lut AS (
+       |  SELECT p.qid, b.s AS s, b.code,
+       |    ${Round16.d2Sql("p.pqv[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
+       |  FROM books b, probes p
+       |),
+       |adc AS (
+       |  SELECT l.qid, a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM asgn a JOIN lut l ON l.s = a.s AND l.code = a.code
+       |  GROUP BY l.qid, a.vec_id
+       |)
+       |SELECT query_id, rank, vec_id, adc_d2 FROM (
+       |  SELECT qid AS query_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS BIGINT) AS rank,
+       |    vec_id, adc_d2
+       |  FROM adc) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q209_ivfadc_recall", q209, Some(q209Sql)),
+    QueryDef("q212_adc_batch_knn", q212, Some(q212Sql)))
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round18OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------- q209 IVFADC end-to-end recall
+  test("ivfAdcRecall: nProbe=nCents and nCodes=n degenerates to recall 1 at every k") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(29)
+    val emb = (0L until 24L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    // every cell probed (no routing loss) + every vector its own
+    // codeword (no quantization loss) ⇒ the composed ranking IS the
+    // exact ranking
+    val got = Similarity.ivfAdcRecall(emb, queryId = 3L, ks = Seq(1, 5, 10),
+      nCents = 4, nProbe = 4, m = 2, nCodes = 24)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1000000L), (5L, 5L, 1000000L),
+      (10L, 10L, 1000000L)))
+  }
+
+  test("ivfAdcRecall: composed recall is bounded above by the quantization-only recall on a lossy geometry") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(31)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    // coarse codes (nCodes=4) + partial probing (2 of 8 cells): the
+    // composed system sees a SUBSET of the candidates the pure-ADC
+    // ranking sees under the same codebook, so its overlap with the
+    // exact top-k cannot exceed the full-scan ADC's at any k
+    val composed = Similarity.ivfAdcRecall(emb, queryId = 0L,
+      ks = Seq(1, 5, 10), nCents = 8, nProbe = 2, m = 2, nCodes = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val adcOnly = Similarity.pqAdcRecall(emb, queryId = 0L,
+      ks = Seq(1, 5, 10), m = 2, nCodes = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    Seq(1L, 5L, 10L).foreach { k =>
+      assert(composed(k) <= adcOnly(k),
+        s"k=$k: composed ${composed(k)} > quantization-only ${adcOnly(k)}")
+    }
+  }
+
+  // ------------------------------- q212 batched ADC retrieval
+  test("adcTopKBatch: per probe the batch ranking is identical to the single-query adcTopK") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(37)
+    val emb = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val books = Similarity.fitPqBooks(emb, m = 2, nCodes = 8)
+    val codes = Similarity.encodePq(emb, books)
+    val probeIds = Seq(0L, 7L, 15L)
+    val probes = emb.filter($"vec_id".isin(probeIds: _*))
+      .select($"vec_id".as("query_id"), $"embedding")
+    val batch = Similarity.adcTopKBatch(codes, books, probes, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4))).toMap
+    probeIds.foreach { qid =>
+      val single = Similarity
+        .adcTopK(codes, books, Similarity.probeVector(emb, qid), k = 5)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(batch(qid) === single, s"probe $qid diverges from adcTopK")
+    }
+    // empty query frame refused with a contract message, not an NPE
+    intercept[IllegalArgumentException] {
+      Similarity.adcTopKBatch(codes, books,
+        probes.filter($"query_id" < 0), k = 5)
+    }
+  }
+
+  test("adcTopKBatch: geometry mismatch and empty codebook are refused") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 12L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val books = Similarity.fitPqBooks(emb, m = 2, nCodes = 4)
+    val codes = Similarity.encodePq(emb, books)
+    val badProbes = (0L until 2L).map(i =>
+      (i, Array.fill(6)(0.5f))).toDF("query_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.adcTopKBatch(codes, books, badProbes, k = 3)
+    }
+    // the r17-ADVICE empty-codebook guard fires on the batch path too
+    intercept[IllegalArgumentException] {
+      Similarity.adcTopKBatch(codes, books.filter(col("code") < 0),
+        emb.select($"vec_id".as("query_id"), $"embedding"), k = 3)
+    }
+  }
+}
