@@ -191,7 +191,104 @@ object Round18 {
        |  FROM adc) WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q210
+  /** Unigram-LM VITERBI-HARD EM round ([[graft.text.UnigramLm
+    * .emRound]] / `unigramStatsEm`): q200 fixes piece costs from raw
+    * counts once; real SentencePiece training interleaves E
+    * (segment-and-count) and M (re-estimate costs). One hard-EM
+    * round — re-count pieces under the current Viterbi segmentation,
+    * keep used multi-char pieces + the char fallbacks, re-cost by the
+    * same integer surprisal rule, re-segment — every quantity an
+    * integer (the q148 bounded-round stance). The oracle replays the
+    * ENTIRE round: the q200 DP, then the min-j BACKTRACK as a second
+    * recursive CTE walking each word's best[] vector from the end
+    * (emitting one piece per step), the weighted piece counts, the
+    * retention/re-cost algebra, and the round-2 DP over the new cost
+    * table. */
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.unigramStatsEm(Tables.documents(s, dir),
+      vocabN = 10, emRounds = 1).orderBy("doc_id")
+
+  private val q210Sql =
+    s"""WITH RECURSIVE
+       |${Round17.unigramPerwordCtes},
+       |useg AS (
+       |  SELECT tok, best FROM uwalk
+       |  WHERE i = length(tok)
+       |    AND best[CAST(length(tok) AS INT) + 1] IS NOT NULL
+       |),
+       |uback AS (
+       |  SELECT tok, best, CAST(length(tok) AS BIGINT) AS i,
+       |    CAST(NULL AS VARCHAR) AS piece
+       |  FROM useg
+       |  UNION ALL
+       |  SELECT u.tok, u.best,
+       |    (SELECT MIN(p.jpos) FROM upm p
+       |      WHERE p.tok = u.tok AND p.ipos = u.i
+       |        AND u.best[CAST(p.jpos AS INT) + 1] + p.addp
+       |          = u.best[CAST(u.i AS INT) + 1]),
+       |    (SELECT substr(u.tok, CAST(MIN(p.jpos) AS INT) + 1,
+       |                   CAST(u.i - MIN(p.jpos) AS INT))
+       |       FROM upm p
+       |      WHERE p.tok = u.tok AND p.ipos = u.i
+       |        AND u.best[CAST(p.jpos AS INT) + 1] + p.addp
+       |          = u.best[CAST(u.i AS INT) + 1])
+       |  FROM uback u WHERE u.i > 0
+       |),
+       |upcnt AS (
+       |  SELECT b.piece, CAST(SUM(c.cnt) AS BIGINT) AS cnt
+       |  FROM uback b JOIN ucounts c ON c.tok = b.tok
+       |  WHERE b.piece IS NOT NULL
+       |  GROUP BY b.piece
+       |),
+       |uret AS (
+       |  SELECT piece, cnt FROM upcnt WHERE length(piece) > 1
+       |  UNION ALL
+       |  SELECT c.piece, GREATEST(COALESCE(u.cnt, 0), 1) AS cnt
+       |  FROM (SELECT piece FROM ucost WHERE length(piece) = 1) c
+       |  LEFT JOIN upcnt u ON u.piece = c.piece
+       |),
+       |utot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uret),
+       |ucost2 AS (
+       |  SELECT r.piece, CAST(length(bin(t.n // r.cnt)) AS BIGINT) AS surp
+       |  FROM uret r CROSS JOIN utot2 t
+       |),
+       |upm2 AS (
+       |  SELECT d.tok, CAST(u.j AS BIGINT) AS jpos,
+       |    CAST(u.j AS BIGINT) + length(p.piece) AS ipos,
+       |    p.surp * 1048576 + 1 AS addp
+       |  FROM udwords d, UNNEST(range(length(d.tok))) AS u(j), ucost2 p
+       |  WHERE length(p.piece) <= length(d.tok) - CAST(u.j AS BIGINT)
+       |    AND substr(d.tok, CAST(u.j AS INT) + 1, length(p.piece)) = p.piece
+       |),
+       |uwalk2 AS (
+       |  SELECT tok, CAST(0 AS BIGINT) AS i, [CAST(0 AS BIGINT)] AS best
+       |  FROM udwords
+       |  UNION ALL
+       |  SELECT w.tok, w.i + 1,
+       |    list_append(w.best,
+       |      (SELECT MIN(w.best[CAST(p.jpos AS INT) + 1] + p.addp)
+       |       FROM upm2 p WHERE p.tok = w.tok AND p.ipos = w.i + 1))
+       |  FROM uwalk2 w WHERE w.i < length(w.tok)
+       |),
+       |uperword2 AS (
+       |  SELECT tok, best[CAST(length(tok) AS INT) + 1] AS packed
+       |  FROM uwalk2 WHERE i = length(tok)
+       |)
+       |SELECT w.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(CASE WHEN p.packed IS NULL THEN 1
+       |                ELSE p.packed % 1048576 END) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(CASE WHEN p.packed IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_unk_words,
+       |  CAST(SUM(CASE WHEN p.packed IS NULL THEN 0
+       |                ELSE p.packed // 1048576 END) AS BIGINT) AS cost_bits
+       |FROM uwords w JOIN uperword2 p USING (tok)
+       |GROUP BY w.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q209_ivfadc_recall", q209, Some(q209Sql)),
+    QueryDef("q210_unigram_em", q210, Some(q210Sql)),
     QueryDef("q212_adc_batch_knn", q212, Some(q212Sql)))
 }

@@ -56,10 +56,11 @@ final class UnigramVocab private (
 
   import UnigramVocab.Big
 
-  /** Viterbi for one word: [pieces, costBits, isUnk(0/1)]. */
-  private def word(w: String): (Long, Long, Boolean) = {
+  /** The DP fill: best(i) = packed (cost, pieces) minimum over all
+    * segmentations of w[0..i), −1 where unreachable. Shared by
+    * [[word]] (stats) and [[segment]] (backtrack). */
+  private def fill(w: String): Array[Long] = {
     val len = w.length
-    if (len == 0) return (0L, 0L, false)
     val best = new Array[Long](len + 1)
     java.util.Arrays.fill(best, -1L)
     best(0) = 0L
@@ -84,8 +85,53 @@ final class UnigramVocab private (
       best(i) = b
       i += 1
     }
-    val p = best(len)
+    best
+  }
+
+  /** Viterbi for one word: [pieces, costBits, isUnk(0/1)]. */
+  private def word(w: String): (Long, Long, Boolean) = {
+    if (w.isEmpty) return (0L, 0L, false)
+    val p = fill(w)(w.length)
     if (p < 0L) (1L, 0L, true) else (p % Big, p / Big, false)
+  }
+
+  /** The OPTIMAL segmentation itself — the backtrack [[word]] skips
+    * (stats need only the packed value). Deterministic under ties
+    * twice over: the packed DP already fixes (cost, pieces), and
+    * among predecessors ACHIEVING best(i) the backtrack takes the
+    * minimal start j — the longest piece ending at i — which is the
+    * one extra rule needed when two distinct optimal paths share the
+    * packed optimum (the oracle replays it as MIN(jpos)). Empty words
+    * and UNK words return an empty array (they contribute no piece
+    * occurrences to an E-step count). */
+  def segment(w: String): Array[String] = {
+    val len = w.length
+    if (len == 0) return Array.empty
+    val best = fill(w)
+    if (best(len) < 0L) return Array.empty
+    val out = new Array[String]((best(len) % Big).toInt)
+    var slot = out.length - 1
+    var i = len
+    while (i > 0) {
+      var chosen = -1
+      var l = math.min(maxLen, i) // scan longest-first ⇒ first hit = min j
+      while (l >= 1 && chosen < 0) {
+        val j = i - l
+        if (best(j) >= 0L) {
+          val m = piecesByLen(l)
+          if (m != null) {
+            val s = m.get(w.substring(j, i))
+            if (s != null && best(j) + s.longValue() * Big + 1L == best(i))
+              chosen = j
+          }
+        }
+        l -= 1
+      }
+      out(slot) = w.substring(chosen, i)
+      slot -= 1
+      i = chosen
+    }
+    out
   }
 
   /** The (piece, surprisal) table — the artifact [[UnigramLm
@@ -181,9 +227,52 @@ case class UnigramStatsExpr(child: Expression, vocab: UnigramVocab)
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: word → array<string> of its optimal
+  * Viterbi pieces ([[UnigramVocab.segment]] semantics: min-j
+  * backtrack, empty for UNK/empty words). The E-step primitive of
+  * [[UnigramLm.emRound]] — applied to the DISTINCT-token frame, never
+  * the corpus stream. Codegen'd like [[UnigramStatsExpr]]. */
+case class UnigramSegmentExpr(child: Expression, vocab: UnigramVocab)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_unigram_segment"
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramSegmentExpr.pack(vocab, input.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab,
+      classOf[UnigramVocab].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.text.UnigramSegmentExpr.pack($ref, $c.toString())")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramSegmentExpr =
+    copy(child = newChild)
+}
+
+object UnigramSegmentExpr {
+  /** Shared by eval and generated code: segment + UTF8String boxing. */
+  def pack(v: UnigramVocab, w: String): GenericArrayData = {
+    val parts = v.segment(w)
+    val arr = new Array[Any](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      arr(i) = UTF8String.fromString(parts(i))
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+}
+
 object UnigramLm {
   def statsCol(text: Column, vocab: UnigramVocab): Column =
     GraftBridge.ofExpr(UnigramStatsExpr(GraftBridge.exprOf(text), vocab))
+
+  def segmentCol(word: Column, vocab: UnigramVocab): Column =
+    GraftBridge.ofExpr(UnigramSegmentExpr(GraftBridge.exprOf(word), vocab))
 
   /** Fit the deterministic piece inventory + costs from the corpus.
     * One shuffled word count; three bounded collects off it. */
@@ -256,4 +345,66 @@ object UnigramLm {
   def unigramStatsWith(docs: DataFrame, v: UnigramVocab,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     statsFrame(docs, v, idCol, textCol)
+
+  /** One Viterbi-HARD EM round (Kudo '18 §3.2's training loop with
+    * the hard-E simplification): real SentencePiece interleaves an
+    * E-step of EXPECTED piece counts (forward–backward over all
+    * segmentations — fractional, not integer-replayable) with an
+    * M-step re-estimating piece probabilities. The hard variant
+    * counts pieces under the CURRENT Viterbi segmentation instead —
+    * every count an integer, so the whole round replays in SQL (the
+    * q148 bounded-round stance), and it is the same fixed-point
+    * family (hard EM = Viterbi training, the k-means-vs-GMM
+    * relationship).
+    *
+    *  - E: segment every distinct word under `v`
+    *    ([[UnigramSegmentExpr]], min-j backtrack), count each piece
+    *    occurrence weighted by the word's corpus frequency. UNK words
+    *    contribute nothing.
+    *  - M: keep the multi-char pieces that were USED (count ≥ 1);
+    *    keep ALL single-char pieces of the previous inventory at
+    *    count max(used, 1) — SentencePiece's character-coverage rule,
+    *    which guarantees a word segmentable in round r stays
+    *    segmentable in round r+1 (pruning a fallback char would turn
+    *    it UNK). New costs: `surp'(p) = floor(log2(TOTAL' div cnt'))
+    *    + 1` with TOTAL' = Σ retained counts — the piece-OCCURRENCE
+    *    total, the natural unigram-LM normalizer once counts are
+    *    piece occurrences rather than characters.
+    *
+    * Scale shape: one shuffled word count, one map-only segmentation
+    * pass over the DISTINCT-token frame (never the corpus stream),
+    * one bounded collect (≤ |inventory| pieces). Each extra round
+    * costs the same — rounds are a constant, data passes linear. */
+  def emRound(docs: DataFrame, v: UnigramVocab,
+      textCol: String = "text"): UnigramVocab = {
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > lit(0))
+    val counts = docs.select(explode(toks).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    val pieceCounts = counts
+      .select(col("__cnt"), explode(segmentCol(col("__tok"), v)).as("__p"))
+      .groupBy("__p").agg(sum(col("__cnt")).as("__pc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val usedSingles = pieceCounts.filter(_._1.length == 1).toMap
+    val usedMulti = pieceCounts.filter(_._1.length > 1).toSeq
+    val prevChars = v.entries.map(_._1).filter(_.length == 1)
+    val retained = usedMulti ++
+      prevChars.map(c => (c, math.max(usedSingles.getOrElse(c, 0L), 1L)))
+    require(retained.nonEmpty,
+      "emRound: empty refit — the vocab has no single-char pieces and " +
+        "no piece was used by any segmentation")
+    UnigramVocab.build(retained, retained.map(_._2).sum)
+  }
+
+  /** [[unigramStats]] after `emRounds` Viterbi-hard EM refinements of
+    * the fitted inventory — fit from raw counts (q200), then
+    * re-count-under-segmentation / re-cost `emRounds` times, then
+    * segment. The q210 battery entry runs one round. */
+  def unigramStatsEm(docs: DataFrame, vocabN: Int = 10, emRounds: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(emRounds >= 0)
+    var v = fit(docs, vocabN, textCol)
+    var r = 0
+    while (r < emRounds) { v = emRound(docs, v, textCol); r += 1 }
+    statsFrame(docs, v, idCol, textCol)
+  }
 }
