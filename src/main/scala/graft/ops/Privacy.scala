@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Privacy audits over document METADATA — the release-gate
   * counterpart of the content-level PII masking in [[Chunking]]:
@@ -112,6 +113,80 @@ object Privacy {
         col("n_sensitive"), col("top_value"),
         expr("(__mc * 1000000) div n_docs").as("top_share_ppm"),
         when(col("n_sensitive") >= l, 1L).otherwise(0L).as("l_diverse"))
+      .orderBy("source", "len_bucket")
+  }
+
+  /** T-CLOSENESS audit (Li '07) — the rung above l-diversity: a
+    * cohort can hold l distinct sensitive values and STILL leak when
+    * its value MIX diverges from the corpus baseline (a cohort that
+    * is 95 % one language in a 50/50 corpus tells an adversary the
+    * target's language with near certainty even though both values
+    * appear). Per (source, length-bucket) cohort this measures the
+    * total-variation distance between the cohort's sensitive-value
+    * distribution P and the corpus-wide distribution Q —
+    * TVD = ½·Σᵥ|P(v) − Q(v)| — and verdicts `TVD ≤ t`. TVD is Li
+    * '07's recommended instance for CATEGORICAL sensitive attributes
+    * (equal ground distance makes the EMD collapse to TVD), and it
+    * is exactly replayable: with cohort counts cᵥ/n and corpus
+    * counts Cᵥ/N,
+    *   tvd_ppm = ⌊ Σᵥ|cᵥ·N − Cᵥ·n| · 10⁶ / (2·n·N) ⌋
+    * — pure integer arithmetic, no floats to drift between engines.
+    * The sum runs over the CORPUS value set, so values the cohort
+    * lacks contribute |0 − Cᵥ·n| (absence from a cohort is itself
+    * divergence — the term a cohort-only rollup would silently drop).
+    *
+    * Overflow bound: each |cᵥ·N − Cᵥ·n| ≤ N²; summed over V corpus
+    * values and scaled by 10⁶ the worst case is V·N²·10⁶ — at
+    * N = 10¹² docs and V = 100 languages that is 10³², inside
+    * DECIMAL(38,0); the DuckDB oracle mirrors with HUGEINT.
+    *
+    * Shape at scale: one (cohort × sensitive) count with map-side
+    * combine, a cohort rollup, a value-bounded corpus rollup, then a
+    * (cohort × corpus-value) grid LEFT-joined back onto the cohort
+    * counts — grid rows are bounded by cohorts × values, never the
+    * corpus; the corpus-value and total frames are broadcast. No
+    * window, no self-join.
+    *
+    * Returns (source, len_bucket, n_docs, n_sensitive, tvd_ppm,
+    * t_close) ordered by (source, len_bucket); `n_sensitive` is the
+    * cohort's distinct-value count (the l-diversity reading, carried
+    * so one frame answers both rungs), `t_close` the 0/1 verdict
+    * `tvd_ppm ≤ tPpm`. */
+  def tCloseness(docs: DataFrame, tPpm: Long = 300000L,
+      lenBucket: Long = 100L, sensitiveCol: String = "lang",
+      sourceCol: String = "source", lenCol: String = "n_chars"): DataFrame = {
+    require(tPpm >= 0L && tPpm <= 1000000L,
+      s"tPpm must be a ppm fraction in [0, 1000000], got $tPpm")
+    require(lenBucket >= 1L)
+    val dec = DecimalType(38, 0)
+    val base = docs.select(col(sourceCol).as("source"),
+      expr(s"$lenCol div $lenBucket").as("len_bucket"),
+      col(sensitiveCol).as("__sv"))
+    val bySv = base.groupBy("source", "len_bucket", "__sv")
+      .agg(count(lit(1)).as("__c"))
+    val cohorts = bySv.groupBy("source", "len_bucket")
+      .agg(sum(col("__c")).as("__n"))
+    val corpus = base.groupBy("__sv").agg(count(lit(1)).as("__cv"))
+    val total = base.agg(count(lit(1)).as("__nn"))
+    cohorts
+      .crossJoin(broadcast(corpus))
+      .join(bySv, Seq("source", "len_bucket", "__sv"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("len_bucket"), col("__n"), col("__nn"),
+        coalesce(col("__c"), lit(0L)).as("__c"), col("__cv"))
+      .groupBy("source", "len_bucket", "__n", "__nn")
+      .agg(
+        sum(when(col("__c") > 0L, 1L).otherwise(0L)).as("n_sensitive"),
+        sum(abs(col("__c").cast(dec) * col("__nn").cast(dec)
+          - col("__cv").cast(dec) * col("__n").cast(dec))).as("__s"))
+      .select(col("source"), col("len_bucket"),
+        col("__n").cast("long").as("n_docs"), col("n_sensitive"),
+        // 2·n·N in DECIMAL(38,0): long·long would overflow past
+        // n·N ≈ 9.2e18, i.e. already at a 3e9-doc corpus
+        expr("(__s * 1000000) div (2 * CAST(__n AS DECIMAL(38,0)) * __nn)")
+          .as("tvd_ppm"))
+      .withColumn("t_close",
+        when(col("tvd_ppm") <= tPpm, 1L).otherwise(0L))
       .orderBy("source", "len_bucket")
   }
 }

@@ -287,8 +287,60 @@ object Round18 {
        |GROUP BY w.doc_id
        |ORDER BY w.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** T-CLOSENESS audit ([[graft.ops.Privacy.tCloseness]]): per
+    * (source, len-bucket) cohort, the exact integer-ppm total-
+    * variation distance between the cohort's sensitive-value (lang)
+    * distribution and the corpus-wide one, verdict `TVD ≤ t`. The
+    * top rung of the privacy ladder — q187's k-anonymity counts
+    * cohort SIZE, q208's l-diversity counts distinct VALUES; neither
+    * sees a cohort whose value MIX diverges from the corpus (95 %
+    * one language in a 50/50 corpus passes both yet leaks). The sum
+    * runs over the CORPUS value set so absent values contribute
+    * their full corpus mass. Oracle: the same grid replay in
+    * HUGEINT. */
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.tCloseness(Tables.documents(s, dir), tPpm = 300000L)
+
+  private val q211Sql =
+    """WITH b AS (
+      |  SELECT source, n_chars // 100 AS len_bucket, lang AS sv
+      |  FROM documents
+      |),
+      |bysv AS (
+      |  SELECT source, len_bucket, sv, CAST(COUNT(*) AS HUGEINT) AS c
+      |  FROM b GROUP BY 1, 2, 3
+      |),
+      |coh AS (
+      |  SELECT source, len_bucket, CAST(SUM(c) AS HUGEINT) AS n
+      |  FROM bysv GROUP BY 1, 2
+      |),
+      |corp AS (SELECT sv, CAST(COUNT(*) AS HUGEINT) AS cv FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM b),
+      |grid AS (
+      |  SELECT k.source, k.len_bucket, k.n, t.nn, v.cv,
+      |    COALESCE(s.c, 0) AS c
+      |  FROM coh k CROSS JOIN corp v CROSS JOIN tot t
+      |  LEFT JOIN bysv s ON s.source = k.source
+      |    AND s.len_bucket = k.len_bucket AND s.sv = v.sv
+      |),
+      |agg AS (
+      |  SELECT source, len_bucket,
+      |    CAST(MAX(n) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_sensitive,
+      |    CAST(SUM(ABS(c * nn - cv * n)) * 1000000
+      |      // (2 * MAX(n) * MAX(nn)) AS BIGINT) AS tvd_ppm
+      |  FROM grid GROUP BY 1, 2
+      |)
+      |SELECT source, len_bucket, n_docs, n_sensitive, tvd_ppm,
+      |  CAST(CASE WHEN tvd_ppm <= 300000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS t_close
+      |FROM agg ORDER BY source, len_bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q209_ivfadc_recall", q209, Some(q209Sql)),
     QueryDef("q210_unigram_em", q210, Some(q210Sql)),
+    QueryDef("q211_t_closeness", q211, Some(q211Sql)),
     QueryDef("q212_adc_batch_knn", q212, Some(q212Sql)))
 }

@@ -89,4 +89,45 @@ class Round18OpsSpec extends AnyFunSuite {
         emb.select($"vec_id".as("query_id"), $"embedding"), k = 3)
     }
   }
+
+  // ------------------------------- q211 t-closeness
+  test("tCloseness: skewed cohort fails, corpus-mirroring cohort passes, exact ppm") {
+    import graft.ops.Privacy
+    // 50/50 en/fr corpus; cohort a all-en, cohort b mirrors the
+    // corpus, cohort c all-fr. Hand algebra for a (n=4, N=12):
+    // Σ|c·N − C·n| = |48−24| + |0−24| = 48 →
+    // tvd_ppm = 48e6 / (2·4·12) = 500000 > t=300000 → fails.
+    // b: both terms zero → 0 ppm → passes.
+    val docs = (
+      Seq.fill(4)(("a", "en")) ++
+      (Seq.fill(2)(("b", "en")) ++ Seq.fill(2)(("b", "fr"))) ++
+      Seq.fill(4)(("c", "fr"))
+    ).zipWithIndex.map { case ((src, lang), i) => (i.toLong, src, lang, 50L) }
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val got = Privacy.tCloseness(docs, tPpm = 300000L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 0L, 4L, 1L, 500000L, 0L),
+      ("b", 0L, 4L, 2L, 0L, 1L),
+      ("c", 0L, 4L, 1L, 500000L, 0L)))
+  }
+
+  test("tCloseness: absent corpus values contribute their mass; floor division is exact") {
+    import graft.ops.Privacy
+    // corpus: en=3, fr=2, de=1 (N=6); cohort a = {en, fr, en} (n=3)
+    // misses de entirely. Σ|c·N − C·n| = |12−9| + |6−6| + |0−3|
+    // = 3 + 0 + 3 = 6 → tvd_ppm = 6e6 / (2·3·6) = 166666 (floored
+    // from 166666.67) → passes at t=300000 with n_sensitive=2.
+    val docs = Seq(
+      (0L, "a", "en", 10L), (1L, "a", "fr", 10L), (2L, "a", "en", 10L),
+      (3L, "z", "en", 10L), (4L, "z", "fr", 10L), (5L, "z", "de", 10L)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+    val a = Privacy.tCloseness(docs, tPpm = 300000L)
+      .filter($"source" === "a")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a === Seq(("a", 0L, 3L, 2L, 166666L, 1L)))
+    intercept[IllegalArgumentException] {
+      Privacy.tCloseness(docs, tPpm = 1000001L)
+    }
+  }
 }
