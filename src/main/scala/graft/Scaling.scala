@@ -91,7 +91,24 @@ import org.apache.spark.sql.functions._
   *    candidate-pair volume ([[graft.ops.Similarity.ivfProbeStats]])
   *    beside wall-clock, so "cost tracks the probed fraction, not
   *    n²" is a committed measurement: expected pair growth x10→x30
-  *    is ~3^1.5 ≈ 5.2×, vs 9× for the n² exact miner.
+  *    is ~3^1.5 ≈ 5.2×, vs 9× for the n² exact miner. Each point
+  *    ALSO times the assignment pass alone (`assign_sec`,
+  *    [[graft.ops.Similarity.ivfAssign]]) — the n·nCents = n^1.5
+  *    cross product the pair join sits on top of — so the round-17
+  *    watch item ("the x30 per-candidate rate rises; is it the
+  *    assignment term or the join?") is answered by the curve
+  *    itself rather than argued.
+  *  - adc → the ONLINE retrieval path (q212), x1/x10/x30 perturbed
+  *    embedding replicas: fit+encode the replicated corpus ONCE per
+  *    point (`encode_sec`, the offline index build, localCheckpointed
+  *    so the timed read never re-runs it), then serve a FIXED
+  *    16-probe batch via [[graft.ops.Similarity.adcTopKBatch]]
+  *    (`sec`). The ann curve prices offline mining; this one prices
+  *    what a production embedding-search tier actually serves —
+  *    the scan is nVecs·nProbes candidate rows (m LUT lookups each,
+  *    `cand_rows` in the point), so wall should track the corpus
+  *    linearly at fixed probe count, and `sec_per_1m_cand_rows` is
+  *    the honest per-candidate rate.
   */
 object Scaling {
 
@@ -120,7 +137,7 @@ object Scaling {
 
   val sectionNames: Seq[String] =
     Seq("dedup", "pagerank", "packing", "rank", "inc", "winnow", "sparsesim",
-      "backoff", "lpa", "ann")
+      "backoff", "lpa", "ann", "adc")
 
   /** bench.json object key per section. */
   def jsonKey(section: String): String =
@@ -161,6 +178,20 @@ object Scaling {
               i => concat(lit("uq"), col("doc_id").cast("string"),
                 lit("x"), i.cast("string")))))).as("text"),
         col("lang"))
+
+    // embeddings analog of replicate(): replica r perturbs dim 0 by
+    // r·0.001 so replicas are distinct vectors; replica 0 keeps the
+    // original embedding, and base vec_id v maps to id v·n (shared by
+    // the ann and adc sections)
+    lazy val embBase = graft.engine.Tables.embeddings(spark, sfDir)
+    def replicateEmb(n: Int) = embBase
+      .withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
+      .select(
+        (col("vec_id") * n + col("__r")).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          when(i === 0, v + col("__r").cast("float") * lit(0.001f))
+            .otherwise(v)).as("embedding"),
+        col("label"))
 
     val points = scala.collection.mutable.ListBuffer.empty[String]
     var truncated = false
@@ -226,11 +257,21 @@ object Scaling {
             pairs.select(col("doc_a"), col("doc_b")), rounds = 4,
             aCol = "doc_a", bCol = "doc_b").count()
         case "ann" =>
-          val e = graft.engine.Tables.embeddings(spark, sfDir)
-          graft.ops.Similarity.ivfHardNegatives(e, k = 5,
+          graft.ops.Similarity.ivfHardNegatives(embBase, k = 5,
             nCents = 45, nProbe = 4).count()
-          graft.ops.Similarity.ivfProbeStats(e, nCents = 45, nProbe = 4)
+          graft.ops.Similarity.ivfProbeStats(embBase, nCents = 45, nProbe = 4)
             .count()
+          graft.ops.Similarity.ivfAssign(embBase, nCents = 45, nProbe = 4)
+            .count()
+        case "adc" =>
+          val wBooks = graft.ops.Similarity.fitPqBooks(embBase,
+            m = 8, nCodes = 16).localCheckpoint(true)
+          val wCodes = graft.ops.Similarity.encodePq(embBase, wBooks)
+            .localCheckpoint(true)
+          graft.ops.Similarity.adcTopKBatch(wCodes, wBooks,
+            embBase.orderBy("vec_id").limit(16)
+              .select(col("vec_id").as("query_id"), col("embedding")),
+            k = 10).count()
         case _ => ()
       }
     } catch { case _: Throwable => () }
@@ -388,16 +429,11 @@ object Scaling {
         // ivfHardNegatives with nCents = ceil(sqrt(n)), nProbe = 4:
         // the √n sizing rule measured (object scaladoc). cand_pairs is
         // the ACTUAL probed pair volume (ivfProbeStats), recorded
-        // untimed beside the timed mining run.
-        val embBase = graft.engine.Tables.embeddings(spark, sfDir)
-        def replicateEmb(n: Int) = embBase
-          .withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
-          .select(
-            (col("vec_id") * n + col("__r")).as("vec_id"),
-            transform(col("embedding"), (v, i) =>
-              when(i === 0, v + col("__r").cast("float") * lit(0.001f))
-                .otherwise(v)).as("embedding"),
-            col("label"))
+        // untimed beside the timed mining run; assign_sec times the
+        // n·nCents assignment cross product ALONE so the mining wall
+        // decomposes into its two n^1.5 terms (the round-17 watch
+        // item: the per-candidate rate drift at x30 could not say
+        // which term owned the overhead).
         Seq(1, 10, 30).foreach { x =>
           if (elapsed < budgetSec) {
             val la = loadAvg()
@@ -410,12 +446,55 @@ object Scaling {
               nCents = nCents, nProbe = 4).collect()(0)
             val candPairs = stats.getLong(2)
             sweep(spark)
+            val (_, tAssign) = timed(graft.ops.Similarity.ivfAssign(df,
+              nCents = nCents, nProbe = 4).count())
+            sweep(spark)
             val (rows, t) = timed(graft.ops.Similarity.ivfHardNegatives(df,
               k = 5, nCents = nCents, nProbe = 4).count())
             sweep(spark)
             val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
             val perM = if (candPairs > 0) t / (candPairs / 1e6) else 0.0
-            points += f"""{"x":$x,"vecs":$nVecs,"ncents":$nCents,"nprobe":4,"cand_pairs":$candPairs,"rows":$rows,"sec":$t%.2f,"sec_per_1m_cand_pairs":$perM%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
+            points += f"""{"x":$x,"vecs":$nVecs,"ncents":$nCents,"nprobe":4,"cand_pairs":$candPairs,"rows":$rows,"assign_sec":$tAssign%.2f,"sec":$t%.2f,"sec_per_1m_cand_pairs":$perM%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
+          } else truncated = true
+        }
+
+      case "adc" =>
+        // the ONLINE query path (q212): per point, fit+encode the
+        // replicated corpus once (encode_sec — the offline index
+        // build, checkpointed so the timed read never re-runs it),
+        // then serve the SAME 16-probe batch at every x. cand_rows =
+        // nVecs·16 is the scan the batch streams (m LUT lookups per
+        // row) — wall should track it linearly at fixed probe count.
+        // The probe frame is re-derived per point (deterministic, 16
+        // rows, untimed) rather than checkpointed once: the per-point
+        // sweep would unpersist a shared checkpoint and its truncated
+        // lineage could not recompute.
+        Seq(1, 10, 30).foreach { x =>
+          if (elapsed < budgetSec) {
+            val probes = embBase.orderBy("vec_id").limit(16)
+              .select(col("vec_id").as("query_id"), col("embedding"))
+              .localCheckpoint(true)
+            val la = loadAvg()
+            val s0 = stealJiffies()
+            val pt0 = System.nanoTime()
+            val df = if (x == 1) embBase else replicateEmb(x)
+            val nVecs = df.count()
+            var books: org.apache.spark.sql.DataFrame = null
+            var codes: org.apache.spark.sql.DataFrame = null
+            val (nCodes, tEnc) = timed {
+              books = graft.ops.Similarity.fitPqBooks(df, m = 8,
+                nCodes = 16).localCheckpoint(true)
+              codes = graft.ops.Similarity.encodePq(df, books)
+                .localCheckpoint(true)
+              codes.count()
+            }
+            val (rows, t) = timed(graft.ops.Similarity.adcTopKBatch(
+              codes, books, probes, k = 10).count())
+            sweep(spark)
+            val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
+            val candRows = nVecs * 16L
+            val perM = if (candRows > 0) t / (candRows / 1e6) else 0.0
+            points += f"""{"x":$x,"vecs":$nVecs,"nprobes":16,"cand_rows":$candRows,"encode_sec":$tEnc%.2f,"rows":$rows,"sec":$t%.2f,"sec_per_1m_cand_rows":$perM%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 
