@@ -25,7 +25,12 @@ object Round18 {
   private val slice8 = (v: String) =>
     s"$v[CAST(ss.s * 8 + 1 AS INT):CAST(ss.s * 8 + 8 AS INT)]"
 
-  private def ivfAdcCtes: String =
+  /** Shared geometry prefix (q209/q213): quantized vectors, seeded
+    * coarse centroids + per-vector cell ranks, the PQ codebook, and
+    * the probe's quantized vector — everything downstream of which
+    * the two audits diverge (q209 fixes nProbe=4 and encodes only
+    * candidates; q213 ranks every vector once and sweeps nProbe). */
+  private def ivfPrefixCtes: String =
     s"""q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
@@ -47,9 +52,6 @@ object Round18 {
        |  FROM q a CROSS JOIN cent c
        |),
        |cells AS (SELECT vid, cent_id FROM rk_ad WHERE rk = 1),
-       |pcells AS (SELECT cent_id FROM rk_ad WHERE vid = 0 AND rk <= 4),
-       |cand AS (
-       |  SELECT c.vid FROM cells c JOIN pcells p ON c.cent_id = p.cent_id),
        |ss AS (SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s)),
        |med AS (
        |  SELECT qv, ROW_NUMBER() OVER (ORDER BY
@@ -61,6 +63,18 @@ object Round18 {
        |),
        |books AS (
        |  SELECT ss.s, m.code, ${slice8("m.qv")} AS cv FROM med m, ss),
+       |pq AS (SELECT qv AS pqv FROM q WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT b.s AS s, b.code,
+       |    ${Round16.d2Sql("pq.pqv[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
+       |  FROM books b, pq
+       |)""".stripMargin
+
+  private def ivfAdcCtes: String =
+    s"""$ivfPrefixCtes,
+       |pcells AS (SELECT cent_id FROM rk_ad WHERE vid = 0 AND rk <= 4),
+       |cand AS (
+       |  SELECT c.vid FROM cells c JOIN pcells p ON c.cent_id = p.cent_id),
        |sub AS (
        |  SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv
        |  FROM q a JOIN cand ON cand.vid = a.vec_id, ss),
@@ -70,12 +84,6 @@ object Round18 {
        |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
        |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
        |    FROM sub JOIN books b ON b.s = sub.s) WHERE rk = 1
-       |),
-       |pq AS (SELECT qv AS pqv FROM q WHERE vec_id = 0),
-       |lut AS (
-       |  SELECT b.s AS s, b.code,
-       |    ${Round16.d2Sql("pq.pqv[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
-       |  FROM books b, pq
        |),
        |adc AS (
        |  SELECT a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
@@ -338,9 +346,86 @@ object Round18 {
       |    AS t_close
       |FROM agg ORDER BY source, len_bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q213
+  /** nProbe → recall FRONTIER: q209's composed IVFADC recall swept
+    * over nProbe ∈ {1, 2, 4, 8, 16} at fixed geometry — the operating
+    * curve a production index tuner actually reads (each probed cell
+    * buys recall with scan volume; the knee of this curve IS the
+    * nProbe decision). q209 prices one operating point; this prices
+    * the whole dial, ending at nProbe = nCents where routing loss is
+    * zero and only quantization loss remains (the spec pins that row
+    * to the full-scan [[graft.ops.Similarity.pqAdcRecall]]). The
+    * oracle ranks every vector's ADC distance ONCE and re-restricts
+    * the ranking per nProbe — sound because per-vector codes do not
+    * depend on the candidate set — then fills the (nProbe, k) grid
+    * with a LEFT JOIN so zero-overlap cells surface as 0, not as
+    * missing rows. */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Seq(1, 2, 4, 8, 16).map { np =>
+      Similarity.ivfAdcRecall(emb, queryId = 0L, ks = Seq(1, 5, 10),
+          nCents = 16, nProbe = np, m = 8, nCodes = 16)
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionAll _)
+      .select("nprobe", "k", "n_overlap", "recall_ppm")
+      .orderBy("nprobe", "k")
+  }
+
+  private val q213Sql =
+    s"""WITH
+       |$ivfPrefixCtes,
+       |pcellsr AS (SELECT cent_id, rk FROM rk_ad WHERE vid = 0),
+       |sub AS (SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv FROM q a, ss),
+       |asgn AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub JOIN books b ON b.s = sub.s) WHERE rk = 1
+       |),
+       |adc AS (
+       |  SELECT a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM asgn a JOIN lut l ON l.s = a.s AND l.code = a.code
+       |  GROUP BY a.vec_id
+       |),
+       |nps AS (SELECT CAST(u.np AS BIGINT) AS np
+       |        FROM UNNEST([1, 2, 4, 8, 16]) AS u(np)),
+       |candn AS (
+       |  SELECT n.np, c.vid FROM nps n
+       |  JOIN pcellsr p ON p.rk <= n.np
+       |  JOIN cells c ON c.cent_id = p.cent_id
+       |),
+       |apxr AS (
+       |  SELECT cn.np, a.vec_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY cn.np
+       |      ORDER BY a.adc_d2, a.vec_id) AS BIGINT) AS ar
+       |  FROM adc a JOIN candn cn ON cn.vid = a.vec_id
+       |),
+       |exr AS (
+       |  SELECT a.vec_id,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY ${Round16.d2Sql("a.qv", "pq.pqv")}, a.vec_id) AS BIGINT)
+       |      AS er
+       |  FROM q a, pq
+       |),
+       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k)),
+       |hit AS (
+       |  SELECT x.np, k.k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM exr e JOIN apxr x USING (vec_id) CROSS JOIN ks k
+       |  WHERE e.er <= k.k AND x.ar <= k.k
+       |  GROUP BY x.np, k.k
+       |)
+       |SELECT n.np AS nprobe, k.k AS k,
+       |  CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.c, 0) * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM nps n CROSS JOIN ks k
+       |LEFT JOIN hit h ON h.np = n.np AND h.k = k.k
+       |ORDER BY nprobe, k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q209_ivfadc_recall", q209, Some(q209Sql)),
     QueryDef("q210_unigram_em", q210, Some(q210Sql)),
     QueryDef("q211_t_closeness", q211, Some(q211Sql)),
-    QueryDef("q212_adc_batch_knn", q212, Some(q212Sql)))
+    QueryDef("q212_adc_batch_knn", q212, Some(q212Sql)),
+    QueryDef("q213_nprobe_frontier", q213, Some(q213Sql)))
 }

@@ -90,6 +90,24 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------- q213 nProbe frontier
+  test("nProbe frontier: at nProbe=nCents the composed recall equals the full-scan ADC recall") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(43)
+    val emb = (0L until 36L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    // every cell probed ⇒ the candidate set is the whole corpus and
+    // only quantization loss remains: the frontier's last row must
+    // reproduce pqAdcRecall exactly at every k
+    val frontier = Similarity.ivfAdcRecall(emb, queryId = 0L,
+      ks = Seq(1, 5, 10), nCents = 6, nProbe = 6, m = 2, nCodes = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val fullScan = Similarity.pqAdcRecall(emb, queryId = 0L,
+      ks = Seq(1, 5, 10), m = 2, nCodes = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(frontier === fullScan)
+  }
+
   // ------------------------------- q211 t-closeness
   test("tCloseness: skewed cohort fails, corpus-mirroring cohort passes, exact ppm") {
     import graft.ops.Privacy
