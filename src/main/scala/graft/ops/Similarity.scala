@@ -1524,4 +1524,140 @@ object Similarity {
         col("e.id").as(idCol), col("e.ord").cast(LongType).as("adc_d2"))
       .orderBy(queryIdCol, "rank")
   }
+
+  /** RESIDUAL-encoded IVFADC recall audit — the spelling Jégou '11
+    * actually ships: PQ codes the RESIDUAL x − c(x) (each vector
+    * minus its coarse centroid), not the raw vector, and the query
+    * builds one LUT PER PROBED CELL from its own residual q − c.
+    * Raw-vector coding (q206/q209) spends codebook resolution
+    * re-describing where the cell already is; residual coding spends
+    * it all on the within-cell offset, which is why production IVFADC
+    * indexes encode residuals. The per-cell LUT multiplies query-side
+    * work by nProbe (still m·nCodes·nProbe integer distances — a
+    * broadcast triviality) while per-candidate work stays m lookups.
+    *
+    * Everything is integer END TO END: vectors are quantized FIRST
+    * (⌊x·scale⌋, the [[QuantSqDistExpr]] rule), so residuals are
+    * exact integer differences and every downstream distance is plain
+    * integer arithmetic — no float subtraction to drift between
+    * engines, and the SQL oracle replays each stage verbatim.
+    *
+    * Degenerate contracts (the specs' pins), both consequences of
+    * translation invariance d²((q−c) − (x−c)) = d²(q, x):
+    *   - nCodes = n ⇒ each candidate is its own codeword, so the ADC
+    *     distance IS the exact distance in every cell; with
+    *     nProbe = nCents the recall is 1 at every k.
+    *   - nCents = 1 ⇒ one shared translation, so codebook fit,
+    *     assignment, and LUT all equal the raw-vector system's and
+    *     the audit reproduces [[pqAdcRecall]] exactly.
+    *
+    * Shape at scale: same as [[ivfAdcRecall]] — one assignment cross
+    * product (n·nCents, map-side argmin), candidate-bounded encode,
+    * broadcast LUT join, bounded-heap rankings; the exact side is the
+    * audit's offline ground-truth scan, not a query-path cost.
+    *
+    * Returns (k, n_overlap, recall_ppm) ordered by k. */
+  def ivfAdcResidualRecall(emb: DataFrame, queryId: Long = 0L,
+      ks: Seq[Int] = Seq(1, 5, 10), nCents: Int = 16, nProbe: Int = 4,
+      m: Int = 8, nCodes: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", quantScale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
+    require(m >= 1 && nCodes >= 1)
+    val spark = emb.sparkSession
+    val maxK = ks.max
+    val qraw = probeVector(emb, queryId, idCol, vecCol)
+    val d = qraw.length
+    require(d % m == 0, s"dim $d is not divisible by m=$m")
+    val subLen = d / m
+    // the query vector under the same ⌊x·scale⌋ rule the engine-side
+    // quantizer applies (driver-side double math is IEEE-identical)
+    val qq: Seq[Long] = qraw.map(x => math.floor(x * quantScale).toLong)
+    def quant(c: Column): Column =
+      transform(c, x => floor(x.cast(DoubleType) * lit(quantScale))
+        .cast(LongType))
+    def id2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    def sliceS(v: Column, s: Column): Column =
+      slice(v, s.cast("int") * subLen + 1, lit(subLen))
+    val q = emb.select(col(idCol).as("__id"), quant(col(vecCol)).as("__qv"))
+    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val rankW = Window.orderBy(col("__hk"), col("__id"))
+    val cents = q.select(col("__id"), col("__qv"), hk.as("__hk"))
+      .orderBy(col("__hk"), col("__id")).limit(nCents)
+      .withColumn("__cent", row_number().over(rankW).cast(LongType))
+      .select(col("__cent"), col("__qv").as("__cqv"))
+    // nearest cell per vector, then the residual against ITS centroid
+    val asg = q.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__qv"),
+        struct(id2(col("__qv"), col("__cqv")).as("__d"), col("__cent"))
+          .as("__s"))
+      .groupBy("__id")
+      .agg(first(col("__qv")).as("__qv"), min(col("__s")).as("__m"))
+      .select(col("__id"), col("__qv"), col("__m.__cent").as("__cell"))
+    val resid = asg.join(broadcast(cents),
+        asg("__cell") === cents("__cent"))
+      .select(col("__id"), col("__cell"),
+        zip_with(col("__qv"), col("__cqv"), (a, b) => a - b).as("__rv"))
+    // residual codebook: the SAME hash-ranked medoid rows as the raw
+    // fit, but their residuals — bounded at nCodes rows
+    val med = resid.select(col("__id"), col("__rv"), hk.as("__hk"))
+      .orderBy(col("__hk"), col("__id")).limit(nCodes)
+      .withColumn("__code", row_number().over(rankW).cast(LongType))
+    val ss = spark.range(0, m).select(col("id").as("__ss"))
+    val books = med.crossJoin(ss)
+      .select(col("__ss"), col("__code"),
+        sliceS(col("__rv"), col("__ss")).as("__cv"))
+    // probed cells + the query's PER-CELL residual (the Jégou LUT
+    // translation — this is the line raw-vector coding lacks)
+    val probe = cents
+      .select(col("__cent"), col("__cqv"),
+        id2(typedLit(qq), col("__cqv")).as("__dq"))
+      .orderBy(col("__dq"), col("__cent")).limit(nProbe)
+      .select(col("__cent").as("__cell"),
+        zip_with(typedLit(qq), col("__cqv"), (a, b) => a - b).as("__qr"))
+    val cand = resid.join(broadcast(probe.select("__cell")),
+      Seq("__cell"), "left_semi")
+    val codes = cand.crossJoin(ss)
+      .select(col("__id"), col("__cell"), col("__ss"),
+        sliceS(col("__rv"), col("__ss")).as("__sv"))
+      .join(broadcast(books), Seq("__ss"))
+      .select(col("__id"), col("__cell"), col("__ss"),
+        struct(id2(col("__sv"), col("__cv")).as("__d"), col("__code"))
+          .as("__s"))
+      .groupBy("__id", "__cell", "__ss")
+      .agg(min(col("__s")).as("__m"))
+      .select(col("__id"), col("__cell"), col("__ss"),
+        col("__m.__code").as("__code"))
+    val lut = probe.crossJoin(books)
+      .select(col("__cell"), col("__ss"), col("__code"),
+        id2(sliceS(col("__qr"), col("__ss")), col("__cv")).as("__qd2"))
+    val adc = codes.join(broadcast(lut), Seq("__cell", "__ss", "__code"))
+      .groupBy("__id").agg(sum(col("__qd2")).as("__adc"))
+    val approx = adc
+      .agg(TopKAgg.topK(col("__adc"), col("__id"), maxK, largest = false)
+        .as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast(LongType).as("__ar"),
+        col("e.id").as("__id"))
+    val exact = q
+      .select(col("__id"), id2(typedLit(qq), col("__qv")).as("__dx"))
+      .agg(TopKAgg.topK(col("__dx"), col("__id"), maxK, largest = false)
+        .as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast(LongType).as("__er"),
+        col("e.id").as("__id"))
+    val j = exact.join(approx, Seq("__id"))
+    val ksDf = spark.range(0, ks.length).select(
+      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
+        .as("k"))
+    j.crossJoin(broadcast(ksDf))
+      .groupBy("k")
+      .agg(sum(when(col("__er") <= col("k") && col("__ar") <= col("k"), 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy("k")
+  }
 }

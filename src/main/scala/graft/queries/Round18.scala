@@ -422,10 +422,122 @@ object Round18 {
        |LEFT JOIN hit h ON h.np = n.np AND h.k = k.k
        |ORDER BY nprobe, k""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+  /** RESIDUAL vs RAW IVFADC — the Jégou '11 A/B
+    * ([[graft.ops.Similarity.ivfAdcResidualRecall]] beside
+    * [[graft.ops.Similarity.ivfAdcRecall]] at identical geometry):
+    * production IVFADC codes the residual x − c(x) so the codebook
+    * spends its resolution on the within-cell offset instead of
+    * re-describing the cell, at the price of one LUT per probed
+    * cell. This query puts both systems' recall@{1,5,10} in one
+    * frame — the A/B a production index migration is decided on.
+    * All integer end to end (vectors quantize BEFORE the residual
+    * subtraction), so the oracle replays the residual pipeline —
+    * per-cell residuals, residual codebook, per-cell query LUTs —
+    * stage by stage beside the raw q209 replay, sharing the routing
+    * prefix. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfAdcRecall(emb, queryId = 0L, ks = Seq(1, 5, 10),
+        nCents = 16, nProbe = 4, m = 8, nCodes = 16)
+      .withColumn("variant", lit("raw"))
+      .unionAll(Similarity.ivfAdcResidualRecall(emb, queryId = 0L,
+          ks = Seq(1, 5, 10), nCents = 16, nProbe = 4, m = 8, nCodes = 16)
+        .withColumn("variant", lit("residual")))
+      .select("variant", "k", "n_overlap", "recall_ppm")
+      .orderBy("variant", "k")
+  }
+
+  private val q214Sql =
+    s"""WITH
+       |$ivfAdcCtes,
+       |resid AS (
+       |  SELECT a.vec_id, c.cent_id AS cell,
+       |    list_transform(range(len(a.qv)), i ->
+       |      a.qv[CAST(i + 1 AS INT)] - ct.cqv[CAST(i + 1 AS INT)]) AS rv
+       |  FROM q a JOIN cells c ON c.vid = a.vec_id
+       |  JOIN cent ct ON ct.cent_id = c.cent_id
+       |),
+       |rmed AS (
+       |  SELECT rv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM resid
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |rbooks AS (
+       |  SELECT ss.s, m.code, ${slice8("m.rv")} AS cv FROM rmed m, ss),
+       |qres AS (
+       |  SELECT p.cent_id AS cell,
+       |    list_transform(range(len(pq.pqv)), i ->
+       |      pq.pqv[CAST(i + 1 AS INT)] - ct.cqv[CAST(i + 1 AS INT)]) AS qr
+       |  FROM pcells p JOIN cent ct ON ct.cent_id = p.cent_id, pq
+       |),
+       |rsub AS (
+       |  SELECT r.vec_id, r.cell, ss.s, ${slice8("r.rv")} AS sv
+       |  FROM resid r JOIN cand ON cand.vid = r.vec_id, ss
+       |),
+       |rasgn AS (
+       |  SELECT vec_id, cell, s, code FROM (
+       |    SELECT rsub.vec_id, rsub.cell, rsub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+       |        ORDER BY ${Round16.d2Sql("rsub.sv", "b.cv")}, b.code) AS rk
+       |    FROM rsub JOIN rbooks b ON b.s = rsub.s) WHERE rk = 1
+       |),
+       |rlut AS (
+       |  SELECT qres.cell, b.s AS s, b.code,
+       |    ${Round16.d2Sql("qres.qr[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
+       |  FROM rbooks b, qres
+       |),
+       |radc AS (
+       |  SELECT a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM rasgn a JOIN rlut l
+       |    ON l.cell = a.cell AND l.s = a.s AND l.code = a.code
+       |  GROUP BY a.vec_id
+       |),
+       |apxr AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS BIGINT) AS ar
+       |  FROM adc
+       |),
+       |rapxr AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS BIGINT) AS ar
+       |  FROM radc
+       |),
+       |exr AS (
+       |  SELECT a.vec_id,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY ${Round16.d2Sql("a.qv", "pq.pqv")}, a.vec_id) AS BIGINT)
+       |      AS er
+       |  FROM q a, pq
+       |),
+       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k))
+       |SELECT 'raw' AS variant, k.k AS k,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM exr e JOIN apxr x USING (vec_id) CROSS JOIN ks k
+       |WHERE e.er <= 10 AND x.ar <= 10
+       |GROUP BY k.k
+       |UNION ALL
+       |SELECT 'residual' AS variant, k.k AS k,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM exr e JOIN rapxr x USING (vec_id) CROSS JOIN ks k
+       |WHERE e.er <= 10 AND x.ar <= 10
+       |GROUP BY k.k
+       |ORDER BY variant, k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q209_ivfadc_recall", q209, Some(q209Sql)),
     QueryDef("q210_unigram_em", q210, Some(q210Sql)),
     QueryDef("q211_t_closeness", q211, Some(q211Sql)),
     QueryDef("q212_adc_batch_knn", q212, Some(q212Sql)),
-    QueryDef("q213_nprobe_frontier", q213, Some(q213Sql)))
+    QueryDef("q213_nprobe_frontier", q213, Some(q213Sql)),
+    QueryDef("q214_residual_ivfadc", q214, Some(q214Sql)))
 }

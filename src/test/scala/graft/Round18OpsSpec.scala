@@ -108,6 +108,37 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(frontier === fullScan)
   }
 
+  // ------------------------------- q214 residual IVFADC
+  test("ivfAdcResidualRecall: nCodes=n + nProbe=nCents is exact by translation invariance") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(47)
+    val emb = (0L until 28L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    // each candidate is its own residual codeword, so the ADC sum is
+    // d²((q−c) − (x−c)) = d²(q, x) exactly — recall 1 at every k
+    val got = Similarity.ivfAdcResidualRecall(emb, queryId = 5L,
+      ks = Seq(1, 5, 10), nCents = 4, nProbe = 4, m = 2, nCodes = 28)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1000000L), (5L, 5L, 1000000L),
+      (10L, 10L, 1000000L)))
+  }
+
+  test("ivfAdcResidualRecall: nCents=1 reproduces the raw-vector full-scan ADC recall") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(53)
+    val emb = (0L until 32L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    // one shared translation: codebook fit, assignment, and LUT all
+    // equal the raw system's term by term, so the recalls coincide
+    val res = Similarity.ivfAdcResidualRecall(emb, queryId = 0L,
+      ks = Seq(1, 5, 10), nCents = 1, nProbe = 1, m = 2, nCodes = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val raw = Similarity.pqAdcRecall(emb, queryId = 0L,
+      ks = Seq(1, 5, 10), m = 2, nCodes = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(res === raw)
+  }
+
   // ------------------------------- q211 t-closeness
   test("tCloseness: skewed cohort fails, corpus-mirroring cohort passes, exact ppm") {
     import graft.ops.Privacy
