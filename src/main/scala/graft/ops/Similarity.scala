@@ -1525,6 +1525,93 @@ object Similarity {
       .orderBy(queryIdCol, "rank")
   }
 
+  /** IVF-ROUTED batched ADC retrieval — [[adcTopKBatch]] composed
+    * with the coarse router, i.e. the FULL production query tier:
+    * the batch variant still scans every stored code for every query
+    * (its per-query cost is O(n·m) lookups — fine for audits, not
+    * for a 100 TB index), while this routes each query to its nProbe
+    * nearest cells first and streams only those cells' codes, so the
+    * per-query scan is n·nProbe/nCents. Offline side: one
+    * [[ivfAssign]] pass stamps each stored code row with its cell;
+    * online side: queries rank the broadcast centroid frame
+    * (|queries|·nCents distances), the cell-keyed join fans each
+    * code row out ONLY to the queries probing its cell, the
+    * per-query LUT lookup and per-(query, id) sum are map-side
+    * combined, and [[TopKAgg]] bounds each query's exchange at k
+    * rows. Raw-vector coding keeps the LUT per-query (not per-cell —
+    * the q206 stance; [[ivfAdcResidualRecall]] documents the
+    * per-cell variant). All integer, ties by ascending id, every
+    * stage SQL-replayable.
+    *
+    * Degenerate contract (the spec's pin): nProbe = nCents probes
+    * every cell, so the routed ranking equals [[adcTopKBatch]]'s
+    * full scan per probe.
+    *
+    * Returns (queryIdCol, rank, idCol, adc_d2) ordered by
+    * (queryIdCol, rank). */
+  def ivfAdcTopKBatch(emb: DataFrame, queries: DataFrame, k: Int = 10,
+      nCents: Int = 16, nProbe: Int = 4, m: Int = 8, nCodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1)
+    require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
+    // offline: stored codes stamped with their cell
+    val asg = ivfAssign(emb, nCents, nProbe, idCol, vecCol, quantScale)
+      .select(col(idCol), col("cell"))
+    val books = fitPqBooks(emb, m, nCodes, idCol, vecCol)
+    val codes = encodePq(emb, books, idCol, vecCol, quantScale)
+      .join(asg, Seq(idCol))
+    // online: rank the broadcast centroid frame per query
+    def qdist(a: Column, b: Column): Column =
+      graft.engine.Columns.ofExpr(QuantSqDistExpr(
+        graft.engine.Columns.exprOf(a),
+        graft.engine.Columns.exprOf(b), quantScale))
+    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val cents = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), col("__v"), hk.as("__hk"))
+      .orderBy(col("__hk"), col("__id")).limit(nCents)
+      .withColumn("__cent", row_number().over(
+        Window.orderBy(col("__hk"), col("__id"))).cast(LongType))
+      .select(col("__cent"), col("__v").as("__cv"))
+    val qprobe = queries
+      .select(col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .groupBy("__qid")
+      .agg(TopKAgg.topK(qdist(col("__qv"), col("__cv")), col("__cent"),
+        nProbe, largest = false).as("__pr"))
+      .select(col("__qid"), explode(transform(col("__pr"), e => e("id")))
+        .as("cell"))
+    // per-query LUTs: identical construction (and contract checks)
+    // to adcTopKBatch
+    val (mG, subLen) = pqGeometry(books)
+    val qdim = queries.select(size(col(queryVecCol)).as("d")).limit(1)
+      .collect()
+    require(qdim.nonEmpty, "ivfAdcTopKBatch: empty query frame")
+    require(qdim(0).getInt(0) == mG * subLen,
+      s"query dim ${qdim(0).getInt(0)} does not match codebook geometry " +
+        s"m=$mG × subLen=$subLen")
+    val lut = queries
+      .select(col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv"))
+      .crossJoin(books)
+      .select(col("__qid"), col("subspace"), col("code"),
+        qdist(slice(col("__qv"), col("subspace").cast("int") * subLen + 1,
+          lit(subLen)), col("codeword")).as("__qd2"))
+    codes.join(broadcast(qprobe), Seq("cell"))
+      .join(broadcast(lut), Seq("__qid", "subspace", "code"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__qd2")).as("__adc"))
+      .groupBy(col("__qid"))
+      .agg(TopKAgg.topK(col("__adc"), col(idCol), k, largest = false)
+        .as("tk"))
+      .select(col("__qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__qid").as(queryIdCol),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as(idCol), col("e.ord").cast(LongType).as("adc_d2"))
+      .orderBy(queryIdCol, "rank")
+  }
+
   /** RESIDUAL-encoded IVFADC recall audit — the spelling Jégou '11
     * actually ships: PQ codes the RESIDUAL x − c(x) (each vector
     * minus its coarse centroid), not the raw vector, and the query

@@ -533,11 +533,67 @@ object Round18 {
        |GROUP BY k.k
        |ORDER BY variant, k""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+  /** IVF-ROUTED batched retrieval ([[graft.ops.Similarity
+    * .ivfAdcTopKBatch]]): the full production query tier — q212's
+    * batch ADC still scans every stored code per query (O(n·m)
+    * lookups each); this routes each probe to its nProbe=4 of 16
+    * cells first and streams only those cells' codes, so the
+    * per-query scan is n·nProbe/nCents. One cell-keyed join fans
+    * each code row out only to the queries probing its cell;
+    * per-query LUTs broadcast; bounded-heap top-10 per query. The
+    * oracle replays routing (the shared rank CTE restricted to probe
+    * ids), per-query LUTs, and the partitioned ranking. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfAdcTopKBatch(emb, probes, k = 10,
+      nCents = 16, nProbe = 4, m = 8, nCodes = 16)
+  }
+
+  private val q215Sql =
+    s"""WITH
+       |$ivfPrefixCtes,
+       |probes AS (SELECT vec_id AS qid, qv AS pqv FROM q WHERE vec_id % 50 = 0),
+       |qpc AS (SELECT vid AS qid, cent_id FROM rk_ad
+       |        WHERE vid % 50 = 0 AND rk <= 4),
+       |candq AS (
+       |  SELECT qp.qid, cl.vid FROM qpc qp
+       |  JOIN cells cl ON cl.cent_id = qp.cent_id),
+       |sub AS (SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv FROM q a, ss),
+       |asgn AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub JOIN books b ON b.s = sub.s) WHERE rk = 1
+       |),
+       |blut AS (
+       |  SELECT p.qid, b.s AS s, b.code,
+       |    ${Round16.d2Sql("p.pqv[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
+       |  FROM books b, probes p
+       |),
+       |adcq AS (
+       |  SELECT cq.qid, a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM asgn a JOIN candq cq ON cq.vid = a.vec_id
+       |  JOIN blut l ON l.qid = cq.qid AND l.s = a.s AND l.code = a.code
+       |  GROUP BY cq.qid, a.vec_id
+       |)
+       |SELECT query_id, rank, vec_id, adc_d2 FROM (
+       |  SELECT qid AS query_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS BIGINT) AS rank,
+       |    vec_id, adc_d2
+       |  FROM adcq) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q209_ivfadc_recall", q209, Some(q209Sql)),
     QueryDef("q210_unigram_em", q210, Some(q210Sql)),
     QueryDef("q211_t_closeness", q211, Some(q211Sql)),
     QueryDef("q212_adc_batch_knn", q212, Some(q212Sql)),
     QueryDef("q213_nprobe_frontier", q213, Some(q213Sql)),
-    QueryDef("q214_residual_ivfadc", q214, Some(q214Sql)))
+    QueryDef("q214_residual_ivfadc", q214, Some(q214Sql)),
+    QueryDef("q215_ivf_adc_batch", q215, Some(q215Sql)))
 }

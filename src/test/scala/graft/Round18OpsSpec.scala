@@ -108,6 +108,51 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(frontier === fullScan)
   }
 
+  // ------------------------------- q215 routed batch retrieval
+  test("ivfAdcTopKBatch: nProbe=nCents degenerates to the full-scan adcTopKBatch per probe") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(59)
+    val emb = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 9 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val routed = Similarity.ivfAdcTopKBatch(emb, probes, k = 5,
+      nCents = 5, nProbe = 5, m = 2, nCodes = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val books = Similarity.fitPqBooks(emb, m = 2, nCodes = 8)
+    val codes = Similarity.encodePq(emb, books)
+    val full = Similarity.adcTopKBatch(codes, books, probes, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(routed === full)
+  }
+
+  test("ivfAdcTopKBatch: partial probing returns a subset ranking consistent with the full scan") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(61)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val routed = Similarity.ivfAdcTopKBatch(emb, probes, k = 40,
+      nCents = 8, nProbe = 2, m = 2, nCodes = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val books = Similarity.fitPqBooks(emb, m = 2, nCodes = 8)
+    val codes = Similarity.encodePq(emb, books)
+    val full = Similarity.adcTopKBatch(codes, books, probes, k = 40)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._3 -> r._4).toMap
+    // routed candidates are a strict subset (2 of 8 cells probed) and
+    // every returned (id, adc_d2) matches the full scan's distance;
+    // ranks are contiguous from 1
+    assert(routed.nonEmpty && routed.size < 40)
+    assert(routed.map(_._2) === (1L to routed.size.toLong))
+    routed.foreach { case (_, _, id, d2) => assert(full(id) === d2) }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAdcTopKBatch(emb, probes.filter($"query_id" < 0), k = 5,
+        nCents = 8, nProbe = 2, m = 2, nCodes = 8)
+    }
+  }
+
   // ------------------------------- q214 residual IVFADC
   test("ivfAdcResidualRecall: nCodes=n + nProbe=nCents is exact by translation invariance") {
     import graft.ops.Similarity
