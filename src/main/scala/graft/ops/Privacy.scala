@@ -189,4 +189,81 @@ object Privacy {
         when(col("tvd_ppm") <= tPpm, 1L).otherwise(0L))
       .orderBy("source", "len_bucket")
   }
+
+  /** ORDERED t-closeness (Li '07 §4.2) — the EMD instance for an
+    * ORDINAL sensitive attribute, here the document-length bucket:
+    * TVD treats every value swap identically, but for an ordered
+    * attribute a cohort concentrated at an EXTREME of the range
+    * leaks more than one concentrated in the middle (the adversary's
+    * estimate is off by the DISTANCE, not just the miss). With unit
+    * ground distance between adjacent values the EMD has the closed
+    * form
+    *   EMD = (1/(V−1)) · Σᵢ |Σ_{j≤i} (P_j − Q_j)|
+    * (cumulative shortfalls, i over the value order) — and in the
+    * exact integer frame, with cohort counts cⱼ/n, corpus counts
+    * Cⱼ/N and V corpus values,
+    *   emd_ppm = ⌊ Σᵢ |Sᵢ| · 10⁶ / ((V−1)·n·N) ⌋,
+    *   Sᵢ = Σ_{j≤i} (cⱼ·N − Cⱼ·n).
+    * The final cumulative sum S_V is zero by construction (both
+    * distributions total 1), so summing |Sᵢ| over ALL i equals the
+    * i < V sum — no off-by-one to replay. The companion property the
+    * spec pins: two cohorts with IDENTICAL TVD (one extreme-loaded,
+    * one middle-loaded) get different EMDs, the ordering the TVD
+    * rung cannot see. A single-value corpus (V = 1) reports 0 —
+    * every distribution equals the baseline trivially.
+    *
+    * Quasi-identifiers here are (source, lang); the sensitive
+    * ordinal is `n_chars div lenBucket`. Overflow bound: as
+    * [[tCloseness]] (each |Sᵢ| ≤ N², V·N²·10⁶ ≤ 10³² at N = 10¹²,
+    * V = 100 — inside DECIMAL(38,0); HUGEINT in the oracle).
+    *
+    * Shape at scale: the [[tCloseness]] grid plus ONE cohort-bounded
+    * window (the cumulative sum runs over cohorts × values rows,
+    * never the corpus).
+    *
+    * Returns (source, lang, n_docs, n_sensitive, emd_ppm, t_close)
+    * ordered by (source, lang). */
+  def tClosenessOrdered(docs: DataFrame, tPpm: Long = 300000L,
+      lenBucket: Long = 100L, sourceCol: String = "source",
+      langCol: String = "lang", lenCol: String = "n_chars"): DataFrame = {
+    require(tPpm >= 0L && tPpm <= 1000000L,
+      s"tPpm must be a ppm fraction in [0, 1000000], got $tPpm")
+    require(lenBucket >= 1L)
+    val dec = DecimalType(38, 0)
+    val base = docs.select(col(sourceCol).as("source"),
+      col(langCol).as("lang"), expr(s"$lenCol div $lenBucket").as("__sv"))
+    val bySv = base.groupBy("source", "lang", "__sv")
+      .agg(count(lit(1)).as("__c"))
+    val cohorts = bySv.groupBy("source", "lang")
+      .agg(sum(col("__c")).as("__n"))
+    val corpus = base.groupBy("__sv").agg(count(lit(1)).as("__cv"))
+    val total = base.agg(count(lit(1)).as("__nn"),
+      countDistinct(col("__sv")).as("__v"))
+    val cumW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "lang").orderBy("__sv")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cohorts
+      .crossJoin(broadcast(corpus))
+      .join(bySv, Seq("source", "lang", "__sv"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("__sv"), col("__n"),
+        col("__nn"), col("__v"),
+        coalesce(col("__c"), lit(0L)).as("__c"), col("__cv"))
+      .withColumn("__cum",
+        sum(col("__c").cast(dec) * col("__nn").cast(dec)
+          - col("__cv").cast(dec) * col("__n").cast(dec)).over(cumW))
+      .groupBy("source", "lang", "__n", "__nn", "__v")
+      .agg(
+        sum(when(col("__c") > 0L, 1L).otherwise(0L)).as("n_sensitive"),
+        sum(abs(col("__cum"))).as("__s"))
+      .select(col("source"), col("lang"),
+        col("__n").cast("long").as("n_docs"), col("n_sensitive"),
+        when(col("__v") <= 1L, lit(0L)).otherwise(
+          expr("(__s * 1000000) div " +
+            "((__v - 1) * CAST(__n AS DECIMAL(38,0)) * __nn)"))
+          .as("emd_ppm"))
+      .withColumn("t_close",
+        when(col("emd_ppm") <= tPpm, 1L).otherwise(0L))
+      .orderBy("source", "lang")
+  }
 }

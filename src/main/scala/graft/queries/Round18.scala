@@ -588,6 +588,64 @@ object Round18 {
        |  FROM adcq) WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+  /** ORDERED t-closeness ([[graft.ops.Privacy.tClosenessOrdered]]):
+    * per (source, lang) cohort, the exact integer-ppm EMD between
+    * the cohort's document-LENGTH-BUCKET distribution and the
+    * corpus-wide one — Li '07's instance for an ORDINAL sensitive
+    * attribute, where TVD (q211) is blind to HOW FAR the mass moved:
+    * an extreme-loaded cohort leaks more than a middle-loaded one at
+    * identical TVD. Closed form: mean |cumulative shortfall| over
+    * the value order, every quantity integer. Oracle: the q211 grid
+    * plus one cohort-bounded cumulative-sum window. */
+  private def q216(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.tClosenessOrdered(Tables.documents(s, dir),
+      tPpm = 300000L)
+
+  private val q216Sql =
+    """WITH b AS (
+      |  SELECT source, lang, n_chars // 100 AS sv FROM documents
+      |),
+      |bysv AS (
+      |  SELECT source, lang, sv, CAST(COUNT(*) AS HUGEINT) AS c
+      |  FROM b GROUP BY 1, 2, 3
+      |),
+      |coh AS (
+      |  SELECT source, lang, CAST(SUM(c) AS HUGEINT) AS n
+      |  FROM bysv GROUP BY 1, 2
+      |),
+      |corp AS (SELECT sv, CAST(COUNT(*) AS HUGEINT) AS cv FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+      |               CAST(COUNT(DISTINCT sv) AS HUGEINT) AS v FROM b),
+      |grid AS (
+      |  SELECT k.source, k.lang, w.sv, k.n, t.nn, t.v, w.cv,
+      |    COALESCE(s.c, 0) AS c
+      |  FROM coh k CROSS JOIN corp w CROSS JOIN tot t
+      |  LEFT JOIN bysv s ON s.source = k.source AND s.lang = k.lang
+      |    AND s.sv = w.sv
+      |),
+      |cum AS (
+      |  SELECT source, lang, n, nn, v, c,
+      |    SUM(c * nn - cv * n) OVER (PARTITION BY source, lang
+      |      ORDER BY sv ROWS UNBOUNDED PRECEDING) AS s_i
+      |  FROM grid
+      |),
+      |agg AS (
+      |  SELECT source, lang,
+      |    CAST(MAX(n) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_sensitive,
+      |    CASE WHEN MAX(v) <= 1 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(SUM(ABS(s_i)) * 1000000
+      |        // ((MAX(v) - 1) * MAX(n) * MAX(nn)) AS BIGINT)
+      |    END AS emd_ppm
+      |  FROM cum GROUP BY 1, 2
+      |)
+      |SELECT source, lang, n_docs, n_sensitive, emd_ppm,
+      |  CAST(CASE WHEN emd_ppm <= 300000 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS t_close
+      |FROM agg ORDER BY source, lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q209_ivfadc_recall", q209, Some(q209Sql)),
     QueryDef("q210_unigram_em", q210, Some(q210Sql)),
@@ -595,5 +653,6 @@ object Round18 {
     QueryDef("q212_adc_batch_knn", q212, Some(q212Sql)),
     QueryDef("q213_nprobe_frontier", q213, Some(q213Sql)),
     QueryDef("q214_residual_ivfadc", q214, Some(q214Sql)),
-    QueryDef("q215_ivf_adc_batch", q215, Some(q215Sql)))
+    QueryDef("q215_ivf_adc_batch", q215, Some(q215Sql)),
+    QueryDef("q216_t_closeness_ordered", q216, Some(q216Sql)))
 }

@@ -90,6 +90,41 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------- q216 ordered t-closeness
+  test("tClosenessOrdered: extreme-loaded cohorts score above middle-loaded at identical TVD") {
+    import graft.ops.Privacy
+    // uniform 3-bucket corpus (3 docs per bucket); cohorts a/b/c each
+    // concentrate on one bucket, so every cohort has the SAME TVD
+    // numerator (Σ|c·N−C·n| = 36) but different EMDs. Hand algebra
+    // for a (buckets (3,0,0), n=3, N=9, V=3): diffs (18,−9,−9),
+    // cumsums (18,9,0) → Σ|S|=27 → 27e6/(2·3·9) = 500000.
+    // b (0,3,0): cumsums (−9,9,0) → 18 → 333333 (floored).
+    // c (0,0,3): cumsums (−9,−18,0) → 27 → 500000.
+    val docs = Seq(
+      (0L, "a", "en", 50L), (1L, "a", "en", 50L), (2L, "a", "en", 50L),
+      (3L, "b", "en", 150L), (4L, "b", "en", 150L), (5L, "b", "en", 150L),
+      (6L, "c", "en", 250L), (7L, "c", "en", 250L), (8L, "c", "en", 250L)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+    val got = Privacy.tClosenessOrdered(docs, tPpm = 400000L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", "en", 3L, 1L, 500000L, 0L),
+      ("b", "en", 3L, 1L, 333333L, 1L),
+      ("c", "en", 3L, 1L, 500000L, 0L)))
+  }
+
+  test("tClosenessOrdered: single-value corpus reports 0 (V=1 guard)") {
+    import graft.ops.Privacy
+    val docs = Seq(
+      (0L, "a", "en", 10L), (1L, "b", "fr", 20L)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+    val got = Privacy.tClosenessOrdered(docs, tPpm = 0L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", "en", 1L, 1L, 0L, 1L),
+      ("b", "fr", 1L, 1L, 0L, 1L)))
+  }
+
   // ------------------------------- q213 nProbe frontier
   test("nProbe frontier: at nProbe=nCents the composed recall equals the full-scan ADC recall") {
     import graft.ops.Similarity
