@@ -217,73 +217,83 @@ object Round18 {
     graft.text.UnigramLm.unigramStatsEm(Tables.documents(s, dir),
       vocabN = 10, emRounds = 1).orderBy("doc_id")
 
-  private val q210Sql =
-    s"""WITH RECURSIVE
-       |${Round17.unigramPerwordCtes},
-       |useg AS (
-       |  SELECT tok, best FROM uwalk
+  /** One Viterbi-hard EM round as oracle SQL, name-parameterized so
+    * rounds CHAIN (q210 runs one, q217 two — same block, different
+    * suffixes): backtrack the round-`i` DP via min-j walks over
+    * `uwalk$i`/`upm$i`, re-count pieces weighted by word counts,
+    * retain used multi-char pieces + the char fallbacks from
+    * `ucost$i` (floor 1), re-cost by the integer surprisal rule,
+    * rebuild the piece matrix, re-run the DP → `uwalk$o`/`upm$o`/
+    * `uperword$o`. The round-0 names (empty `i`) are
+    * [[Round17.unigramPerwordCtes]]'s. */
+  private def emRoundCtes(i: String, o: String): String =
+    s"""useg$o AS (
+       |  SELECT tok, best FROM uwalk$i
        |  WHERE i = length(tok)
        |    AND best[CAST(length(tok) AS INT) + 1] IS NOT NULL
        |),
-       |uback AS (
+       |uback$o AS (
        |  SELECT tok, best, CAST(length(tok) AS BIGINT) AS i,
        |    CAST(NULL AS VARCHAR) AS piece
-       |  FROM useg
+       |  FROM useg$o
        |  UNION ALL
        |  SELECT u.tok, u.best,
-       |    (SELECT MIN(p.jpos) FROM upm p
+       |    (SELECT MIN(p.jpos) FROM upm$i p
        |      WHERE p.tok = u.tok AND p.ipos = u.i
        |        AND u.best[CAST(p.jpos AS INT) + 1] + p.addp
        |          = u.best[CAST(u.i AS INT) + 1]),
        |    (SELECT substr(u.tok, CAST(MIN(p.jpos) AS INT) + 1,
        |                   CAST(u.i - MIN(p.jpos) AS INT))
-       |       FROM upm p
+       |       FROM upm$i p
        |      WHERE p.tok = u.tok AND p.ipos = u.i
        |        AND u.best[CAST(p.jpos AS INT) + 1] + p.addp
        |          = u.best[CAST(u.i AS INT) + 1])
-       |  FROM uback u WHERE u.i > 0
+       |  FROM uback$o u WHERE u.i > 0
        |),
-       |upcnt AS (
+       |upcnt$o AS (
        |  SELECT b.piece, CAST(SUM(c.cnt) AS BIGINT) AS cnt
-       |  FROM uback b JOIN ucounts c ON c.tok = b.tok
+       |  FROM uback$o b JOIN ucounts c ON c.tok = b.tok
        |  WHERE b.piece IS NOT NULL
        |  GROUP BY b.piece
        |),
-       |uret AS (
-       |  SELECT piece, cnt FROM upcnt WHERE length(piece) > 1
+       |uret$o AS (
+       |  SELECT piece, cnt FROM upcnt$o WHERE length(piece) > 1
        |  UNION ALL
        |  SELECT c.piece, GREATEST(COALESCE(u.cnt, 0), 1) AS cnt
-       |  FROM (SELECT piece FROM ucost WHERE length(piece) = 1) c
-       |  LEFT JOIN upcnt u ON u.piece = c.piece
+       |  FROM (SELECT piece FROM ucost$i WHERE length(piece) = 1) c
+       |  LEFT JOIN upcnt$o u ON u.piece = c.piece
        |),
-       |utot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uret),
-       |ucost2 AS (
+       |utot$o AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uret$o),
+       |ucost$o AS (
        |  SELECT r.piece, CAST(length(bin(t.n // r.cnt)) AS BIGINT) AS surp
-       |  FROM uret r CROSS JOIN utot2 t
+       |  FROM uret$o r CROSS JOIN utot$o t
        |),
-       |upm2 AS (
+       |upm$o AS (
        |  SELECT d.tok, CAST(u.j AS BIGINT) AS jpos,
        |    CAST(u.j AS BIGINT) + length(p.piece) AS ipos,
        |    p.surp * 1048576 + 1 AS addp
-       |  FROM udwords d, UNNEST(range(length(d.tok))) AS u(j), ucost2 p
+       |  FROM udwords d, UNNEST(range(length(d.tok))) AS u(j), ucost$o p
        |  WHERE length(p.piece) <= length(d.tok) - CAST(u.j AS BIGINT)
        |    AND substr(d.tok, CAST(u.j AS INT) + 1, length(p.piece)) = p.piece
        |),
-       |uwalk2 AS (
+       |uwalk$o AS (
        |  SELECT tok, CAST(0 AS BIGINT) AS i, [CAST(0 AS BIGINT)] AS best
        |  FROM udwords
        |  UNION ALL
        |  SELECT w.tok, w.i + 1,
        |    list_append(w.best,
        |      (SELECT MIN(w.best[CAST(p.jpos AS INT) + 1] + p.addp)
-       |       FROM upm2 p WHERE p.tok = w.tok AND p.ipos = w.i + 1))
-       |  FROM uwalk2 w WHERE w.i < length(w.tok)
+       |       FROM upm$o p WHERE p.tok = w.tok AND p.ipos = w.i + 1))
+       |  FROM uwalk$o w WHERE w.i < length(w.tok)
        |),
-       |uperword2 AS (
+       |uperword$o AS (
        |  SELECT tok, best[CAST(length(tok) AS INT) + 1] AS packed
-       |  FROM uwalk2 WHERE i = length(tok)
-       |)
-       |SELECT w.doc_id,
+       |  FROM uwalk$o WHERE i = length(tok)
+       |)""".stripMargin
+
+  /** Final per-doc rollup over `uperword$n` — q200's stats algebra. */
+  private def emFinalSelect(n: String): String =
+    s"""SELECT w.doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(CASE WHEN p.packed IS NULL THEN 1
        |                ELSE p.packed % 1048576 END) AS BIGINT) AS n_pieces,
@@ -291,9 +301,36 @@ object Round18 {
        |    AS n_unk_words,
        |  CAST(SUM(CASE WHEN p.packed IS NULL THEN 0
        |                ELSE p.packed // 1048576 END) AS BIGINT) AS cost_bits
-       |FROM uwords w JOIN uperword2 p USING (tok)
+       |FROM uwords w JOIN uperword$n p USING (tok)
        |GROUP BY w.doc_id
        |ORDER BY w.doc_id""".stripMargin
+
+  private val q210Sql =
+    s"""WITH RECURSIVE
+       |${Round17.unigramPerwordCtes},
+       |${emRoundCtes("", "2")}
+       |${emFinalSelect("2")}""".stripMargin
+
+  // ---------------------------------------------------------------- q217
+  /** TWO Viterbi-hard EM rounds ([[graft.text.UnigramLm
+    * .unigramStatsEm]] at emRounds = 2): q210 runs one E/M
+    * interleave; SentencePiece training runs several, and the
+    * bounded-round stance (q148) makes EVERY round replayable — the
+    * oracle chains the SAME generated round block twice (backtrack →
+    * re-count → re-cost → re-DP, each level a recursive CTE), so the
+    * round count is a parameter of the replay, not a new proof
+    * obligation. The spec pins the convergence story: round 1 changes
+    * the hand corpus's costs, round 2 is its fixed point. */
+  private def q217(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.unigramStatsEm(Tables.documents(s, dir),
+      vocabN = 10, emRounds = 2).orderBy("doc_id")
+
+  private val q217Sql =
+    s"""WITH RECURSIVE
+       |${Round17.unigramPerwordCtes},
+       |${emRoundCtes("", "2")},
+       |${emRoundCtes("2", "3")}
+       |${emFinalSelect("3")}""".stripMargin
 
   // ---------------------------------------------------------------- q211
   /** T-CLOSENESS audit ([[graft.ops.Privacy.tCloseness]]): per
@@ -654,5 +691,6 @@ object Round18 {
     QueryDef("q213_nprobe_frontier", q213, Some(q213Sql)),
     QueryDef("q214_residual_ivfadc", q214, Some(q214Sql)),
     QueryDef("q215_ivf_adc_batch", q215, Some(q215Sql)),
-    QueryDef("q216_t_closeness_ordered", q216, Some(q216Sql)))
+    QueryDef("q216_t_closeness_ordered", q216, Some(q216Sql)),
+    QueryDef("q217_unigram_em2", q217, Some(q217Sql)))
 }

@@ -143,6 +143,37 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(frontier === fullScan)
   }
 
+  // ------------------------------- q210/q217 Viterbi-hard EM
+  // Hand algebra on the q200 corpus (1,"aa aa ab"), (2,"aab x"),
+  // vocabN=2. Round-0 vocab: aa:3, aab:4, a:1, b:3 (total 10);
+  // segmentation aa→[a,a], ab→[a,b], aab→[aab], x→UNK.
+  // E-step counts under it: a:5 (4 from aa×2, 1 from ab), b:1,
+  // aab:1; 'aa' is UNUSED and pruned. M-step: total'=7 →
+  // costs aab:bin(7)=3, a:bin(1)=1, b:bin(7)=3.
+  test("emRound: re-counts under the segmentation, prunes unused pieces, re-costs") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "aab x")).toDF("doc_id", "text")
+    val v0 = graft.text.UnigramLm.fit(docs, vocabN = 2)
+    val v1 = graft.text.UnigramLm.emRound(docs, v0)
+    assert(v1.entries.sortBy(_._1) ===
+      Seq(("a", 1L), ("aab", 3L), ("b", 3L)))
+  }
+
+  test("unigramStatsEm: one round changes the corpus stats; round 2 is the fixed point") {
+    val docs = Seq((1L, "aa aa ab"), (2L, "aab x")).toDF("doc_id", "text")
+    def stats(r: Int) =
+      graft.text.UnigramLm.unigramStatsEm(docs, vocabN = 2, emRounds = r)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val s0 = stats(0)
+    val s1 = stats(1)
+    val s2 = stats(2)
+    // round 1: aab re-costs 4 → 3 bits (doc 2); doc 1 unchanged
+    assert(s0 === Seq((1L, 3L, 6L, 0L, 8L), (2L, 2L, 2L, 1L, 4L)))
+    assert(s1 === Seq((1L, 3L, 6L, 0L, 8L), (2L, 2L, 2L, 1L, 3L)))
+    // round 2 re-counts under an identical segmentation → same costs
+    assert(s2 === s1)
+  }
+
   // ------------------------------- q215 routed batch retrieval
   test("ivfAdcTopKBatch: nProbe=nCents degenerates to the full-scan adcTopKBatch per probe") {
     import graft.ops.Similarity
