@@ -108,7 +108,7 @@ object SelfChecks {
     val vecs = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id").isin(ids: _*))
       .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray).toMap
     val q = vecs(0L)
     val maxErr = rows.map { case (id, d) =>
       val v = vecs(id)
@@ -157,7 +157,7 @@ object SelfChecks {
     val vecs = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id").isin(ids: _*))
       .select("vec_id", "embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Number](1).map(_.doubleValue()).toArray).toMap
     def cosine(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

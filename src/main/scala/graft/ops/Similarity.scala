@@ -1612,6 +1612,180 @@ object Similarity {
       .orderBy(queryIdCol, "rank")
   }
 
+  /** LLOYD-refined PQ codebooks in exact fixed-point integers — the
+    * codebook fit Jégou '11 actually uses (k-means per subspace),
+    * where [[fitPqBooks]] stops at seeded medoids: `rounds` bounded
+    * Lloyd iterations over each subspace's slice population
+    * ([[graft.ops.Clustering.kmeans]]'s stance — quantize once,
+    * integer distances, DECIMAL(38,0) floor-mean updates, lowest-code
+    * ties, empty-code carry — so every round is a pure function of
+    * the input and a SQL oracle replays it). All m subspaces refine
+    * JOINTLY: one assignment join and one (subspace, code, dim)
+    * aggregation per round, never m separate jobs. `rounds = 0`
+    * returns the quantized seeded-medoid book — the [[fitPqBooks]]
+    * geometry in integer form, which is what makes the q218 A/B a
+    * controlled experiment (same init, only the refinement differs).
+    *
+    * The codebook lives on the DRIVER between rounds (m·nCodes·subLen
+    * longs — bounded by contract, the kmeans template): each round's
+    * frame is built fresh from the collected book, so lineage never
+    * deepens with the round count.
+    *
+    * Returns (subspace, code, codeword: array<long>) — m·nCodes rows. */
+  def fitPqBooksLloyd(emb: DataFrame, m: Int = 8, nCodes: Int = 16,
+      rounds: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", quantScale: Double = 1e4): DataFrame = {
+    require(m >= 1 && nCodes >= 1 && rounds >= 0)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d0 = probeDim(emb, idCol, vecCol)
+    require(d0 % m == 0, s"dim $d0 is not divisible by m=$m")
+    val subLen = d0 / m
+    def quant(c: Column): Column =
+      transform(c, x => floor(x.cast(DoubleType) * lit(quantScale))
+        .cast(LongType))
+    def id2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val q = emb.select(col(idCol).as("__id"), quant(col(vecCol)).as("__qv"))
+    val ssDf = spark.range(0, m).select(col("id").as("__ss"))
+    val sub = q.crossJoin(ssDf)
+      .select(col("__id"), col("__ss"),
+        slice(col("__qv"), col("__ss").cast("int") * subLen + 1,
+          lit(subLen)).as("__sv"))
+    // seeded-medoid init: the fitPqBooks rows, quantized
+    var book: Seq[(Long, Long, Seq[Long])] = q
+      .select(col("__id"), col("__qv"), hk.as("__hk"))
+      .orderBy(col("__hk"), col("__id")).limit(nCodes)
+      .withColumn("__code", row_number().over(
+        Window.orderBy(col("__hk"), col("__id"))).cast(LongType))
+      .collect().flatMap { r =>
+        val qv = r.getSeq[Long](1)
+        val code = r.getLong(3)
+        (0 until m).map(s => (s.toLong, code,
+          qv.slice(s * subLen, (s + 1) * subLen)))
+      }.toSeq
+    var round = 0
+    while (round < rounds) {
+      val bdf = book.toDF("__ss", "__code", "__cv")
+      val upd = sub.join(broadcast(bdf), Seq("__ss"))
+        .select(col("__id"), col("__ss"),
+          struct(id2(col("__sv"), col("__cv")).as("__d"), col("__code"))
+            .as("__s"), col("__sv"))
+        .groupBy("__id", "__ss")
+        .agg(min(col("__s")).as("__m"), first(col("__sv")).as("__sv"))
+        .select(col("__ss"), col("__m.__code").as("__code"),
+          posexplode(col("__sv")).as(Seq("__pos", "__v")))
+        .groupBy("__ss", "__code", "__pos")
+        .agg(sum(col("__v").cast(DecimalType(38, 0))).as("__sum"),
+          count(lit(1)).as("__n"))
+        // floor-mean: subtract the non-negative remainder first so
+        // div is an exact multiple — true floor at any sign
+        .select(col("__ss"), col("__code"), col("__pos"),
+          expr("(__sum - pmod(__sum, __n)) div __n").as("__mean"))
+        .collect()
+        .groupBy(r => (r.getLong(0), r.getLong(1)))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+        }
+      // empty-code carry: a code that attracted no slice keeps its
+      // previous codeword (the kmeans rule)
+      book = book.map { case (s, c, prev) =>
+        (s, c, upd.getOrElse((s, c), prev))
+      }
+      round += 1
+    }
+    book.toDF("subspace", "code", "codeword")
+      .orderBy("subspace", "code")
+  }
+
+  /** Recall@k of ADC ranking under a Lloyd-refined integer codebook
+    * ([[fitPqBooksLloyd]]) vs exact integer distance — the
+    * [[pqAdcRecall]] audit with the codebook fit swapped, so
+    * `rounds = 0` reproduces it exactly (same seeded-medoid init,
+    * integer arithmetic equal to the quantized float path term by
+    * term) and higher rounds measure what k-means refinement actually
+    * buys on THIS corpus (the q214 lesson: measure, don't assume the
+    * literature's fit transfers).
+    *
+    * Returns (k, n_overlap, recall_ppm) ordered by k. */
+  def pqLloydRecall(emb: DataFrame, queryId: Long = 0L,
+      ks: Seq[Int] = Seq(1, 5, 10), m: Int = 8, nCodes: Int = 16,
+      rounds: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", quantScale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    val spark = emb.sparkSession
+    val maxK = ks.max
+    val qraw = probeVector(emb, queryId, idCol, vecCol)
+    val d = qraw.length
+    require(d % m == 0, s"dim $d is not divisible by m=$m")
+    val subLen = d / m
+    val qq: Seq[Long] = qraw.map(x => math.floor(x * quantScale).toLong)
+    def quant(c: Column): Column =
+      transform(c, x => floor(x.cast(DoubleType) * lit(quantScale))
+        .cast(LongType))
+    def id2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    def sliceS(v: Column, s: Column): Column =
+      slice(v, s.cast("int") * subLen + 1, lit(subLen))
+    val books = fitPqBooksLloyd(emb, m, nCodes, rounds, idCol, vecCol,
+      quantScale)
+      .select(col("subspace").as("__ss"), col("code").as("__code"),
+        col("codeword").as("__cv"))
+    val q = emb.select(col(idCol).as("__id"), quant(col(vecCol)).as("__qv"))
+    val ssDf = spark.range(0, m).select(col("id").as("__ss"))
+    val codes = q.crossJoin(ssDf)
+      .select(col("__id"), col("__ss"), sliceS(col("__qv"), col("__ss"))
+        .as("__sv"))
+      .join(broadcast(books), Seq("__ss"))
+      .select(col("__id"), col("__ss"),
+        struct(id2(col("__sv"), col("__cv")).as("__d"), col("__code"))
+          .as("__s"))
+      .groupBy("__id", "__ss")
+      .agg(min(col("__s")).as("__m"))
+      .select(col("__id"), col("__ss"), col("__m.__code").as("__code"))
+    val lut = books
+      .select(col("__ss"), col("__code"),
+        id2(sliceS(typedLit(qq), col("__ss")), col("__cv")).as("__qd2"))
+    val adc = codes.join(broadcast(lut), Seq("__ss", "__code"))
+      .groupBy("__id").agg(sum(col("__qd2")).as("__adc"))
+    val approx = adc
+      .agg(TopKAgg.topK(col("__adc"), col("__id"), maxK, largest = false)
+        .as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast(LongType).as("__ar"),
+        col("e.id").as("__id"))
+    val exact = q
+      .select(col("__id"), id2(typedLit(qq), col("__qv")).as("__dx"))
+      .agg(TopKAgg.topK(col("__dx"), col("__id"), maxK, largest = false)
+        .as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast(LongType).as("__er"),
+        col("e.id").as("__id"))
+    val j = exact.join(approx, Seq("__id"))
+    val ksDf = spark.range(0, ks.length).select(
+      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
+        .as("k"))
+    j.crossJoin(broadcast(ksDf))
+      .groupBy("k")
+      .agg(sum(when(col("__er") <= col("k") && col("__ar") <= col("k"), 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy("k")
+  }
+
+  /** Vector dimensionality from the frame's first row — the shared
+    * contract probe ([[probeVector]]'s widening rules). */
+  private def probeDim(emb: DataFrame, idCol: String,
+      vecCol: String): Int = {
+    val r = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(r.nonEmpty, "empty embedding frame")
+    r(0).getInt(0)
+  }
+
   /** RESIDUAL-encoded IVFADC recall audit — the spelling Jégou '11
     * actually ships: PQ codes the RESIDUAL x − c(x) (each vector
     * minus its coarse centroid), not the raw vector, and the query

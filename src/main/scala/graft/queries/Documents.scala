@@ -210,9 +210,7 @@ object Documents {
     * neighbor gaps dwarf the precision difference). */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val qvec = emb.filter(col("vec_id") === 0)
-      .select("embedding").limit(1).collect()
-      .head.getSeq[Float](0).map(_.toDouble)
+    val qvec = Similarity.probeVector(emb, 0L)
     Similarity.bruteForceKnn(emb, qvec, 20)
       .select(col("rank").as("rk"), col("vec_id"))
   }

@@ -251,9 +251,7 @@ object Pipelines {
     * fixed-nProbe [[Similarity.ivfKnn]] stays the recall-trading API. */
   private def q42(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val qvec = emb.filter(col("vec_id") === 0)
-      .select("embedding").limit(1).collect()
-      .head.getSeq[Float](0).map(_.toDouble)
+    val qvec = Similarity.probeVector(emb, 0L)
     val (indexed, model) = Similarity.fitIvf(emb, nLists = 16)
     Similarity.exactIvfKnn(indexed, model, qvec, k = 20, nProbe0 = 4)
       .select(col("rank").as("rk"), col("vec_id"))

@@ -446,9 +446,7 @@ object Round11 {
     * storage hop must be semantically invisible. */
   private def q97(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val qvec = emb.filter(col("vec_id") === 0)
-      .select("embedding").limit(1).collect()
-      .head.getSeq[Float](0).map(_.toDouble)
+    val qvec = graft.ops.Similarity.probeVector(emb, 0L)
     val (indexed, model) = graft.ops.Similarity.fitIvf(emb, nLists = 16)
     val idxDir = freshScratchDir("graft_q97_ivf")
     graft.ops.Similarity.saveIvf(indexed, model, idxDir)

@@ -224,9 +224,7 @@ object Round14 {
     * round. */
   private def q135(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val qvec = emb.filter(col("vec_id") === 0)
-      .select("embedding").limit(1).collect()
-      .head.getSeq[Float](0).map(_.toDouble)
+    val qvec = Similarity.probeVector(emb, 0L)
     val ex = Similarity.bruteForceKnn(emb, qvec, 20)
       .select(col("rank"), col("vec_id"))
     val qu = Similarity.quantizedKnn(emb, queryId = 0L, k = 20)

@@ -805,9 +805,7 @@ object Round16 {
     * operation a live ANN index runs daily, correctness-gated. */
   private def q194(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val qvec = emb.filter(col("vec_id") === 0)
-      .select("embedding").limit(1).collect()
-      .head.getSeq[Float](0).map(_.toDouble)
+    val qvec = Similarity.probeVector(emb, 0L)
     val base = emb.filter(col("vec_id") % 5 =!= 0)
     val inc = emb.filter(col("vec_id") % 5 === 0)
     val (indexed, model) = Similarity.fitIvf(base, nLists = 16)

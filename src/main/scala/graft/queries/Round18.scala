@@ -683,6 +683,135 @@ object Round18 {
       |    AS t_close
       |FROM agg ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+  /** LLOYD-vs-MEDOID PQ codebook A/B ([[graft.ops.Similarity
+    * .pqLloydRecall]] at rounds ∈ {0, 1, 2}): q214 measured that the
+    * seeded-medoid codebook gives residual coding no edge and noted
+    * the literature's result assumes k-means-fit codebooks — this
+    * query runs that experiment. Same init (rounds = 0 IS the medoid
+    * book, spec-pinned to `pqAdcRecall`), bounded integer Lloyd
+    * rounds per subspace (the q148 arithmetic: DECIMAL floor-means,
+    * lowest-code ties, empty-code carry), recall@{1,5,10} per round
+    * count in one frame. The oracle replays every round as generated
+    * CTE blocks — assignment, per-(subspace, code, dim) floor-mean
+    * update, carry — then the encode/LUT/rank tail per variant. */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Seq(0, 1, 2).map { r =>
+      Similarity.pqLloydRecall(emb, queryId = 0L, ks = Seq(1, 5, 10),
+          m = 8, nCodes = 16, rounds = r)
+        .withColumn("lloyd_rounds", lit(r.toLong))
+    }.reduce(_ unionAll _)
+      .select("lloyd_rounds", "k", "n_overlap", "recall_ppm")
+      .orderBy("lloyd_rounds", "k")
+  }
+
+  /** One Lloyd round over every subspace jointly, as oracle CTEs:
+    * assignment under `$prev`, HUGEINT floor-mean update, empty-code
+    * carry → `${p}b$i`. */
+  private def lloydRoundCtes(p: String, i: Int, prev: String): String =
+    s"""${p}a$i AS (
+       |  SELECT vec_id, s, code, sv FROM (
+       |    SELECT sub.vec_id, sub.s, b.code, sub.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub JOIN $prev b ON b.s = sub.s) WHERE rk = 1
+       |),
+       |${p}u$i AS (
+       |  SELECT s, code, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT s, code, pos,
+       |      CAST((t - ((t % n) + n) % n) // n AS BIGINT) AS m
+       |    FROM (
+       |      SELECT a.s, a.code, r.pos AS pos,
+       |        CAST(SUM(a.sv[r.pos]) AS HUGEINT) AS t,
+       |        CAST(COUNT(*) AS HUGEINT) AS n
+       |      FROM ${p}a$i a,
+       |        LATERAL (SELECT unnest(range(1, len(a.sv) + 1)) AS pos) r
+       |      GROUP BY a.s, a.code, r.pos))
+       |  GROUP BY s, code
+       |),
+       |${p}b$i AS (
+       |  SELECT p0.s, p0.code, COALESCE(u.cv, p0.cv) AS cv
+       |  FROM $prev p0 LEFT JOIN ${p}u$i u
+       |    ON u.s = p0.s AND u.code = p0.code
+       |)""".stripMargin
+
+  /** Encode + LUT + ADC + ranking under the final book `$bk`. */
+  private def lloydTailCtes(p: String, bk: String): String =
+    s"""${p}enc AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub JOIN $bk b ON b.s = sub.s) WHERE rk = 1
+       |),
+       |${p}lut AS (
+       |  SELECT b.s AS s, b.code,
+       |    ${Round16.d2Sql("pq.pqv[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
+       |  FROM $bk b, pq
+       |),
+       |${p}adc AS (
+       |  SELECT a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM ${p}enc a JOIN ${p}lut l ON l.s = a.s AND l.code = a.code
+       |  GROUP BY a.vec_id
+       |),
+       |${p}x AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS BIGINT) AS ar
+       |  FROM ${p}adc
+       |)""".stripMargin
+
+  private def lloydRecallSelect(p: String, r: Int): String =
+    s"""SELECT CAST($r AS BIGINT) AS lloyd_rounds, k.k AS k,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM exr e JOIN ${p}x x USING (vec_id) CROSS JOIN ks k
+       |WHERE e.er <= 10 AND x.ar <= 10
+       |GROUP BY k.k""".stripMargin
+
+  private val q218Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |ss AS (SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s)),
+       |sub AS (SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv FROM q a, ss),
+       |med AS (
+       |  SELECT qv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |b0 AS (
+       |  SELECT ss.s, m.code, ${slice8("m.qv")} AS cv FROM med m, ss),
+       |pq AS (SELECT qv AS pqv FROM q WHERE vec_id = 0),
+       |exr AS (
+       |  SELECT a.vec_id,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY ${Round16.d2Sql("a.qv", "pq.pqv")}, a.vec_id) AS BIGINT)
+       |      AS er
+       |  FROM q a, pq
+       |),
+       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k)),
+       |${lloydTailCtes("r0", "b0")},
+       |${lloydRoundCtes("r1", 1, "b0")},
+       |${lloydTailCtes("r1", "r1b1")},
+       |${lloydRoundCtes("r2", 1, "b0")},
+       |${lloydRoundCtes("r2", 2, "r2b1")},
+       |${lloydTailCtes("r2", "r2b2")}
+       |SELECT lloyd_rounds, k, n_overlap, recall_ppm FROM (
+       |${lloydRecallSelect("r0", 0)}
+       |UNION ALL
+       |${lloydRecallSelect("r1", 1)}
+       |UNION ALL
+       |${lloydRecallSelect("r2", 2)})
+       |ORDER BY lloyd_rounds, k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q209_ivfadc_recall", q209, Some(q209Sql)),
     QueryDef("q210_unigram_em", q210, Some(q210Sql)),
@@ -692,5 +821,6 @@ object Round18 {
     QueryDef("q214_residual_ivfadc", q214, Some(q214Sql)),
     QueryDef("q215_ivf_adc_batch", q215, Some(q215Sql)),
     QueryDef("q216_t_closeness_ordered", q216, Some(q216Sql)),
-    QueryDef("q217_unigram_em2", q217, Some(q217Sql)))
+    QueryDef("q217_unigram_em2", q217, Some(q217Sql)),
+    QueryDef("q218_pq_lloyd_recall", q218, Some(q218Sql)))
 }

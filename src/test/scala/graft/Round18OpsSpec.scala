@@ -143,6 +143,38 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(frontier === fullScan)
   }
 
+  // ------------------------------- q218 Lloyd-refined PQ codebooks
+  test("fitPqBooksLloyd: floor-mean update is negative-safe and empty codes carry") {
+    import graft.ops.Similarity
+    // hash rank over ids 0..3 orders (0, 2, 1, 3), so the two medoid
+    // codewords are id0 and id2 — BOTH (5,5). Every vector ties to
+    // them equally and argmin breaks to code 1, leaving code 2 EMPTY
+    // (carries its medoid). Code 1's members sum to (-6, 12) over 4
+    // rows: floor(-6/4) = -2 (true floor, not truncation), 12/4 = 3.
+    val emb = Seq(
+      (0L, Array(5.0f, 5.0f)), (1L, Array(4.0f, 5.0f)),
+      (2L, Array(5.0f, 5.0f)), (3L, Array(-20.0f, -3.0f))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.fitPqBooksLloyd(emb, m = 1, nCodes = 2,
+      rounds = 1, quantScale = 1.0)
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    assert(books === Seq((0L, 1L, Seq(-2L, 3L)), (0L, 2L, Seq(5L, 5L))))
+  }
+
+  test("pqLloydRecall: rounds=0 reproduces the medoid-book pqAdcRecall exactly") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(67)
+    val emb = (0L until 34L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val lloyd0 = Similarity.pqLloydRecall(emb, queryId = 0L,
+      ks = Seq(1, 5, 10), m = 2, nCodes = 4, rounds = 0)
+      .as[(Long, Long, Long)].collect().toSeq
+    val medoid = Similarity.pqAdcRecall(emb, queryId = 0L,
+      ks = Seq(1, 5, 10), m = 2, nCodes = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(lloyd0 === medoid)
+  }
+
   // ------------------------------- q210/q217 Viterbi-hard EM
   // Hand algebra on the q200 corpus (1,"aa aa ab"), (2,"aab x"),
   // vocabN=2. Round-0 vocab: aa:3, aab:4, a:1, b:3 (total 10);
