@@ -812,6 +812,99 @@ object Round18 {
        |${lloydRecallSelect("r2", 2)})
        |ORDER BY lloyd_rounds, k""".stripMargin
 
+  // ---------------------------------------------------------------- q219
+  /** PQ COMPRESSION → recall frontier ([[graft.ops.Similarity
+    * .pqAdcRecall]] swept over m ∈ {2, 4, 8, 16} at nCodes = 16):
+    * each subspace stores one 4-bit code, so m IS the bytes-per-vector
+    * dial (1/2/4/8 B against the raw 256 B float vector — 256× down
+    * to 32× compression), and this is the sizing curve beside q213's
+    * nProbe dial: how much recall each stored byte buys. One shared
+    * exact ranking; per-m codebook/assignment/LUT blocks generated so
+    * the oracle's m list can never drift from the query's. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Seq(2, 4, 8, 16).map { mm =>
+      Similarity.pqAdcRecall(emb, queryId = 0L, ks = Seq(1, 5, 10),
+          m = mm, nCodes = 16)
+        .withColumn("m", lit(mm.toLong))
+    }.reduce(_ unionAll _)
+      .select("m", "k", "n_overlap", "recall_ppm")
+      .orderBy("m", "k")
+  }
+
+  /** One PQ geometry's codebook → assignment → LUT → ADC ranking,
+    * name-prefixed per m (subLen = 64/m on the 64-dim corpus). */
+  private def pqGeomCtes(m: Int): String = {
+    val w = 64 / m
+    val p = s"m$m"
+    val sl = (v: String) =>
+      s"$v[CAST(ss$p.s * $w + 1 AS INT):CAST(ss$p.s * $w + $w AS INT)]"
+    s"""ss$p AS (SELECT CAST(u.s AS BIGINT) AS s
+       |         FROM UNNEST(range(0, $m)) AS u(s)),
+       |books$p AS (
+       |  SELECT ss$p.s, m.code, ${sl("m.qv")} AS cv FROM med m, ss$p),
+       |sub$p AS (
+       |  SELECT a.vec_id, ss$p.s, ${sl("a.qv")} AS sv FROM q a, ss$p),
+       |asgn$p AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub$p.vec_id, sub$p.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub$p.vec_id, sub$p.s
+       |        ORDER BY ${Round16.d2Sql(s"sub$p.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub$p JOIN books$p b ON b.s = sub$p.s) WHERE rk = 1
+       |),
+       |qsub$p AS (SELECT ss$p.s, ${sl("pq.pqv")} AS qsv FROM pq, ss$p),
+       |lut$p AS (
+       |  SELECT b.s, b.code, ${Round16.d2Sql("qs.qsv", "b.cv")} AS qd2
+       |  FROM books$p b JOIN qsub$p qs ON qs.s = b.s),
+       |adc$p AS (
+       |  SELECT a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM asgn$p a JOIN lut$p l ON l.s = a.s AND l.code = a.code
+       |  GROUP BY a.vec_id),
+       |x$p AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id) AS BIGINT) AS ar
+       |  FROM adc$p
+       |)""".stripMargin
+  }
+
+  private def pqGeomSelect(m: Int): String =
+    s"""SELECT CAST($m AS BIGINT) AS m, k.k AS k,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_overlap,
+       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
+       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM exr e JOIN xm$m x USING (vec_id) CROSS JOIN ks k
+       |WHERE e.er <= 10 AND x.ar <= 10
+       |GROUP BY k.k""".stripMargin
+
+  private val q219Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |med AS (
+       |  SELECT qv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |pq AS (SELECT qv AS pqv FROM q WHERE vec_id = 0),
+       |exr AS (
+       |  SELECT a.vec_id,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY ${Round16.d2Sql("a.qv", "pq.pqv")}, a.vec_id) AS BIGINT)
+       |      AS er
+       |  FROM q a, pq
+       |),
+       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k)),
+       |${Seq(2, 4, 8, 16).map(pqGeomCtes).mkString(",\n")}
+       |SELECT m, k, n_overlap, recall_ppm FROM (
+       |${Seq(2, 4, 8, 16).map(pqGeomSelect).mkString("\nUNION ALL\n")})
+       |ORDER BY m, k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q209_ivfadc_recall", q209, Some(q209Sql)),
     QueryDef("q210_unigram_em", q210, Some(q210Sql)),
@@ -822,5 +915,6 @@ object Round18 {
     QueryDef("q215_ivf_adc_batch", q215, Some(q215Sql)),
     QueryDef("q216_t_closeness_ordered", q216, Some(q216Sql)),
     QueryDef("q217_unigram_em2", q217, Some(q217Sql)),
-    QueryDef("q218_pq_lloyd_recall", q218, Some(q218Sql)))
+    QueryDef("q218_pq_lloyd_recall", q218, Some(q218Sql)),
+    QueryDef("q219_pq_compression_frontier", q219, Some(q219Sql)))
 }
