@@ -143,6 +143,23 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(frontier === fullScan)
   }
 
+  // ------------------------------- q219 compression frontier extreme
+  test("pqAdcRecall: the frontier's extreme (m = dim, nCodes = n) is exact at every k") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(71)
+    val emb = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    // one dim per subspace AND one codeword per vector: each stored
+    // code reconstructs the exact quantized component, so the ADC
+    // ranking IS the exact ranking — the lossless end of the
+    // bytes-per-vector dial q219 sweeps
+    val got = Similarity.pqAdcRecall(emb, queryId = 0L, ks = Seq(1, 5, 10),
+      m = 8, nCodes = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1000000L), (5L, 5L, 1000000L),
+      (10L, 10L, 1000000L)))
+  }
+
   // ------------------------------- q218 Lloyd-refined PQ codebooks
   test("fitPqBooksLloyd: floor-mean update is negative-safe and empty codes carry") {
     import graft.ops.Similarity
