@@ -481,7 +481,7 @@ object Scaling {
             val nVecs = df.count()
             var books: org.apache.spark.sql.DataFrame = null
             var codes: org.apache.spark.sql.DataFrame = null
-            val (nCodes, tEnc) = timed {
+            val (_, tEnc) = timed {
               books = graft.ops.Similarity.fitPqBooks(df, m = 8,
                 nCodes = 16).localCheckpoint(true)
               codes = graft.ops.Similarity.encodePq(df, books)
@@ -494,7 +494,7 @@ object Scaling {
             val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
             val candRows = nVecs * 16L
             val perM = if (candRows > 0) t / (candRows / 1e6) else 0.0
-            points += f"""{"x":$x,"vecs":$nVecs,"nprobes":16,"cand_rows":$candRows,"encode_sec":$tEnc%.2f,"rows":$rows,"sec":$t%.2f,"sec_per_1m_cand_rows":$perM%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
+            points += f"""{"x":$x,"vecs":$nVecs,"n_queries":16,"cand_rows":$candRows,"encode_sec":$tEnc%.2f,"rows":$rows,"sec":$t%.2f,"sec_per_1m_cand_rows":$perM%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 

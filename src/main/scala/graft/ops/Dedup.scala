@@ -975,16 +975,22 @@ object Dedup {
     // window as dropExact (8-byte compares, raw key as the collision
     // guard) but the survivor is the best-scoring twin, so a
     // non-text-derived score is never discarded before the cluster
-    // argmax. cache: feeds the MinHash funnel, the cluster-score join
-    // and the final survivor anti-join (same retained-past-call
-    // contract as deduplicate's `exact`)
+    // argmax. localCheckpoint, NOT cache (r18 verdict watch item):
+    // this frame feeds THREE consumers — the MinHash funnel, the
+    // cluster-score join and the final survivor anti-join — and a
+    // cache evicted under memory pressure mid-query recomputes the
+    // full-corpus fingerprint window per consumer (the 2.65 s →
+    // 19.12 s q119 swing in the r18 unattended rerun). Checkpoint
+    // blocks sit at MEMORY_AND_DISK: under pressure they spill, they
+    // don't vanish, and the truncated lineage pins the window to one
+    // evaluation.
     val wBest = Window
       .partitionBy(xxhash64(col(textCol)), col(textCol))
       .orderBy(col("__score").desc, col(idCol))
     val exact = docs.withColumn("__score", score)
       .withColumn("__rn", row_number().over(wBest))
       .filter(col("__rn") === 1).drop("__rn")
-      .cache()
+      .localCheckpoint(true)
     val pairs = minhashPairs(exact, idCol, textCol,
       shingleSize = shingleSize, maxJaccardDist = maxJaccardDist)
     val clusters = connectedComponents(pairs)

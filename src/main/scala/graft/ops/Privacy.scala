@@ -168,9 +168,20 @@ object Privacy {
       .agg(sum(col("__c")).as("__n"))
     val corpus = base.groupBy("__sv").agg(count(lit(1)).as("__cv"))
     val total = base.agg(count(lit(1)).as("__nn"))
+    // NULL is an ORDINARY sensitive category (r18 ADVICE): groupBy
+    // forms a null group on both the cohort and corpus sides, so the
+    // grid join must be null-safe on every key — a plain equi-join
+    // never matches NULL, which would coalesce a cohort's own null
+    // mass to c = 0 while the corpus cv still counts it, inflating
+    // that cohort's TVD. The oracle joins with IS NOT DISTINCT FROM.
+    val bySvR = bySv.select(col("source").as("__js"),
+      col("len_bucket").as("__jl"), col("__sv").as("__jv"), col("__c"))
     cohorts
       .crossJoin(broadcast(corpus))
-      .join(bySv, Seq("source", "len_bucket", "__sv"), "left")
+      .join(bySvR, col("source") <=> col("__js")
+        && col("len_bucket") <=> col("__jl")
+        && col("__sv") <=> col("__jv"), "left")
+      .drop("__js", "__jl", "__jv")
       .crossJoin(broadcast(total))
       .select(col("source"), col("len_bucket"), col("__n"), col("__nn"),
         coalesce(col("__c"), lit(0L)).as("__c"), col("__cv"))
@@ -230,8 +241,15 @@ object Privacy {
       s"tPpm must be a ppm fraction in [0, 1000000], got $tPpm")
     require(lenBucket >= 1L)
     val dec = DecimalType(38, 0)
+    // a NULL ordinal has NO position on the value axis — ground
+    // distance to every other value is undefined, so null-length
+    // docs are excluded from the EMD up front (documented stance;
+    // the CATEGORICAL rung keeps null as an ordinary value because
+    // TVD needs no ground distance). Cohort KEYS stay null-safe:
+    // a null source/lang is an ordinary cohort.
     val base = docs.select(col(sourceCol).as("source"),
-      col(langCol).as("lang"), expr(s"$lenCol div $lenBucket").as("__sv"))
+        col(langCol).as("lang"), expr(s"$lenCol div $lenBucket").as("__sv"))
+      .filter(col("__sv").isNotNull)
     val bySv = base.groupBy("source", "lang", "__sv")
       .agg(count(lit(1)).as("__c"))
     val cohorts = bySv.groupBy("source", "lang")
@@ -242,9 +260,14 @@ object Privacy {
     val cumW = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "lang").orderBy("__sv")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bySvR = bySv.select(col("source").as("__js"),
+      col("lang").as("__jl"), col("__sv").as("__jv"), col("__c"))
     cohorts
       .crossJoin(broadcast(corpus))
-      .join(bySv, Seq("source", "lang", "__sv"), "left")
+      .join(bySvR, col("source") <=> col("__js")
+        && col("lang") <=> col("__jl")
+        && col("__sv") <=> col("__jv"), "left")
+      .drop("__js", "__jl", "__jv")
       .crossJoin(broadcast(total))
       .select(col("source"), col("lang"), col("__sv"), col("__n"),
         col("__nn"), col("__v"),

@@ -1025,6 +1025,36 @@ object Similarity {
       .orderBy(col(idCol), col("rank"))
   }
 
+  /** THE seeded pick, in one place: the `nSeeds` rows of `df` whose
+    * full-32-bit Knuth id-hash `pmod(pmod(id, 2³¹)·2654435761, 2³²)`
+    * ranks lowest (ties by ascending id), each stamped with its
+    * 1-based hash rank as `rankName` (long). Every seeded draw in the
+    * ANN stack — coarse IVF centroids, PQ medoid codebooks, residual
+    * codebooks, the Lloyd init — is THIS pick, so a constant can only
+    * drift for all of them at once, never silently desync one index
+    * stage from its oracle replay (the round-18 verdict's four inline
+    * copies, factored — the [[probeVector]] precedent). Window over a
+    * LIMITed frame: bounded by contract, nSeeds rows. */
+  private def seededRank(df: DataFrame, idColName: String, nSeeds: Int,
+      rankName: String): DataFrame = {
+    val hk = pmod(pmod(col(idColName), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    df.withColumn("__hk", hk)
+      .orderBy(col("__hk"), col(idColName)).limit(nSeeds)
+      .withColumn(rankName, row_number().over(
+        Window.orderBy(col("__hk"), col(idColName))).cast(LongType))
+      .drop("__hk")
+  }
+
+  /** The coarse-quantizer centroid frame shared by the OFFLINE
+    * assignment ([[ivfRouted]] → [[ivfAssign]]) and the ONLINE query
+    * routing ([[ivfAdcTopKBatch]], [[adcTopKBatchRouted]]): the
+    * [[seededRank]] pick over (__id, __v), as (__cent, __cv). Factored
+    * so routing and assignment cannot desync (r18 ADVICE). */
+  private def seededCentroids(q: DataFrame, nCents: Int): DataFrame =
+    seededRank(q.select(col("__id"), col("__v")), "__id", nCents, "__cent")
+      .select(col("__cent"), col("__v").as("__cv"))
+
   /** Internal (shared by [[ivfHardNegatives]] and [[ivfProbeStats]]):
     * seeded-medoid centroids + one broadcast cross product yielding
     * BOTH the assignment (argmin cell, the candidate side) and the
@@ -1038,16 +1068,7 @@ object Similarity {
       graft.engine.Columns.ofExpr(QuantSqDistExpr(
         graft.engine.Columns.exprOf(a),
         graft.engine.Columns.exprOf(b), quantScale))
-    // seeded-medoid centroids: nCents rows, window over a LIMITed
-    // frame (bounded by contract — this is the broadcast side)
-    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
-    val cents = q.select(col("__id"), col("__v"), hk.as("__hk"))
-      .orderBy(col("__hk"), col("__id")).limit(nCents)
-      .withColumn("__cent", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("__hk"), col("__id"))).cast(LongType))
-      .select(col("__cent"), col("__v").as("__cv"))
+    val cents = seededCentroids(q, nCents)
     q.crossJoin(broadcast(cents))
       .select(col("__id"), col("__lab"), col("__v"), col("__cent"),
         qdist(col("__v"), col("__cv")).as("__d2c"))
@@ -1169,14 +1190,9 @@ object Similarity {
       .collect()(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subLen = dim / m
-    val hk = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
-    val meds = emb.select(col(idCol).as("__mid"), col(vecCol).as("__mv"),
-        hk.as("__hk"))
-      .orderBy(col("__hk"), col("__mid")).limit(nCodes)
-      .withColumn("__code", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("__hk"), col("__mid"))).cast(LongType))
+    val meds = seededRank(
+      emb.select(col(idCol).as("__mid"), col(vecCol).as("__mv")),
+      "__mid", nCodes, "__code")
     val books = meds
       .select(col("__code"), explode(sequence(lit(0), lit(m - 1))).as("__s"),
         col("__mv"))
@@ -1231,6 +1247,33 @@ object Similarity {
       case other => sys.error(
         s"probeVector: $vecCol must be array<float|double>, got $other")
     }).toSeq
+  }
+
+  /** Shared recall@k tail for every ranking audit in the PQ/IVF
+    * family ([[pqAdcRecall]], [[ivfAdcRecall]], [[pqLloydRecall]],
+    * [[ivfAdcResidualRecall]]): join the exact ranks (__id, __er)
+    * with the approximate ranks (__id, __ar), count overlaps per k,
+    * and FILL THE k GRID — a k whose top-k overlap is empty emits
+    * (k, 0, 0) instead of no row, matching the LEFT-JOIN fill the
+    * SQL oracles use (r18 ADVICE: the q213 oracle filled its grid
+    * while the engine side omitted empty groups — a latent row-count
+    * mismatch on any corpus where some nProbe finds nothing).
+    *
+    * Returns (k, n_overlap, recall_ppm) ordered by k. */
+  private def recallGrid(exact: DataFrame, approx: DataFrame,
+      ks: Seq[Int]): DataFrame = {
+    val spark = exact.sparkSession
+    val ksDf = spark.range(0, ks.length).select(
+      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
+        .as("k"))
+    val hits = exact.join(approx, Seq("__id"))
+      .crossJoin(broadcast(ksDf))
+      .filter(col("__er") <= col("k") && col("__ar") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("__c"))
+    ksDf.join(hits, Seq("k"), "left")
+      .select(col("k"), coalesce(col("__c"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy("k")
   }
 
   /** Codebook geometry (m, subLen) read from a fitted/loaded codebook
@@ -1364,7 +1407,6 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       quantScale: Double = 1e4): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1))
-    val spark = emb.sparkSession
     val maxK = ks.max
     val (codes, books, subLen) = pqParts(emb, m, nCodes, idCol, vecCol,
       quantScale)
@@ -1390,16 +1432,7 @@ object Similarity {
     val exR = topRanks(
       emb.select(col(idCol).as("__id"), qdist(qlit, col(vecCol)).as("__dx")),
       "__dx", "__er")
-    val j = exR.join(adcR, Seq("__id"))
-    val ksDf = spark.range(0, ks.length).select(
-      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
-        .as("k"))
-    j.crossJoin(broadcast(ksDf))
-      .groupBy("k")
-      .agg(sum(when(col("__er") <= col("k") && col("__ar") <= col("k"), 1L)
-        .otherwise(0L)).as("n_overlap"))
-      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
-      .orderBy("k")
+    recallGrid(exR, adcR, ks)
   }
 
   /** END-TO-END IVFADC recall audit: recall@k of the COMPOSED
@@ -1434,7 +1467,6 @@ object Similarity {
       m: Int = 8, nCodes: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", quantScale: Double = 1e4): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1))
-    val spark = emb.sparkSession
     val maxK = ks.max
     val qv = probeVector(emb, queryId, idCol, vecCol)
     // the system under audit — q206's exact assembly
@@ -1460,16 +1492,7 @@ object Similarity {
         .as("tk"))
       .select(posexplode(col("tk")).as(Seq("pos", "e")))
       .select((col("pos") + 1).cast(LongType).as("__er"), col("e.id").as("__id"))
-    val j = exact.join(approx, Seq("__id"))
-    val ksDf = spark.range(0, ks.length).select(
-      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
-        .as("k"))
-    j.crossJoin(broadcast(ksDf))
-      .groupBy("k")
-      .agg(sum(when(col("__er") <= col("k") && col("__ar") <= col("k"), 1L)
-        .otherwise(0L)).as("n_overlap"))
-      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
-      .orderBy("k")
+    recallGrid(exact, approx, ks)
   }
 
   /** BATCHED multi-query ADC retrieval — the production spelling of
@@ -1562,19 +1585,16 @@ object Similarity {
     val books = fitPqBooks(emb, m, nCodes, idCol, vecCol)
     val codes = encodePq(emb, books, idCol, vecCol, quantScale)
       .join(asg, Seq(idCol))
-    // online: rank the broadcast centroid frame per query
+    // online: rank the broadcast centroid frame per query — the SAME
+    // seededCentroids frame ivfRouted assigned the stored codes with
+    // (r18 ADVICE: a hand copy here could silently desync routing
+    // from assignment)
     def qdist(a: Column, b: Column): Column =
       graft.engine.Columns.ofExpr(QuantSqDistExpr(
         graft.engine.Columns.exprOf(a),
         graft.engine.Columns.exprOf(b), quantScale))
-    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
-    val cents = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .select(col("__id"), col("__v"), hk.as("__hk"))
-      .orderBy(col("__hk"), col("__id")).limit(nCents)
-      .withColumn("__cent", row_number().over(
-        Window.orderBy(col("__hk"), col("__id"))).cast(LongType))
-      .select(col("__cent"), col("__v").as("__cv"))
+    val cents = seededCentroids(
+      emb.select(col(idCol).as("__id"), col(vecCol).as("__v")), nCents)
     val qprobe = queries
       .select(col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv"))
       .crossJoin(broadcast(cents))
@@ -1635,38 +1655,45 @@ object Similarity {
   def fitPqBooksLloyd(emb: DataFrame, m: Int = 8, nCodes: Int = 16,
       rounds: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding", quantScale: Double = 1e4): DataFrame = {
-    require(m >= 1 && nCodes >= 1 && rounds >= 0)
-    val spark = emb.sparkSession
-    import spark.implicits._
     val d0 = probeDim(emb, idCol, vecCol)
-    require(d0 % m == 0, s"dim $d0 is not divisible by m=$m")
-    val subLen = d0 / m
     def quant(c: Column): Column =
       transform(c, x => floor(x.cast(DoubleType) * lit(quantScale))
         .cast(LongType))
+    fitPqBooksLloydInt(
+      emb.select(col(idCol).as("__id"), quant(col(vecCol)).as("__qv")),
+      m, nCodes, rounds, d0)
+  }
+
+  /** [[fitPqBooksLloyd]]'s core over an ALREADY-INTEGER frame
+    * (__id, __qv: array<long>) — factored so the RESIDUAL index fit
+    * ([[ivfAdcTopKBatchResidual]]) runs the IDENTICAL Lloyd program
+    * over residual vectors (exact integer differences) that the raw
+    * fit runs over quantized vectors: same seeded init rule, same
+    * floor-mean/tie/carry arithmetic, one code path to audit. */
+  private def fitPqBooksLloydInt(q: DataFrame, m: Int, nCodes: Int,
+      rounds: Int, dim: Int): DataFrame = {
+    require(m >= 1 && nCodes >= 1 && rounds >= 0)
+    val spark = q.sparkSession
+    import spark.implicits._
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m")
+    val subLen = dim / m
     def id2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, v) => acc + v)
-    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
-    val q = emb.select(col(idCol).as("__id"), quant(col(vecCol)).as("__qv"))
     val ssDf = spark.range(0, m).select(col("id").as("__ss"))
     val sub = q.crossJoin(ssDf)
       .select(col("__id"), col("__ss"),
         slice(col("__qv"), col("__ss").cast("int") * subLen + 1,
           lit(subLen)).as("__sv"))
-    // seeded-medoid init: the fitPqBooks rows, quantized
-    var book: Seq[(Long, Long, Seq[Long])] = q
-      .select(col("__id"), col("__qv"), hk.as("__hk"))
-      .orderBy(col("__hk"), col("__id")).limit(nCodes)
-      .withColumn("__code", row_number().over(
-        Window.orderBy(col("__hk"), col("__id"))).cast(LongType))
-      .collect().flatMap { r =>
-        val qv = r.getSeq[Long](1)
-        val code = r.getLong(3)
-        (0 until m).map(s => (s.toLong, code,
-          qv.slice(s * subLen, (s + 1) * subLen)))
-      }.toSeq
+    // seeded-medoid init: the fitPqBooks rows, in the integer domain
+    var book: Seq[(Long, Long, Seq[Long])] =
+      seededRank(q, "__id", nCodes, "__code")
+        .collect().flatMap { r =>
+          val qv = r.getSeq[Long](1)
+          val code = r.getLong(2)
+          (0 until m).map(s => (s.toLong, code,
+            qv.slice(s * subLen, (s + 1) * subLen)))
+        }.toSeq
     var round = 0
     while (round < rounds) {
       val bdf = book.toDF("__ss", "__code", "__cv")
@@ -1765,16 +1792,7 @@ object Similarity {
       .select(posexplode(col("tk")).as(Seq("pos", "e")))
       .select((col("pos") + 1).cast(LongType).as("__er"),
         col("e.id").as("__id"))
-    val j = exact.join(approx, Seq("__id"))
-    val ksDf = spark.range(0, ks.length).select(
-      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
-        .as("k"))
-    j.crossJoin(broadcast(ksDf))
-      .groupBy("k")
-      .agg(sum(when(col("__er") <= col("k") && col("__ar") <= col("k"), 1L)
-        .otherwise(0L)).as("n_overlap"))
-      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
-      .orderBy("k")
+    recallGrid(exact, approx, ks)
   }
 
   /** Vector dimensionality from the frame's first row — the shared
@@ -1843,12 +1861,7 @@ object Similarity {
     def sliceS(v: Column, s: Column): Column =
       slice(v, s.cast("int") * subLen + 1, lit(subLen))
     val q = emb.select(col(idCol).as("__id"), quant(col(vecCol)).as("__qv"))
-    val hk = pmod(pmod(col("__id"), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
-    val rankW = Window.orderBy(col("__hk"), col("__id"))
-    val cents = q.select(col("__id"), col("__qv"), hk.as("__hk"))
-      .orderBy(col("__hk"), col("__id")).limit(nCents)
-      .withColumn("__cent", row_number().over(rankW).cast(LongType))
+    val cents = seededRank(q, "__id", nCents, "__cent")
       .select(col("__cent"), col("__qv").as("__cqv"))
     // nearest cell per vector, then the residual against ITS centroid
     val asg = q.crossJoin(broadcast(cents))
@@ -1864,9 +1877,8 @@ object Similarity {
         zip_with(col("__qv"), col("__cqv"), (a, b) => a - b).as("__rv"))
     // residual codebook: the SAME hash-ranked medoid rows as the raw
     // fit, but their residuals — bounded at nCodes rows
-    val med = resid.select(col("__id"), col("__rv"), hk.as("__hk"))
-      .orderBy(col("__hk"), col("__id")).limit(nCodes)
-      .withColumn("__code", row_number().over(rankW).cast(LongType))
+    val med = seededRank(resid.select(col("__id"), col("__rv")),
+      "__id", nCodes, "__code")
     val ss = spark.range(0, m).select(col("id").as("__ss"))
     val books = med.crossJoin(ss)
       .select(col("__ss"), col("__code"),
@@ -1910,15 +1922,6 @@ object Similarity {
       .select(posexplode(col("tk")).as(Seq("pos", "e")))
       .select((col("pos") + 1).cast(LongType).as("__er"),
         col("e.id").as("__id"))
-    val j = exact.join(approx, Seq("__id"))
-    val ksDf = spark.range(0, ks.length).select(
-      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
-        .as("k"))
-    j.crossJoin(broadcast(ksDf))
-      .groupBy("k")
-      .agg(sum(when(col("__er") <= col("k") && col("__ar") <= col("k"), 1L)
-        .otherwise(0L)).as("n_overlap"))
-      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
-      .orderBy("k")
+    recallGrid(exact, approx, ks)
   }
 }

@@ -122,17 +122,17 @@ object Round18 {
        |      AS er
        |  FROM q a, pq
        |),
-       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k))
+       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k)),
+       |hit AS (
+       |  SELECT k.k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM exr e JOIN apxr x USING (vec_id) CROSS JOIN ks k
+       |  WHERE e.er <= k.k AND x.ar <= k.k
+       |  GROUP BY k.k
+       |)
        |SELECT k.k AS k,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_overlap,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
-       |FROM exr e
-       |  JOIN apxr x USING (vec_id)
-       |  CROSS JOIN ks k
-       |WHERE e.er <= 10 AND x.ar <= 10
-       |GROUP BY k.k
+       |  CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.c, 0) * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM ks k LEFT JOIN hit h ON h.k = k.k
        |ORDER BY k""".stripMargin
 
   // ---------------------------------------------------------------- q212
@@ -366,8 +366,9 @@ object Round18 {
       |  SELECT k.source, k.len_bucket, k.n, t.nn, v.cv,
       |    COALESCE(s.c, 0) AS c
       |  FROM coh k CROSS JOIN corp v CROSS JOIN tot t
-      |  LEFT JOIN bysv s ON s.source = k.source
-      |    AND s.len_bucket = k.len_bucket AND s.sv = v.sv
+      |  LEFT JOIN bysv s ON s.source IS NOT DISTINCT FROM k.source
+      |    AND s.len_bucket IS NOT DISTINCT FROM k.len_bucket
+      |    AND s.sv IS NOT DISTINCT FROM v.sv
       |),
       |agg AS (
       |  SELECT source, len_bucket,
@@ -550,24 +551,26 @@ object Round18 {
        |      AS er
        |  FROM q a, pq
        |),
-       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k))
+       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k)),
+       |hit AS (
+       |  SELECT k.k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM exr e JOIN apxr x USING (vec_id) CROSS JOIN ks k
+       |  WHERE e.er <= k.k AND x.ar <= k.k GROUP BY k.k
+       |),
+       |rhit AS (
+       |  SELECT k.k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM exr e JOIN rapxr x USING (vec_id) CROSS JOIN ks k
+       |  WHERE e.er <= k.k AND x.ar <= k.k GROUP BY k.k
+       |)
        |SELECT 'raw' AS variant, k.k AS k,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_overlap,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
-       |FROM exr e JOIN apxr x USING (vec_id) CROSS JOIN ks k
-       |WHERE e.er <= 10 AND x.ar <= 10
-       |GROUP BY k.k
+       |  CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.c, 0) * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM ks k LEFT JOIN hit h ON h.k = k.k
        |UNION ALL
        |SELECT 'residual' AS variant, k.k AS k,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_overlap,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
-       |FROM exr e JOIN rapxr x USING (vec_id) CROSS JOIN ks k
-       |WHERE e.er <= 10 AND x.ar <= 10
-       |GROUP BY k.k
+       |  CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.c, 0) * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM ks k LEFT JOIN rhit h ON h.k = k.k
        |ORDER BY variant, k""".stripMargin
 
   // ---------------------------------------------------------------- q215
@@ -642,6 +645,7 @@ object Round18 {
   private val q216Sql =
     """WITH b AS (
       |  SELECT source, lang, n_chars // 100 AS sv FROM documents
+      |  WHERE n_chars // 100 IS NOT NULL
       |),
       |bysv AS (
       |  SELECT source, lang, sv, CAST(COUNT(*) AS HUGEINT) AS c
@@ -658,8 +662,9 @@ object Round18 {
       |  SELECT k.source, k.lang, w.sv, k.n, t.nn, t.v, w.cv,
       |    COALESCE(s.c, 0) AS c
       |  FROM coh k CROSS JOIN corp w CROSS JOIN tot t
-      |  LEFT JOIN bysv s ON s.source = k.source AND s.lang = k.lang
-      |    AND s.sv = w.sv
+      |  LEFT JOIN bysv s ON s.source IS NOT DISTINCT FROM k.source
+      |    AND s.lang IS NOT DISTINCT FROM k.lang
+      |    AND s.sv IS NOT DISTINCT FROM w.sv
       |),
       |cum AS (
       |  SELECT source, lang, n, nn, v, c,
@@ -763,13 +768,13 @@ object Round18 {
 
   private def lloydRecallSelect(p: String, r: Int): String =
     s"""SELECT CAST($r AS BIGINT) AS lloyd_rounds, k.k AS k,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_overlap,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
-       |FROM exr e JOIN ${p}x x USING (vec_id) CROSS JOIN ks k
-       |WHERE e.er <= 10 AND x.ar <= 10
-       |GROUP BY k.k""".stripMargin
+       |  CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.c, 0) * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM ks k LEFT JOIN (
+       |  SELECT k2.k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM exr e JOIN ${p}x x USING (vec_id) CROSS JOIN ks k2
+       |  WHERE e.er <= k2.k AND x.ar <= k2.k GROUP BY k2.k) h
+       |  ON h.k = k.k""".stripMargin
 
   private val q218Sql =
     s"""WITH q AS (
@@ -869,13 +874,13 @@ object Round18 {
 
   private def pqGeomSelect(m: Int): String =
     s"""SELECT CAST($m AS BIGINT) AS m, k.k AS k,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_overlap,
-       |  CAST(SUM(CASE WHEN e.er <= k.k AND x.ar <= k.k THEN 1 ELSE 0 END)
-       |    * 1000000 // k.k AS BIGINT) AS recall_ppm
-       |FROM exr e JOIN xm$m x USING (vec_id) CROSS JOIN ks k
-       |WHERE e.er <= 10 AND x.ar <= 10
-       |GROUP BY k.k""".stripMargin
+       |  CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.c, 0) * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM ks k LEFT JOIN (
+       |  SELECT k2.k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM exr e JOIN xm$m x USING (vec_id) CROSS JOIN ks k2
+       |  WHERE e.er <= k2.k AND x.ar <= k2.k GROUP BY k2.k) h
+       |  ON h.k = k.k""".stripMargin
 
   private val q219Sql =
     s"""WITH q AS (
