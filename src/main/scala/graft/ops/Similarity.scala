@@ -995,8 +995,10 @@ object Similarity {
   def ivfHardNegatives(emb: DataFrame, k: Int = 5,
       nCents: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label", quantScale: Double = 1e4): DataFrame = {
+      labelCol: String = "label", quantScale: Double = 1e4,
+      numSalts: Int = 1): DataFrame = {
     require(k >= 1 && nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
+    require(numSalts >= 1)
     def qdist(a: Column, b: Column): Column =
       graft.engine.Columns.ofExpr(QuantSqDistExpr(
         graft.engine.Columns.exprOf(a),
@@ -1013,8 +1015,24 @@ object Similarity {
     val cands = routed.select(col("__id").as("__cand"),
       col("__lab").as("__clab"), col("__v").as("__cv2"),
       col("__cell").as("__ccell"))
-    queries.join(cands, col("__pcell") === col("__ccell") &&
-        col("__qlab") =!= col("__clab"))
+    // numSalts > 1 points the engine's own skew lever (SkewJoin, q81)
+    // at this join: the r18 ann curve isolated the x30 mining
+    // variance to THIS cell-keyed join's contention-sensitive spill —
+    // salting shards each cell's candidates numSalts ways (hash of
+    // the candidate id) and replicates the probe rows across shards,
+    // so a hot cell's pair stream splits into numSalts smaller tasks
+    // instead of one spilling one. Result-identical by construction
+    // (every (probe, cand) pair meets in exactly one shard — the
+    // spec pins it); the pair VOLUME is unchanged, only its packing.
+    val joined =
+      if (numSalts <= 1)
+        queries.join(cands, col("__pcell") === col("__ccell") &&
+          col("__qlab") =!= col("__clab"))
+      else
+        SkewJoin.saltedInnerJoin(cands, queries, "__ccell", "__pcell",
+            numSalts, Seq("__cand"))
+          .filter(col("__qlab") =!= col("__clab"))
+    joined
       .select(col("__qid"), col("__cand"),
         qdist(col("__qv"), col("__cv2")).as("__d2"))
       .groupBy(col("__qid"))
@@ -1656,11 +1674,9 @@ object Similarity {
       rounds: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding", quantScale: Double = 1e4): DataFrame = {
     val d0 = probeDim(emb, idCol, vecCol)
-    def quant(c: Column): Column =
-      transform(c, x => floor(x.cast(DoubleType) * lit(quantScale))
-        .cast(LongType))
     fitPqBooksLloydInt(
-      emb.select(col(idCol).as("__id"), quant(col(vecCol)).as("__qv")),
+      emb.select(col(idCol).as("__id"),
+        quantArr(col(vecCol), quantScale).as("__qv")),
       m, nCodes, rounds, d0)
   }
 
@@ -1750,30 +1766,16 @@ object Similarity {
     require(d % m == 0, s"dim $d is not divisible by m=$m")
     val subLen = d / m
     val qq: Seq[Long] = qraw.map(x => math.floor(x * quantScale).toLong)
-    def quant(c: Column): Column =
-      transform(c, x => floor(x.cast(DoubleType) * lit(quantScale))
-        .cast(LongType))
-    def id2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
+    def id2(a: Column, b: Column): Column = intSqDist(a, b)
     def sliceS(v: Column, s: Column): Column =
       slice(v, s.cast("int") * subLen + 1, lit(subLen))
     val books = fitPqBooksLloyd(emb, m, nCodes, rounds, idCol, vecCol,
       quantScale)
       .select(col("subspace").as("__ss"), col("code").as("__code"),
         col("codeword").as("__cv"))
-    val q = emb.select(col(idCol).as("__id"), quant(col(vecCol)).as("__qv"))
-    val ssDf = spark.range(0, m).select(col("id").as("__ss"))
-    val codes = q.crossJoin(ssDf)
-      .select(col("__id"), col("__ss"), sliceS(col("__qv"), col("__ss"))
-        .as("__sv"))
-      .join(broadcast(books), Seq("__ss"))
-      .select(col("__id"), col("__ss"),
-        struct(id2(col("__sv"), col("__cv")).as("__d"), col("__code"))
-          .as("__s"))
-      .groupBy("__id", "__ss")
-      .agg(min(col("__s")).as("__m"))
-      .select(col("__id"), col("__ss"), col("__m.__code").as("__code"))
+    val q = emb.select(col(idCol).as("__id"),
+      quantArr(col(vecCol), quantScale).as("__qv"))
+    val codes = argminCode(intSubSlices(q, m, subLen), books, Seq("__id"))
     val lut = books
       .select(col("__ss"), col("__code"),
         id2(sliceS(typedLit(qq), col("__ss")), col("__cv")).as("__qd2"))
@@ -1802,6 +1804,72 @@ object Similarity {
     val r = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
     require(r.nonEmpty, "empty embedding frame")
     r(0).getInt(0)
+  }
+
+  // ------------------------------------------------------------------
+  // Integer-domain PQ primitives, in ONE place. The ⌊x·scale⌋
+  // quantizer and the long squared-distance fold were spelled as
+  // local defs in fitPqBooksLloyd / pqLloydRecall /
+  // ivfAdcResidualRecall; the residual production tier below would
+  // have added a fourth and fifth copy — the seededRank lesson,
+  // applied before the drift instead of after.
+  // ------------------------------------------------------------------
+
+  /** ⌊x·scale⌋ per element, as array<long> — the engine-wide
+    * quantization rule ([[QuantSqDistExpr]]'s, spelled as a HOF so
+    * the quantized ARRAY itself is a column residuals can subtract
+    * in exact integers). */
+  private def quantArr(c: Column, quantScale: Double): Column =
+    transform(c, x => floor(x.cast(DoubleType) * lit(quantScale))
+      .cast(LongType))
+
+  /** Σ (aᵢ−bᵢ)² over two array<long> columns — exact long
+    * arithmetic, sequential left fold. */
+  private def intSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Explode an integer frame (…, __qv) into its m contiguous
+    * subvectors: (…, __ss, __sv), every other column carried. */
+  private def intSubSlices(q: DataFrame, m: Int, subLen: Int): DataFrame =
+    q.crossJoin(q.sparkSession.range(0, m).select(col("id").as("__ss")))
+      .withColumn("__sv",
+        slice(col("__qv"), col("__ss").cast("int") * subLen + 1,
+          lit(subLen)))
+      .drop("__qv")
+
+  /** Integer PQ assignment: sliced rows (keys…, __ss, __sv) against a
+    * BROADCAST integer codebook (__ss, __code, __cv) → argmin code per
+    * (keys…, __ss), ties by ascending code (the lexicographic struct
+    * min — every PQ assignment in the engine uses this rule). */
+  private def argminCode(sub: DataFrame, books: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    sub.join(broadcast(books), Seq("__ss"))
+      .select(keyCols :+ col("__ss") :+
+        struct(intSqDist(col("__sv"), col("__cv")).as("__d"), col("__code"))
+          .as("__s"): _*)
+      .groupBy(keyCols :+ col("__ss"): _*)
+      .agg(min(col("__s")).as("__m"))
+      .select(keyCols :+ col("__ss") :+ col("__m.__code").as("__code"): _*)
+  }
+
+  /** Coarse-assign an integer frame (__id, __qv) to its nearest
+    * seeded centroid and subtract: (__id, __cell, __rv) — the
+    * residual every production IVFADC index codes (Jégou '11). One
+    * broadcast cross product with map-side argmin, then one broadcast
+    * join to subtract the winning centroid. */
+  private def residualAssign(q: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = q.crossJoin(broadcast(cents))
+      .select(col("__id"), col("__qv"),
+        struct(intSqDist(col("__qv"), col("__cqv")).as("__d"), col("__cent"))
+          .as("__s"))
+      .groupBy("__id")
+      .agg(first(col("__qv")).as("__qv"), min(col("__s")).as("__m"))
+      .select(col("__id"), col("__qv"), col("__m.__cent").as("__cell"))
+    asg.join(broadcast(cents), asg("__cell") === cents("__cent"))
+      .select(col("__id"), col("__cell"),
+        zip_with(col("__qv"), col("__cqv"), (a, b) => a - b).as("__rv"))
   }
 
   /** RESIDUAL-encoded IVFADC recall audit — the spelling Jégou '11
@@ -1852,29 +1920,15 @@ object Similarity {
     // the query vector under the same ⌊x·scale⌋ rule the engine-side
     // quantizer applies (driver-side double math is IEEE-identical)
     val qq: Seq[Long] = qraw.map(x => math.floor(x * quantScale).toLong)
-    def quant(c: Column): Column =
-      transform(c, x => floor(x.cast(DoubleType) * lit(quantScale))
-        .cast(LongType))
-    def id2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
+    def id2(a: Column, b: Column): Column = intSqDist(a, b)
     def sliceS(v: Column, s: Column): Column =
       slice(v, s.cast("int") * subLen + 1, lit(subLen))
-    val q = emb.select(col(idCol).as("__id"), quant(col(vecCol)).as("__qv"))
+    val q = emb.select(col(idCol).as("__id"),
+      quantArr(col(vecCol), quantScale).as("__qv"))
     val cents = seededRank(q, "__id", nCents, "__cent")
       .select(col("__cent"), col("__qv").as("__cqv"))
     // nearest cell per vector, then the residual against ITS centroid
-    val asg = q.crossJoin(broadcast(cents))
-      .select(col("__id"), col("__qv"),
-        struct(id2(col("__qv"), col("__cqv")).as("__d"), col("__cent"))
-          .as("__s"))
-      .groupBy("__id")
-      .agg(first(col("__qv")).as("__qv"), min(col("__s")).as("__m"))
-      .select(col("__id"), col("__qv"), col("__m.__cent").as("__cell"))
-    val resid = asg.join(broadcast(cents),
-        asg("__cell") === cents("__cent"))
-      .select(col("__id"), col("__cell"),
-        zip_with(col("__qv"), col("__cqv"), (a, b) => a - b).as("__rv"))
+    val resid = residualAssign(q, cents)
     // residual codebook: the SAME hash-ranked medoid rows as the raw
     // fit, but their residuals — bounded at nCodes rows
     val med = seededRank(resid.select(col("__id"), col("__rv")),
@@ -1923,5 +1977,239 @@ object Similarity {
       .select((col("pos") + 1).cast(LongType).as("__er"),
         col("e.id").as("__id"))
     recallGrid(exact, approx, ks)
+  }
+
+  /** Encode a batch against a stored/fitted INTEGER codebook
+    * ([[fitPqBooksLloyd]]'s output, or the same frame reloaded via
+    * [[loadPq]]) — [[encodePq]]'s maintenance stance for the
+    * LLOYD-fit book: q218 measured that one Lloyd round buys
+    * +200 000 ppm recall@10 over the medoid book, so production
+    * should FREEZE the Lloyd book and encode increments against it;
+    * this is that encode. [[encodePq]] itself cannot serve: its
+    * [[QuantSqDistExpr]] distance quantizes BOTH sides by `scale`,
+    * which is correct for float medoid codewords but would re-scale
+    * the already-integer Lloyd codewords. Here the batch quantizes
+    * by ⌊x·scale⌋ once and every distance is plain long arithmetic —
+    * the exact arithmetic the book was fit in. Geometry (m, subLen)
+    * is read from the codebook frame itself ([[pqGeometry]]'s
+    * desync refusal), never from caller arguments.
+    *
+    * Shape at scale: identical to [[encodePq]] — broadcast m·nCodes
+    * codebook, one map-side cross product per subspace with
+    * map-side-combined argmin, shuffle n·m three-integer rows.
+    *
+    * Returns (idCol, subspace, code) ordered by (idCol, subspace). */
+  def encodePqLloyd(emb: DataFrame, books: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    val (m, subLen) = pqGeometry(books)
+    val dim = probeDim(emb, idCol, vecCol)
+    require(dim == m * subLen,
+      s"embedding dim $dim does not match stored codebook geometry " +
+        s"m=$m × subLen=$subLen")
+    val b = books.select(col("subspace").cast(LongType).as("__ss"),
+      col("code").as("__code"), col("codeword").as("__cv"))
+    val q = emb.select(col(idCol).as("__id"),
+      quantArr(col(vecCol), quantScale).as("__qv"))
+    argminCode(intSubSlices(q, m, subLen), b, Seq("__id"))
+      .select(col("__id").as(idCol), col("__ss").as("subspace"),
+        col("__code").as("code"))
+      .orderBy(idCol, "subspace")
+  }
+
+  /** Batched ADC retrieval over INTEGER (Lloyd-fit) codebooks — the
+    * [[adcTopKBatch]] query tier with the q218 winner's book: codes
+    * from [[encodePqLloyd]], per-query LUTs as one broadcast
+    * (query × subspace × code) frame of exact long distances, codes
+    * shuffled once, map-side-combined per-(query, id) sums,
+    * [[TopKAgg]] bounded heaps. Ties by ascending id. This is also
+    * the nCents = 1 degenerate of [[ivfAdcTopKBatchResidual]]
+    * (translation invariance — the spec pins it), which is what
+    * makes the residual tier auditable against a simpler system.
+    *
+    * Returns (queryIdCol, rank, idCol, adc_d2) ordered by
+    * (queryIdCol, rank). */
+  def adcTopKBatchLloyd(codes: DataFrame, books: DataFrame,
+      queries: DataFrame, k: Int = 10, idCol: String = "vec_id",
+      queryIdCol: String = "query_id", queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1)
+    val (m, subLen) = pqGeometry(books)
+    val qdim = probeDim(queries, queryIdCol, queryVecCol)
+    require(qdim == m * subLen,
+      s"query dim $qdim does not match codebook geometry " +
+        s"m=$m × subLen=$subLen")
+    val b = books.select(col("subspace").cast(LongType).as("__ss"),
+      col("code").as("__code"), col("codeword").as("__cv"))
+    val qq = queries.select(col(queryIdCol).as("__qid"),
+      quantArr(col(queryVecCol), quantScale).as("__qqv"))
+    val lut = qq.crossJoin(b)
+      .select(col("__qid"), col("__ss").as("subspace"),
+        col("__code").as("code"),
+        intSqDist(slice(col("__qqv"), col("__ss").cast("int") * subLen + 1,
+          lit(subLen)), col("__cv")).as("__qd2"))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__qd2")).as("__adc"))
+      .groupBy(col("__qid"))
+      .agg(TopKAgg.topK(col("__adc"), col(idCol), k, largest = false)
+        .as("tk"))
+      .select(col("__qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__qid").as(queryIdCol),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as(idCol), col("e.ord").cast(LongType).as("adc_d2"))
+      .orderBy(queryIdCol, "rank")
+  }
+
+  /** The PRODUCTION retrieval tier, composed from the three measured
+    * winners (the r18 verdict's ask): [[ivfAdcTopKBatch]]'s coarse
+    * routing + batching, [[ivfAdcResidualRecall]]'s residual coding
+    * (PQ codes x − c(x), one LUT per probed cell — the spelling
+    * Jégou '11 ships), and [[fitPqBooksLloyd]]'s k-means-refined
+    * codebooks (q218: +200 000 ppm recall@10 over medoids; q214:
+    * residuals buy nothing UNDER medoid books — the composition is
+    * where both results point).
+    *
+    * Offline: quantize once (⌊x·scale⌋ — residuals are exact integer
+    * differences end to end), assign each vector to its nearest
+    * seeded cell, fit ONE shared residual codebook with `rounds`
+    * integer Lloyd rounds ([[fitPqBooksLloydInt]] — the IDENTICAL
+    * program the raw fit runs), encode every residual, stamp codes
+    * with their cell. Online: queries rank the broadcast centroid
+    * frame, take nProbe cells, form their PER-CELL residual q − c,
+    * build per-(query, cell) LUTs (|queries|·nProbe·m·nCodes rows of
+    * three integers — broadcast), and the cell-keyed join fans each
+    * code row only to the queries probing its cell; per-(query, id)
+    * sums map-side combine and [[TopKAgg]] bounds each query's
+    * exchange at k rows. Per-query scan is n·nProbe/nCents code rows
+    * at m lookups each.
+    *
+    * Degenerate contracts (the specs' pins, both translation
+    * invariance d²((q−c)−(x−c)) = d²(q, x)):
+    *   - nCents = 1 ⇒ one shared translation: books, codes, LUTs and
+    *     ranking all equal the raw-vector Lloyd full scan —
+    *     [[adcTopKBatchLloyd]] over [[encodePqLloyd]] codes.
+    *   - nCodes = n ∧ nProbe = nCents ⇒ every residual is its own
+    *     codeword and every cell is probed: the ranking IS the exact
+    *     integer ranking ([[ivfAdcResidualLloydRecall]] reads 10⁶ ppm
+    *     at every k).
+    *
+    * Returns (queryIdCol, rank, idCol, adc_d2) ordered by
+    * (queryIdCol, rank). */
+  def ivfAdcTopKBatchResidual(emb: DataFrame, queries: DataFrame,
+      k: Int = 10, nCents: Int = 16, nProbe: Int = 4, m: Int = 8,
+      nCodes: Int = 16, rounds: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1)
+    require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
+    require(m >= 1 && nCodes >= 1 && rounds >= 0)
+    val dim = probeDim(emb, idCol, vecCol)
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m")
+    val qdim = probeDim(queries, queryIdCol, queryVecCol)
+    require(qdim == dim,
+      s"query dim $qdim does not match corpus dim $dim")
+    val subLen = dim / m
+    // ---- offline index build ----
+    val q = emb.select(col(idCol).as("__id"),
+      quantArr(col(vecCol), quantScale).as("__qv"))
+    val cents = seededRank(q, "__id", nCents, "__cent")
+      .select(col("__cent"), col("__qv").as("__cqv"))
+    val resid = residualAssign(q, cents)
+    val books = fitPqBooksLloydInt(
+      resid.select(col("__id"), col("__rv").as("__qv")),
+      m, nCodes, rounds, dim)
+      .select(col("subspace").as("__ss"), col("code").as("__code"),
+        col("codeword").as("__cv"))
+    val codes = argminCode(
+      intSubSlices(resid.select(col("__id"), col("__cell"),
+        col("__rv").as("__qv")), m, subLen),
+      books, Seq("__id", "__cell"))
+    // ---- online query tier ----
+    val qq = queries.select(col(queryIdCol).as("__qid"),
+      quantArr(col(queryVecCol), quantScale).as("__qqv"))
+    val qprobe = qq.crossJoin(broadcast(cents))
+      .groupBy("__qid")
+      .agg(first(col("__qqv")).as("__qqv"),
+        TopKAgg.topK(intSqDist(col("__qqv"), col("__cqv")), col("__cent"),
+          nProbe, largest = false).as("__pr"))
+      .select(col("__qid"), col("__qqv"),
+        explode(transform(col("__pr"), e => e("id"))).as("__cell"))
+    // the Jégou line raw-vector coding lacks: the query's residual is
+    // PER PROBED CELL, so the LUT is keyed (query, cell, s, code)
+    val qres = qprobe.join(broadcast(cents),
+        qprobe("__cell") === cents("__cent"))
+      .select(col("__qid"), col("__cell"),
+        zip_with(col("__qqv"), col("__cqv"), (a, b) => a - b).as("__qr"))
+    val lut = qres.crossJoin(books)
+      .select(col("__qid"), col("__cell"), col("__ss"), col("__code"),
+        intSqDist(slice(col("__qr"), col("__ss").cast("int") * subLen + 1,
+          lit(subLen)), col("__cv")).as("__qd2"))
+    codes.join(broadcast(qres.select(col("__qid"), col("__cell"))),
+        Seq("__cell"))
+      .join(broadcast(lut), Seq("__qid", "__cell", "__ss", "__code"))
+      .groupBy("__qid", "__id")
+      .agg(sum(col("__qd2")).as("__adc"))
+      .groupBy("__qid")
+      .agg(TopKAgg.topK(col("__adc"), col("__id"), k, largest = false)
+        .as("tk"))
+      .select(col("__qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__qid").as(queryIdCol),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as(idCol), col("e.ord").cast(LongType).as("adc_d2"))
+      .orderBy(queryIdCol, "rank")
+  }
+
+  /** COMPOSED recall audit for [[ivfAdcTopKBatchResidual]] — the
+    * q209 audit algebra applied to the residual-coded, Lloyd-booked,
+    * IVF-routed batch tier, per query: the batch's top-maxK ranking
+    * joined against each query's exact integer top-maxK over the FULL
+    * corpus, overlap counted per (query, k), and the
+    * (query × k) grid FILLED so a query whose probed cells miss the
+    * whole exact top-k reads (query, k, 0, 0) instead of vanishing
+    * (the q213 grid lesson). The exact side is one corpus × batch
+    * scan with per-query bounded heaps — an offline audit cost.
+    *
+    * Returns (queryIdCol, k, n_overlap, recall_ppm) ordered by
+    * (queryIdCol, k). */
+  def ivfAdcResidualLloydRecall(emb: DataFrame, queries: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10), nCents: Int = 16, nProbe: Int = 4,
+      m: Int = 8, nCodes: Int = 16, rounds: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    val spark = emb.sparkSession
+    val maxK = ks.max
+    val approx = ivfAdcTopKBatchResidual(emb, queries, maxK, nCents,
+      nProbe, m, nCodes, rounds, idCol, vecCol, queryIdCol, queryVecCol,
+      quantScale)
+      .select(col(queryIdCol).as("__qid"), col("rank").as("__ar"),
+        col(idCol).as("__id"))
+    val q = emb.select(col(idCol).as("__id"),
+      quantArr(col(vecCol), quantScale).as("__qv"))
+    val qq = queries.select(col(queryIdCol).as("__qid"),
+      quantArr(col(queryVecCol), quantScale).as("__qqv"))
+    val exact = q.crossJoin(broadcast(qq))
+      .groupBy("__qid")
+      .agg(TopKAgg.topK(intSqDist(col("__qv"), col("__qqv")), col("__id"),
+        maxK, largest = false).as("tk"))
+      .select(col("__qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__qid"), (col("pos") + 1).cast(LongType).as("__er"),
+        col("e.id").as("__id"))
+    val ksDf = spark.range(0, ks.length).select(
+      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
+        .as("k"))
+    val hits = exact.join(approx, Seq("__qid", "__id"))
+      .crossJoin(broadcast(ksDf))
+      .filter(col("__er") <= col("k") && col("__ar") <= col("k"))
+      .groupBy("__qid", "k").agg(count(lit(1)).as("__c"))
+    qq.select(col("__qid")).crossJoin(broadcast(ksDf))
+      .join(hits, Seq("__qid", "k"), "left")
+      .select(col("__qid").as(queryIdCol), col("k"),
+        coalesce(col("__c"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy(queryIdCol, "k")
   }
 }

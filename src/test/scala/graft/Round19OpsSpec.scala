@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round19OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------ q220 residual-coded Lloyd-booked batch tier
+  test("ivfAdcTopKBatchResidual: nCents=1 equals the raw Lloyd full scan (translation invariance)") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(43)
+    val emb = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 7 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // one cell ⇒ one shared integer translation x − c: the residual
+    // Lloyd fit, the codes, the per-cell LUT and the ranking all equal
+    // the raw-vector Lloyd system's, term by term (floor-means of
+    // translated integers are translated floor-means)
+    val routed = Similarity.ivfAdcTopKBatchResidual(emb, probes, k = 5,
+      nCents = 1, nProbe = 1, m = 2, nCodes = 4, rounds = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val books = Similarity.fitPqBooksLloyd(emb, m = 2, nCodes = 4,
+      rounds = 1)
+    val codes = Similarity.encodePqLloyd(emb, books)
+    val full = Similarity.adcTopKBatchLloyd(codes, books, probes, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(routed === full)
+  }
+
+  test("ivfAdcResidualLloydRecall: nCodes=n and nProbe=nCents reads recall 1 at every (query, k)") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(47)
+    val emb = (0L until 24L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 6 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // every residual its own codeword + every cell probed: the ADC
+    // distance IS the exact distance (translation invariance), so the
+    // composed ranking matches the exact one for every probe
+    val got = Similarity.ivfAdcResidualLloydRecall(emb, probes,
+      ks = Seq(1, 5, 10), nCents = 4, nProbe = 4, m = 2, nCodes = 24,
+      rounds = 1).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (qid, k, nOv, ppm) =>
+      assert(nOv === k && ppm === 1000000L,
+        s"query $qid k=$k: overlap $nOv, ppm $ppm")
+    }
+    // grid contract: 4 probes × 3 ks rows, no vanishing cells
+    assert(got.length === 4 * 3)
+  }
+
+  test("adcTopKBatchLloyd at rounds=0 reproduces the medoid-book adcTopKBatch exactly") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(53)
+    val emb = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 9 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // rounds=0 IS the quantized medoid book: the integer path's
+    // assignment and LUT equal the QuantSqDistExpr float path's term
+    // by term, so the two query tiers rank identically
+    val lb = Similarity.fitPqBooksLloyd(emb, m = 2, nCodes = 4, rounds = 0)
+    val li = Similarity.adcTopKBatchLloyd(
+      Similarity.encodePqLloyd(emb, lb), lb, probes, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val mb = Similarity.fitPqBooks(emb, m = 2, nCodes = 4)
+    val mf = Similarity.adcTopKBatch(
+      Similarity.encodePq(emb, mb), mb, probes, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(li === mf)
+  }
+
+  // ------------------------ q222 stored Lloyd codebook
+  test("savePq/loadPq round-trips the Lloyd book byte-identically and encodePqLloyd refuses desync") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(59)
+    val emb = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val books = Similarity.fitPqBooksLloyd(emb, m = 2, nCodes = 4,
+      rounds = 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lloyd_pq").toString
+    Similarity.savePq(books, dir)
+    val stored = Similarity.loadPq(spark, dir)
+    val a = books.orderBy("subspace", "code")
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    val b = stored.orderBy("subspace", "code")
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    assert(a === b)
+    // encoding against the reloaded frame equals encoding against the
+    // fit frame (the stored-equals-fit audit)
+    val cf = Similarity.encodePqLloyd(emb, books)
+      .as[(Long, Long, Long)].collect().toSeq
+    val cs = Similarity.encodePqLloyd(emb, stored)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(cf === cs)
+    // geometry desync refused with a contract message
+    val wide = (0L until 20L).map(i =>
+      (i, Array.fill(12)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.encodePqLloyd(wide, stored)
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
+  // ------------------------ q223 salted ANN candidate join
+  test("ivfHardNegatives: salted join is result-identical to the unsalted join") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(61)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()), i % 3)).toDF(
+      "vec_id", "embedding", "label")
+    val plain = Similarity.ivfHardNegatives(emb, k = 3, nCents = 4,
+      nProbe = 2).as[(Long, Long, Long, Long)].collect().toSeq
+    val salted = Similarity.ivfHardNegatives(emb, k = 3, nCents = 4,
+      nProbe = 2, numSalts = 8).as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(plain === salted)
+  }
+}
