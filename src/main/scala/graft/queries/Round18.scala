@@ -713,8 +713,11 @@ object Round18 {
 
   /** One Lloyd round over every subspace jointly, as oracle CTEs:
     * assignment under `$prev`, HUGEINT floor-mean update, empty-code
-    * carry → `${p}b$i`. */
-  private def lloydRoundCtes(p: String, i: Int, prev: String): String =
+    * carry → `${p}b$i`. Reads the sliced rows from a CTE named `sub`
+    * (vec_id, s, sv) — the caller supplies it, which is what lets
+    * q220 replay the SAME round program over RESIDUAL slices. */
+  private[queries] def lloydRoundCtes(p: String, i: Int,
+      prev: String): String =
     s"""${p}a$i AS (
        |  SELECT vec_id, s, code, sv FROM (
        |    SELECT sub.vec_id, sub.s, b.code, sub.sv,

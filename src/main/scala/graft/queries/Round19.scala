@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.Similarity
+
+/** Round-19 battery additions: the PRODUCTION retrieval tier the
+  * r18 measurements point at — residual-coded, Lloyd-booked,
+  * IVF-routed batched ADC with its composed recall audit (q220), the
+  * stored-Lloyd-codebook maintenance path (q222), and the salted
+  * spelling of the ANN candidate join (q223). All
+  * reference-scope-none LLM-pipeline extensions (SURVEY §8).
+  */
+object Round19 {
+
+  private val slice8 = (v: String) =>
+    s"$v[CAST(ss.s * 8 + 1 AS INT):CAST(ss.s * 8 + 8 AS INT)]"
+
+  /** Quantized corpus + seeded coarse centroids + per-vector cell
+    * ranks — the q209 routing prefix, restated here so round-19
+    * queries do not reach into Round18's private blocks. */
+  private def routePrefixCtes: String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |cent AS (
+       |  SELECT qv AS cqv,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |      AS cent_id
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |rk_ad AS (
+       |  SELECT a.vec_id AS vid, a.qv, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${Round16.d2Sql("a.qv", "c.cqv")}, c.cent_id) AS rk
+       |  FROM q a CROSS JOIN cent c
+       |),
+       |cells AS (SELECT vid, cent_id FROM rk_ad WHERE rk = 1),
+       |ss AS (SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s))""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+  /** COMPOSED production-tier recall ([[graft.ops.Similarity
+    * .ivfAdcResidualLloydRecall]]): the r18 measurements said
+    * residual coding buys nothing UNDER medoid books (q214) while one
+    * Lloyd round buys +200 000 ppm recall@10 (q218) — this query runs
+    * the system those results point at: IVF-routed BATCHED retrieval
+    * (q215's tier) over RESIDUAL codes with a one-round integer-LLOYD
+    * residual codebook and per-(query, cell) LUTs, audited per query
+    * against the exact integer ranking with a filled (query × k)
+    * grid. The oracle replays EVERY stage: routing, residuals, the
+    * Lloyd round (assignment, HUGEINT floor-means, empty-code carry —
+    * the q218 round block over residual slices), encode, per-cell
+    * LUTs, the partitioned batch ranking, and the recall algebra. */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfAdcResidualLloydRecall(emb, probes, ks = Seq(1, 5, 10),
+      nCents = 16, nProbe = 4, m = 8, nCodes = 16, rounds = 1)
+  }
+
+  private val q220Sql =
+    s"""WITH
+       |$routePrefixCtes,
+       |resid AS (
+       |  SELECT a.vec_id, c.cent_id AS cell,
+       |    list_transform(range(len(a.qv)), i ->
+       |      a.qv[CAST(i + 1 AS INT)] - ct.cqv[CAST(i + 1 AS INT)]) AS rv
+       |  FROM q a JOIN cells c ON c.vid = a.vec_id
+       |  JOIN cent ct ON ct.cent_id = c.cent_id
+       |),
+       |sub AS (
+       |  SELECT r.vec_id, ss.s, ${slice8("r.rv")} AS sv FROM resid r, ss),
+       |rmed AS (
+       |  SELECT rv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM resid
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |rb0 AS (
+       |  SELECT ss.s, m.code, ${slice8("m.rv")} AS cv FROM rmed m, ss),
+       |${Round18.lloydRoundCtes("rr", 1, "rb0")},
+       |renc AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT sub.vec_id, sub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
+       |    FROM sub JOIN rrb1 b ON b.s = sub.s) WHERE rk = 1
+       |),
+       |probes AS (SELECT vec_id AS qid, qv AS pqv FROM q WHERE vec_id % 50 = 0),
+       |qpc AS (SELECT vid AS qid, cent_id FROM rk_ad
+       |        WHERE vid % 50 = 0 AND rk <= 4),
+       |candq AS (
+       |  SELECT qp.qid, cl.vid FROM qpc qp
+       |  JOIN cells cl ON cl.cent_id = qp.cent_id),
+       |qres AS (
+       |  SELECT qp.qid, qp.cent_id AS cell,
+       |    list_transform(range(len(p.pqv)), i ->
+       |      p.pqv[CAST(i + 1 AS INT)] - ct.cqv[CAST(i + 1 AS INT)]) AS qr
+       |  FROM qpc qp JOIN cent ct ON ct.cent_id = qp.cent_id
+       |  JOIN probes p ON p.qid = qp.qid
+       |),
+       |rlut AS (
+       |  SELECT qres.qid, qres.cell, b.s AS s, b.code,
+       |    ${Round16.d2Sql("qres.qr[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
+       |  FROM rrb1 b, qres
+       |),
+       |radc AS (
+       |  SELECT cq.qid, a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
+       |  FROM renc a
+       |  JOIN cells cl ON cl.vid = a.vec_id
+       |  JOIN candq cq ON cq.vid = a.vec_id
+       |  JOIN rlut l ON l.qid = cq.qid AND l.cell = cl.cent_id
+       |    AND l.s = a.s AND l.code = a.code
+       |  GROUP BY cq.qid, a.vec_id
+       |),
+       |apxr AS (
+       |  SELECT qid, vec_id, ar FROM (
+       |    SELECT qid, vec_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY adc_d2, vec_id) AS BIGINT) AS ar
+       |    FROM radc) WHERE ar <= 10
+       |),
+       |exr AS (
+       |  SELECT p.qid, a.vec_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.qid
+       |      ORDER BY ${Round16.d2Sql("a.qv", "p.pqv")}, a.vec_id) AS BIGINT)
+       |      AS er
+       |  FROM q a CROSS JOIN probes p
+       |),
+       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k)),
+       |hit AS (
+       |  SELECT x.qid, k.k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM exr e JOIN apxr x ON e.qid = x.qid AND e.vec_id = x.vec_id
+       |  CROSS JOIN ks k
+       |  WHERE e.er <= k.k AND x.ar <= k.k
+       |  GROUP BY x.qid, k.k
+       |)
+       |SELECT p.qid AS query_id, k.k AS k,
+       |  CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.c, 0) * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM probes p CROSS JOIN ks k
+       |LEFT JOIN hit h ON h.qid = p.qid AND h.k = k.k
+       |ORDER BY query_id, k""".stripMargin
+
+  // ---------------------------------------------------------------- q222
+  /** STORED Lloyd codebook round-trip ([[graft.ops.Similarity
+    * .fitPqBooksLloyd]] → [[graft.ops.Similarity.savePq]] /
+    * [[graft.ops.Similarity.loadPq]] → [[graft.ops.Similarity
+    * .encodePqLloyd]]): q202 froze and reloaded the MEDOID book; q218
+    * then measured that production should persist the LLOYD book
+    * instead (+200 000 ppm recall@10). This is that maintenance path:
+    * fit one integer Lloyd round on the base corpus (vec_id % 5 ≠ 0),
+    * freeze, reload, encode the increment (vec_id % 5 = 0) against
+    * the frozen frame. The oracle replays the seeded init over the
+    * BASE subset, the Lloyd round (the q218 block over base slices),
+    * and the increment's integer assignment — a refit sneaking in, a
+    * drifted stored frame, or a float re-scale of the integer
+    * codewords all change codes and fail the hash. */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val inc = emb.filter(col("vec_id") % 5 === 0)
+    val books = Similarity.fitPqBooksLloyd(base, m = 8, nCodes = 16,
+      rounds = 1)
+    val pqDir = Round11.freshScratchDirShared("graft_q222_lloyd_pq")
+    Similarity.savePq(books, pqDir)
+    val stored = Similarity.loadPq(s, pqDir)
+    Similarity.encodePqLloyd(inc, stored)
+  }
+
+  private val q222Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |base AS (SELECT * FROM q WHERE vec_id % 5 <> 0),
+       |inc AS (SELECT * FROM q WHERE vec_id % 5 = 0),
+       |ss AS (SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s)),
+       |med AS (
+       |  SELECT qv, ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |    AS code
+       |  FROM base
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |b0 AS (
+       |  SELECT ss.s, m.code, ${slice8("m.qv")} AS cv FROM med m, ss),
+       |sub AS (
+       |  SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv FROM base a, ss),
+       |${Round18.lloydRoundCtes("st", 1, "b0")},
+       |isub AS (
+       |  SELECT a.vec_id, ss.s, ${slice8("a.qv")} AS sv FROM inc a, ss)
+       |SELECT vec_id, s AS subspace, code FROM (
+       |  SELECT isub.vec_id, isub.s, b.code,
+       |    ROW_NUMBER() OVER (PARTITION BY isub.vec_id, isub.s
+       |      ORDER BY ${Round16.d2Sql("isub.sv", "b.cv")}, b.code) AS rk
+       |  FROM isub JOIN stb1 b ON b.s = isub.s) WHERE rk = 1
+       |ORDER BY vec_id, subspace""".stripMargin
+
+  // ---------------------------------------------------------------- q223
+  /** SALTED ANN candidate join ([[graft.ops.Similarity
+    * .ivfHardNegatives]] at numSalts = 8): the r18 ann curve isolated
+    * the x30 mining variance to the cell-keyed candidate join's
+    * contention-sensitive spill; numSalts points the engine's own
+    * skew lever (q81's [[graft.ops.SkewJoin]]) at it — each cell's
+    * candidates shard by candidate-id hash, probe rows replicate
+    * across shards, every (probe, candidate) pair meets in exactly
+    * one shard. Result-identical BY CONSTRUCTION, and this query
+    * holds the salted plan to the SAME oracle the unsalted miner
+    * answers to (the q182 replay: seeded centroids, integer
+    * assignment, probes, cross-label distances, per-query top-k) —
+    * the packing changed, the answer must not. */
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfHardNegatives(Tables.embeddings(s, dir), k = 5,
+      nCents = 16, nProbe = 4, numSalts = 8)
+
+  private val q223Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |),
+       |cent AS (
+       |  SELECT qv AS cqv,
+       |    ROW_NUMBER() OVER (ORDER BY
+       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
+       |      AS cent_id
+       |  FROM q
+       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+       |  LIMIT 16
+       |),
+       |rk_ad AS (
+       |  SELECT a.vec_id AS vid, a.label, a.qv, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${Round16.d2Sql("a.qv", "c.cqv")}, c.cent_id) AS rk
+       |  FROM q a CROSS JOIN cent c
+       |),
+       |asg AS (SELECT vid, label, qv, cent_id FROM rk_ad WHERE rk = 1),
+       |pr  AS (SELECT vid, label, qv, cent_id FROM rk_ad WHERE rk <= 4),
+       |cp AS (
+       |  SELECT p.vid AS qid, a.vid AS cand,
+       |    ${Round16.d2Sql("p.qv", "a.qv")} AS d2
+       |  FROM pr p JOIN asg a
+       |    ON p.cent_id = a.cent_id AND p.label <> a.label
+       |)
+       |SELECT vec_id, rank, neg_id, dist2 FROM (
+       |  SELECT qid AS vec_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY d2, cand) AS BIGINT) AS rank,
+       |    cand AS neg_id, d2 AS dist2
+       |  FROM cp) WHERE rank <= 5
+       |ORDER BY vec_id, rank""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q220_residual_lloyd_recall", q220, Some(q220Sql)),
+    QueryDef("q222_stored_lloyd_encode", q222, Some(q222Sql)),
+    QueryDef("q223_salted_negatives", q223, Some(q223Sql)))
+}
