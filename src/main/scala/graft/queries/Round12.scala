@@ -47,56 +47,69 @@ object Round12 {
     * (word, position) as a plain join + MAX, and a recursive CTE
     * walks the greedy positions — same semantics, no nested-lambda
     * evaluation anywhere near a join. */
-  private[queries] val subwordPerwordCtes =
-    """vocab AS (
-      |  SELECT token FROM (
-      |    SELECT tok AS token, COUNT(*) AS cnt
-      |    FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
-      |    GROUP BY tok
-      |    ORDER BY cnt DESC, token
-      |    LIMIT 10
-      |  )
-      |),
-      |chars AS (
-      |  SELECT DISTINCT unnest(list_transform(range(1, length(token)+1),
-      |    i -> substr(token, CAST(i AS INT), 1))) AS piece FROM vocab
-      |),
-      |sufs AS (
-      |  SELECT DISTINCT unnest(list_transform(range(2, length(token)+1),
-      |    i -> substr(token, CAST(i AS INT)))) AS piece FROM vocab WHERE length(token) >= 2
-      |),
-      |pieces AS (
-      |  SELECT piece, 1 AS s FROM (SELECT token AS piece FROM vocab UNION SELECT piece FROM chars)
-      |  UNION ALL
-      |  SELECT piece, 0 AS s FROM (SELECT piece FROM sufs UNION SELECT piece FROM chars)
-      |),
-      |words AS (
+  /** The shared word stream + distinct-token frame every per-word
+    * tokenizer replay walks — emitted ONCE per query, referenced by
+    * any number of [[subwordVocabCtes]] size blocks. */
+  private[queries] val wordsCtes =
+    """words AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents
       |),
-      |dwords AS (SELECT DISTINCT tok FROM words),
-      |pm AS (
-      |  SELECT d.tok, CAST(u.i AS BIGINT) AS pos,
-      |    MAX(CASE WHEN p.s = 1 AND substr(d.tok, CAST(u.i AS INT)+1, length(p.piece)) = p.piece THEN length(p.piece) END) AS ms,
-      |    MAX(CASE WHEN p.s = 0 AND substr(d.tok, CAST(u.i AS INT)+1, length(p.piece)) = p.piece THEN length(p.piece) END) AS mc
-      |  FROM dwords d, UNNEST(range(length(d.tok))) AS u(i), pieces p
-      |  GROUP BY d.tok, u.i
-      |),
-      |walk AS (
-      |  SELECT tok, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np, 0 AS unk FROM dwords
-      |  UNION ALL
-      |  SELECT w.tok,
-      |    CASE WHEN m.mlen IS NULL THEN CAST(length(w.tok) AS BIGINT) ELSE w.pos + m.mlen END,
-      |    CASE WHEN m.mlen IS NULL THEN CAST(1 AS BIGINT) ELSE w.np + 1 END,
-      |    CASE WHEN m.mlen IS NULL THEN 1 ELSE 0 END
-      |  FROM walk w
-      |  JOIN (SELECT tok, pos, CASE WHEN pos = 0 THEN ms ELSE mc END AS mlen FROM pm) m
-      |    ON m.tok = w.tok AND m.pos = w.pos
-      |  WHERE w.pos < length(w.tok) AND w.unk = 0
-      |),
-      |perword AS (
-      |  SELECT tok, np, unk FROM walk
-      |  WHERE unk = 1 OR pos >= length(tok)
-      |)""".stripMargin
+      |dwords AS (SELECT DISTINCT tok FROM words)""".stripMargin
+
+  /** One WordPiece vocab size as oracle CTEs, every size-dependent
+    * name suffixed `$p` (q221 sweeps four sizes in one query): top-`n`
+    * vocab → piece sets → longest-match table → greedy recursive walk
+    * → `perword$p(tok, np, unk)`. References the shared
+    * [[wordsCtes]]. */
+  private[queries] def subwordVocabCtes(p: String, n: Int): String =
+    s"""vocab$p AS (
+       |  SELECT token FROM (
+       |    SELECT tok AS token, COUNT(*) AS cnt
+       |    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
+       |    GROUP BY tok
+       |    ORDER BY cnt DESC, token
+       |    LIMIT $n
+       |  )
+       |),
+       |chars$p AS (
+       |  SELECT DISTINCT unnest(list_transform(range(1, length(token)+1),
+       |    i -> substr(token, CAST(i AS INT), 1))) AS piece FROM vocab$p
+       |),
+       |sufs$p AS (
+       |  SELECT DISTINCT unnest(list_transform(range(2, length(token)+1),
+       |    i -> substr(token, CAST(i AS INT)))) AS piece FROM vocab$p WHERE length(token) >= 2
+       |),
+       |pieces$p AS (
+       |  SELECT piece, 1 AS s FROM (SELECT token AS piece FROM vocab$p UNION SELECT piece FROM chars$p)
+       |  UNION ALL
+       |  SELECT piece, 0 AS s FROM (SELECT piece FROM sufs$p UNION SELECT piece FROM chars$p)
+       |),
+       |pm$p AS (
+       |  SELECT d.tok, CAST(u.i AS BIGINT) AS pos,
+       |    MAX(CASE WHEN p.s = 1 AND substr(d.tok, CAST(u.i AS INT)+1, length(p.piece)) = p.piece THEN length(p.piece) END) AS ms,
+       |    MAX(CASE WHEN p.s = 0 AND substr(d.tok, CAST(u.i AS INT)+1, length(p.piece)) = p.piece THEN length(p.piece) END) AS mc
+       |  FROM dwords d, UNNEST(range(length(d.tok))) AS u(i), pieces$p p
+       |  GROUP BY d.tok, u.i
+       |),
+       |walk$p AS (
+       |  SELECT tok, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np, 0 AS unk FROM dwords
+       |  UNION ALL
+       |  SELECT w.tok,
+       |    CASE WHEN m.mlen IS NULL THEN CAST(length(w.tok) AS BIGINT) ELSE w.pos + m.mlen END,
+       |    CASE WHEN m.mlen IS NULL THEN CAST(1 AS BIGINT) ELSE w.np + 1 END,
+       |    CASE WHEN m.mlen IS NULL THEN 1 ELSE 0 END
+       |  FROM walk$p w
+       |  JOIN (SELECT tok, pos, CASE WHEN pos = 0 THEN ms ELSE mc END AS mlen FROM pm$p) m
+       |    ON m.tok = w.tok AND m.pos = w.pos
+       |  WHERE w.pos < length(w.tok) AND w.unk = 0
+       |),
+       |perword$p AS (
+       |  SELECT tok, np, unk FROM walk$p
+       |  WHERE unk = 1 OR pos >= length(tok)
+       |)""".stripMargin
+
+  private[queries] val subwordPerwordCtes =
+    s"$wordsCtes,\n${subwordVocabCtes("", 10)}"
 
   private val q104Sql =
     s"""WITH RECURSIVE

@@ -159,7 +159,20 @@ object Round13 {
     * ends in `fin(tok, np)`, the per-word BPE piece count. Exposed so
     * q204 can replay the trained tokenizer beside the WordPiece and
     * unigram-LM replays in one fertility table. */
-  private[queries] val bpePerwordCtes: String = {
+  /** The BPE training chain as oracle CTEs, parameterized (q221
+    * sweeps the merge count): w0 through w`$k`, with a
+    * `fin(tok, np)` piece-count CTE emitted at EVERY stage in
+    * `fins` — merges are incremental, so one `k = 32` chain serves
+    * the whole {4, 8, 16, 32} frontier read at its prefixes.
+    *
+    * The w-spine is `AS MATERIALIZED`: DuckDB 1.0 INLINES CTEs at
+    * every reference, and each stage references its predecessor
+    * twice (pair counts + fold), so an uninlined 32-stage chain
+    * re-evaluates w₀ 2³² times — measured as a 4-minute, >20 000-
+    * open-file oracle before the pin; k = 6 merely hid the
+    * exponential under 2⁶. */
+  private[queries] def bpeChainCtes(k: Int,
+      fins: Seq[(String, Int)]): String = {
     val U = "chr(31)"
     // One training round: pair counts → deterministic top-1 (with a
     // chr(30) sentinel row when no pairs remain, so the cross join
@@ -180,7 +193,7 @@ object Round13 {
          |  SELECT l, r FROM b$i
          |  UNION ALL SELECT chr(30), chr(30) WHERE (SELECT COUNT(*) FROM p$i) = 0
          |),
-         |w$i AS (
+         |w$i AS MATERIALIZED (
          |  SELECT tok, cnt,
          |    list_reduce(list_prepend('', string_split(sym, $U)),
          |      (acc, x) -> CASE
@@ -192,8 +205,10 @@ object Round13 {
          |  FROM $prev, bs$i b
          |)""".stripMargin
     }
-    val k = 6
-    s"""w0 AS (
+    val finCtes = fins.map { case (name, j) =>
+      s"$name AS (SELECT tok, CAST(len(string_split(sym, $U)) AS BIGINT) AS np FROM w$j)"
+    }
+    s"""w0 AS MATERIALIZED (
        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    array_to_string(list_transform(range(1, length(tok)+1), i -> substr(tok, CAST(i AS INT), 1)), $U) AS sym
        |  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
@@ -201,8 +216,11 @@ object Round13 {
        |  GROUP BY tok
        |),
        |${(1 to k).map(stage).mkString(",\n")},
-       |fin AS (SELECT tok, CAST(len(string_split(sym, $U)) AS BIGINT) AS np FROM w$k)""".stripMargin
+       |${finCtes.mkString(",\n")}""".stripMargin
   }
+
+  private[queries] val bpePerwordCtes: String =
+    bpeChainCtes(6, Seq(("fin", 6)))
 
   private val q113Sql =
     s"""WITH

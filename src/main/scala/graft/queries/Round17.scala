@@ -35,63 +35,75 @@ object Round17 {
     * + per-word Viterbi replay ending in `uperword(tok, packed)`
     * (packed = cost·2²⁰ + pieces; NULL = UNK) plus the
     * `uwords(doc_id, tok)` stream. */
-  private[queries] val unigramPerwordCtes =
+  /** The shared unigram-LM corpus frames (word counts, char total,
+    * word stream, distinct tokens) — emitted ONCE per query,
+    * referenced by any number of [[unigramVocabCtes]] size blocks. */
+  private[queries] val unigramSharedCtes =
     """ucounts AS (
       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents)
       |  WHERE length(tok) > 0 GROUP BY tok
       |),
-      |uvocab AS (
-      |  SELECT tok AS piece, cnt FROM ucounts ORDER BY cnt DESC, tok LIMIT 10
-      |),
       |utot AS (SELECT CAST(SUM(cnt * length(tok)) AS BIGINT) AS n FROM ucounts),
-      |uchars AS (
-      |  SELECT DISTINCT unnest(list_transform(range(length(piece)),
-      |    i -> substr(piece, CAST(i AS INT) + 1, 1))) AS piece FROM uvocab
-      |),
-      |uccnt AS (
-      |  SELECT c.ch AS piece, CAST(SUM(c.cnt) AS BIGINT) AS cnt FROM (
-      |    SELECT substr(t.tok, CAST(u.i AS INT) + 1, 1) AS ch, t.cnt
-      |    FROM ucounts t, UNNEST(range(length(t.tok))) AS u(i)) c
-      |  JOIN uchars v ON v.piece = c.ch
-      |  GROUP BY c.ch
-      |),
-      |upieces AS (
-      |  SELECT piece, MAX(cnt) AS cnt FROM (
-      |    SELECT piece, cnt FROM uvocab UNION ALL SELECT piece, cnt FROM uccnt)
-      |  GROUP BY piece
-      |),
-      |ucost AS (
-      |  SELECT p.piece, CAST(length(bin(t.n // p.cnt)) AS BIGINT) AS surp
-      |  FROM upieces p CROSS JOIN utot t
-      |),
       |uwords AS (
       |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
       |  FROM documents
       |),
-      |udwords AS (SELECT DISTINCT tok FROM uwords),
-      |upm AS (
-      |  SELECT d.tok, CAST(u.j AS BIGINT) AS jpos,
-      |    CAST(u.j AS BIGINT) + length(p.piece) AS ipos,
-      |    p.surp * 1048576 + 1 AS addp
-      |  FROM udwords d, UNNEST(range(length(d.tok))) AS u(j), ucost p
-      |  WHERE length(p.piece) <= length(d.tok) - CAST(u.j AS BIGINT)
-      |    AND substr(d.tok, CAST(u.j AS INT) + 1, length(p.piece)) = p.piece
-      |),
-      |uwalk AS (
-      |  SELECT tok, CAST(0 AS BIGINT) AS i, [CAST(0 AS BIGINT)] AS best
-      |  FROM udwords
-      |  UNION ALL
-      |  SELECT w.tok, w.i + 1,
-      |    list_append(w.best,
-      |      (SELECT MIN(w.best[CAST(p.jpos AS INT) + 1] + p.addp)
-      |       FROM upm p WHERE p.tok = w.tok AND p.ipos = w.i + 1))
-      |  FROM uwalk w WHERE w.i < length(w.tok)
-      |),
-      |uperword AS (
-      |  SELECT tok, best[CAST(length(tok) AS INT) + 1] AS packed
-      |  FROM uwalk WHERE i = length(tok)
-      |)""".stripMargin
+      |udwords AS (SELECT DISTINCT tok FROM uwords)""".stripMargin
+
+  /** One unigram-LM inventory size as oracle CTEs, size-dependent
+    * names suffixed `$p` (q221 sweeps four sizes): top-`n` pieces +
+    * char fallbacks → integer surprisal costs → piece matrix →
+    * Viterbi DP walk → `uperword$p(tok, packed)`. */
+  private[queries] def unigramVocabCtes(p: String, n: Int): String =
+    s"""uvocab$p AS (
+       |  SELECT tok AS piece, cnt FROM ucounts ORDER BY cnt DESC, tok LIMIT $n
+       |),
+       |uchars$p AS (
+       |  SELECT DISTINCT unnest(list_transform(range(length(piece)),
+       |    i -> substr(piece, CAST(i AS INT) + 1, 1))) AS piece FROM uvocab$p
+       |),
+       |uccnt$p AS (
+       |  SELECT c.ch AS piece, CAST(SUM(c.cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(t.tok, CAST(u.i AS INT) + 1, 1) AS ch, t.cnt
+       |    FROM ucounts t, UNNEST(range(length(t.tok))) AS u(i)) c
+       |  JOIN uchars$p v ON v.piece = c.ch
+       |  GROUP BY c.ch
+       |),
+       |upieces$p AS (
+       |  SELECT piece, MAX(cnt) AS cnt FROM (
+       |    SELECT piece, cnt FROM uvocab$p UNION ALL SELECT piece, cnt FROM uccnt$p)
+       |  GROUP BY piece
+       |),
+       |ucost$p AS (
+       |  SELECT p.piece, CAST(length(bin(t.n // p.cnt)) AS BIGINT) AS surp
+       |  FROM upieces$p p CROSS JOIN utot t
+       |),
+       |upm$p AS (
+       |  SELECT d.tok, CAST(u.j AS BIGINT) AS jpos,
+       |    CAST(u.j AS BIGINT) + length(p.piece) AS ipos,
+       |    p.surp * 1048576 + 1 AS addp
+       |  FROM udwords d, UNNEST(range(length(d.tok))) AS u(j), ucost$p p
+       |  WHERE length(p.piece) <= length(d.tok) - CAST(u.j AS BIGINT)
+       |    AND substr(d.tok, CAST(u.j AS INT) + 1, length(p.piece)) = p.piece
+       |),
+       |uwalk$p AS (
+       |  SELECT tok, CAST(0 AS BIGINT) AS i, [CAST(0 AS BIGINT)] AS best
+       |  FROM udwords
+       |  UNION ALL
+       |  SELECT w.tok, w.i + 1,
+       |    list_append(w.best,
+       |      (SELECT MIN(w.best[CAST(p.jpos AS INT) + 1] + p.addp)
+       |       FROM upm$p p WHERE p.tok = w.tok AND p.ipos = w.i + 1))
+       |  FROM uwalk$p w WHERE w.i < length(w.tok)
+       |),
+       |uperword$p AS (
+       |  SELECT tok, best[CAST(length(tok) AS INT) + 1] AS packed
+       |  FROM uwalk$p WHERE i = length(tok)
+       |)""".stripMargin
+
+  private[queries] val unigramPerwordCtes =
+    s"$unigramSharedCtes,\n${unigramVocabCtes("", 10)}"
 
   private val q200Sql =
     s"""WITH RECURSIVE

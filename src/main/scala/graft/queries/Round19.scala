@@ -152,6 +152,96 @@ object Round19 {
        |LEFT JOIN hit h ON h.qid = p.qid AND h.k = k.k
        |ORDER BY query_id, k""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+  /** TOKENIZER VOCAB-SIZE frontier: q204 reads fertility at ONE
+    * inventory size per family; the sizing decision a tokenizer
+    * choice is actually made on needs the CURVE — pieces-per-word by
+    * language as the inventory grows. Sweeps WordPiece vocabN, BPE
+    * merge count k, and unigram-LM vocabN over {4, 8, 16, 32} into
+    * one (family, vocab_size, lang, n_words, n_pieces, fertility_ppm)
+    * frame — the q213/q219 sweep pattern applied to the tokenizer
+    * family's dial. Twelve tokenizer runs on the engine side (each a
+    * driver-bounded fit + one codegen'd map-only pass); the oracle
+    * replays all twelve machines in ONE WITH RECURSIVE: four greedy
+    * WordPiece walks and four Viterbi DPs as per-size generated
+    * blocks over the shared word stream, and — because BPE merges are
+    * INCREMENTAL — a single 32-stage merge chain read at its
+    * {4, 8, 16, 32} prefixes. */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val langs = docs.select("doc_id", "lang")
+    def rollup(stats: DataFrame, family: String, size: Int): DataFrame =
+      stats.select(col("doc_id"), col("n_words"), col("n_pieces"))
+        .join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"))
+        .select(lit(family).as("family"), lit(size.toLong).as("vocab_size"),
+          col("lang"), col("n_words"), col("n_pieces"),
+          expr("(CAST(n_pieces AS decimal(38,0)) * 1000000) div n_words")
+            .as("fertility_ppm"))
+    Seq(4, 8, 16, 32).map { n =>
+      rollup(graft.text.Subword.subwordStats(docs, vocabN = n),
+          "wordpiece", n)
+        .unionAll(rollup(graft.text.Bpe.bpeStats(docs, k = n), "bpe", n))
+        .unionAll(rollup(
+          graft.text.UnigramLm.unigramStats(docs, vocabN = n),
+          "unigram", n))
+    }.reduce(_ unionAll _)
+      .orderBy("family", "vocab_size", "lang")
+  }
+
+  private val sizes = Seq(4, 8, 16, 32)
+
+  private def wpSelect(n: Int): String =
+    s"""SELECT 'wordpiece' AS family, CAST($n AS BIGINT) AS vocab_size,
+       |  d.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.np) AS BIGINT) AS n_pieces,
+       |  CAST(CAST(SUM(p.np) AS HUGEINT) * 1000000
+       |       // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS fertility_ppm
+       |FROM words w JOIN perwordwp$n p USING (tok)
+       |JOIN documents d ON d.doc_id = w.doc_id
+       |GROUP BY d.lang""".stripMargin
+
+  private def bpeSelect(n: Int): String =
+    s"""SELECT 'bpe' AS family, CAST($n AS BIGINT) AS vocab_size, d.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(CASE WHEN length(w.tok) = 0 THEN 0 ELSE f.np END)
+       |    AS BIGINT) AS n_pieces,
+       |  CAST(CAST(SUM(CASE WHEN length(w.tok) = 0 THEN 0 ELSE f.np END)
+       |       AS HUGEINT) * 1000000
+       |       // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS fertility_ppm
+       |FROM words w LEFT JOIN finb$n f ON w.tok = f.tok
+       |JOIN documents d ON d.doc_id = w.doc_id
+       |GROUP BY d.lang""".stripMargin
+
+  private def uniSelect(n: Int): String =
+    s"""SELECT 'unigram' AS family, CAST($n AS BIGINT) AS vocab_size,
+       |  d.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(CASE WHEN u.packed IS NULL THEN 1
+       |                ELSE u.packed % 1048576 END) AS BIGINT) AS n_pieces,
+       |  CAST(CAST(SUM(CASE WHEN u.packed IS NULL THEN 1
+       |                     ELSE u.packed % 1048576 END) AS HUGEINT)
+       |       * 1000000
+       |       // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS fertility_ppm
+       |FROM uwords w JOIN uperwordun$n u ON u.tok = w.tok
+       |JOIN documents d ON d.doc_id = w.doc_id
+       |GROUP BY d.lang""".stripMargin
+
+  private val q221Sql =
+    s"""WITH RECURSIVE
+       |${Round12.wordsCtes},
+       |${sizes.map(n => Round12.subwordVocabCtes(s"wp$n", n)).mkString(",\n")},
+       |${Round13.bpeChainCtes(32, sizes.map(n => (s"finb$n", n)))},
+       |${Round17.unigramSharedCtes},
+       |${sizes.map(n => Round17.unigramVocabCtes(s"un$n", n)).mkString(",\n")}
+       |SELECT family, vocab_size, lang, n_words, n_pieces, fertility_ppm
+       |FROM (
+       |${(sizes.map(wpSelect) ++ sizes.map(bpeSelect) ++
+           sizes.map(uniSelect)).mkString("\nUNION ALL\n")})
+       |ORDER BY family, vocab_size, lang""".stripMargin
+
   // ---------------------------------------------------------------- q222
   /** STORED Lloyd codebook round-trip ([[graft.ops.Similarity
     * .fitPqBooksLloyd]] → [[graft.ops.Similarity.savePq]] /
@@ -265,6 +355,7 @@ object Round19 {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q220_residual_lloyd_recall", q220, Some(q220Sql)),
+    QueryDef("q221_tokenizer_vocab_frontier", q221, Some(q221Sql)),
     QueryDef("q222_stored_lloyd_encode", q222, Some(q222Sql)),
     QueryDef("q223_salted_negatives", q223, Some(q223Sql)))
 }
