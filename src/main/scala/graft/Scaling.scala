@@ -452,19 +452,38 @@ object Scaling {
             val (rows, t) = timed(graft.ops.Similarity.ivfHardNegatives(df,
               k = 5, nCents = nCents, nProbe = 4).count())
             sweep(spark)
+            // x30 only: the salted spelling of the SAME mining run
+            // (numSalts = 8, result-identical) — r18 isolated the x30
+            // variance to this join's contention-sensitive spill, and
+            // this cell pair measures whether the engine's own skew
+            // lever (q81 salting) tames it (verdict ask #4; either
+            // answer is an answer)
+            val saltedField =
+              if (x == 30) {
+                val (_, tS) = timed(graft.ops.Similarity.ivfHardNegatives(
+                  df, k = 5, nCents = nCents, nProbe = 4,
+                  numSalts = 8).count())
+                sweep(spark)
+                f""","salts":8,"salted_sec":$tS%.2f"""
+              } else ""
             val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
             val perM = if (candPairs > 0) t / (candPairs / 1e6) else 0.0
-            points += f"""{"x":$x,"vecs":$nVecs,"ncents":$nCents,"nprobe":4,"cand_pairs":$candPairs,"rows":$rows,"assign_sec":$tAssign%.2f,"sec":$t%.2f,"sec_per_1m_cand_pairs":$perM%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
+            points += f"""{"x":$x,"vecs":$nVecs,"ncents":$nCents,"nprobe":4,"cand_pairs":$candPairs,"rows":$rows,"assign_sec":$tAssign%.2f,"sec":$t%.2f,"sec_per_1m_cand_pairs":$perM%.3f$saltedField,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 
       case "adc" =>
-        // the ONLINE query path (q212): per point, fit+encode the
-        // replicated corpus once (encode_sec — the offline index
+        // the ONLINE query path (q212/q215): per point, fit+encode
+        // the replicated corpus once (encode_sec — the offline index
         // build, checkpointed so the timed read never re-runs it),
-        // then serve the SAME 16-probe batch at every x. cand_rows =
-        // nVecs·16 is the scan the batch streams (m LUT lookups per
-        // row) — wall should track it linearly at fixed probe count.
+        // then serve the SAME 16-probe batch at every x, TWICE: the
+        // full scan (adcTopKBatch — cand_rows = nVecs·16) and the
+        // IVF-ROUTED tier (adcTopKBatchRouted at nCents = ⌈√n⌉,
+        // nProbe = 4 — routed_cand_rows = Σ probed-cell sizes over
+        // the batch). The routed/full cand-row ratio ~ nProbe/nCents
+        // is q215's scan-fraction claim, MEASURED per point beside
+        // both walls (r18 verdict ask #3); route_sec is the offline
+        // cell-stamping cost, reported separately like encode_sec.
         // The probe frame is re-derived per point (deterministic, 16
         // rows, untimed) rather than checkpointed once: the per-point
         // sweep would unpersist a shared checkpoint and its truncated
@@ -488,13 +507,49 @@ object Scaling {
                 .localCheckpoint(true)
               codes.count()
             }
+            // routed offline build (route_sec) BEFORE either timed
+            // serve: sweep() unpersists localCheckpoint blocks, so a
+            // mid-pair sweep would orphan the frames the second serve
+            // reads — one sweep after both timed cells instead (the
+            // serves themselves persist nothing)
+            val nCents = math.ceil(math.sqrt(nVecs.toDouble)).toInt
+            var cents: org.apache.spark.sql.DataFrame = null
+            var asg: org.apache.spark.sql.DataFrame = null
+            var codesCell: org.apache.spark.sql.DataFrame = null
+            val (_, tRoute) = timed {
+              cents = graft.ops.Similarity.ivfCentroids(df, nCents)
+                .localCheckpoint(true)
+              asg = graft.ops.Similarity.ivfAssign(df, nCents, nProbe = 4)
+                .localCheckpoint(true)
+              codesCell = codes
+                .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+                .localCheckpoint(true)
+              codesCell.count()
+            }
+            // untimed instrument: Σ probed-cell sizes over the batch —
+            // probe base-id b is replica id b·x (replica 0 keeps the
+            // unperturbed vector), so its stored probe list IS the
+            // batch's routing
+            val cellSizes = asg.groupBy("cell")
+              .agg(count(lit(1)).as("__n"))
+            val candRouted = asg
+              .join(probes.select((col("query_id") * x).as("vec_id")),
+                Seq("vec_id"), "left_semi")
+              .select(explode(col("probes")).as("cell"))
+              .join(cellSizes, Seq("cell"))
+              .agg(sum(col("__n")))
+              .collect()(0).getLong(0)
             val (rows, t) = timed(graft.ops.Similarity.adcTopKBatch(
               codes, books, probes, k = 10).count())
+            val (rowsR, tR) = timed(
+              graft.ops.Similarity.adcTopKBatchRouted(codesCell, books,
+                cents, probes, k = 10, nProbe = 4).count())
             sweep(spark)
             val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
             val candRows = nVecs * 16L
             val perM = if (candRows > 0) t / (candRows / 1e6) else 0.0
-            points += f"""{"x":$x,"vecs":$nVecs,"n_queries":16,"cand_rows":$candRows,"encode_sec":$tEnc%.2f,"rows":$rows,"sec":$t%.2f,"sec_per_1m_cand_rows":$perM%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
+            val perMR = if (candRouted > 0) tR / (candRouted / 1e6) else 0.0
+            points += f"""{"x":$x,"vecs":$nVecs,"n_queries":16,"cand_rows":$candRows,"encode_sec":$tEnc%.2f,"rows":$rows,"sec":$t%.2f,"sec_per_1m_cand_rows":$perM%.3f,"ncents":$nCents,"nprobe":4,"route_sec":$tRoute%.2f,"routed_cand_rows":$candRouted,"routed_rows":$rowsR,"routed_sec":$tR%.2f,"routed_sec_per_1m_cand_rows":$perMR%.3f,"load":$la%.1f,"steal_pct":$sp%.2f}"""
           } else truncated = true
         }
 

@@ -1595,7 +1595,6 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id", queryVecCol: String = "embedding",
       quantScale: Double = 1e4): DataFrame = {
-    require(k >= 1)
     require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
     // offline: stored codes stamped with their cell
     val asg = ivfAssign(emb, nCents, nProbe, idCol, vecCol, quantScale)
@@ -1603,19 +1602,57 @@ object Similarity {
     val books = fitPqBooks(emb, m, nCodes, idCol, vecCol)
     val codes = encodePq(emb, books, idCol, vecCol, quantScale)
       .join(asg, Seq(idCol))
-    // online: rank the broadcast centroid frame per query — the SAME
-    // seededCentroids frame ivfRouted assigned the stored codes with
-    // (r18 ADVICE: a hand copy here could silently desync routing
-    // from assignment)
+    val cents = ivfCentroids(emb, nCents, idCol, vecCol)
+    adcTopKBatchRouted(codes, books, cents, queries, k, nProbe,
+      idCol, queryIdCol, queryVecCol, quantScale)
+  }
+
+  /** The coarse-quantizer centroid frame as a PUBLIC artifact
+    * (cell, centroid) — the [[seededCentroids]] pick [[ivfAssign]]
+    * ranks every stored vector against, exposed so the ONLINE tier
+    * ([[adcTopKBatchRouted]]) provably routes against the SAME frame
+    * the offline assignment used, and so a harness can stage (and
+    * time) the offline build separately from the query path. nCents
+    * rows — broadcast-scale by contract. */
+  def ivfCentroids(emb: DataFrame, nCents: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nCents >= 1)
+    seededCentroids(
+      emb.select(col(idCol).as("__id"), col(vecCol).as("__v")), nCents)
+      .select(col("__cent").as("cell"), col("__cv").as("centroid"))
+  }
+
+  /** ONLINE tier of [[ivfAdcTopKBatch]] over a PREBUILT index — the
+    * serving path a production deployment actually runs per batch:
+    * `codes` are stored cell-stamped PQ codes (offline:
+    * [[encodePq]] ∘ [[ivfAssign]], built once), `books` the frozen
+    * codebook, `cents` the [[ivfCentroids]] frame. Queries rank the
+    * broadcast centroids (|queries|·nCents distances), take nProbe
+    * cells, the cell-keyed join fans each code row only to the
+    * queries probing its cell, per-query LUTs broadcast, per-(query,
+    * id) sums map-side combine, [[TopKAgg]] bounds each query's
+    * exchange at k. Splitting the tiers is also what lets the adc
+    * scaling curve price the ONLINE scan alone: its per-query
+    * candidate stream is n·nProbe/nCents code rows versus
+    * [[adcTopKBatch]]'s full n.
+    *
+    * Returns (queryIdCol, rank, idCol, adc_d2) ordered by
+    * (queryIdCol, rank). */
+  def adcTopKBatchRouted(codes: DataFrame, books: DataFrame,
+      cents: DataFrame, queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1 && nProbe >= 1)
     def qdist(a: Column, b: Column): Column =
       graft.engine.Columns.ofExpr(QuantSqDistExpr(
         graft.engine.Columns.exprOf(a),
         graft.engine.Columns.exprOf(b), quantScale))
-    val cents = seededCentroids(
-      emb.select(col(idCol).as("__id"), col(vecCol).as("__v")), nCents)
+    val c = cents.select(col("cell").as("__cent"),
+      col("centroid").as("__cv"))
     val qprobe = queries
       .select(col(queryIdCol).as("__qid"), col(queryVecCol).as("__qv"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(c))
       .groupBy("__qid")
       .agg(TopKAgg.topK(qdist(col("__qv"), col("__cv")), col("__cent"),
         nProbe, largest = false).as("__pr"))
@@ -1626,7 +1663,7 @@ object Similarity {
     val (mG, subLen) = pqGeometry(books)
     val qdim = queries.select(size(col(queryVecCol)).as("d")).limit(1)
       .collect()
-    require(qdim.nonEmpty, "ivfAdcTopKBatch: empty query frame")
+    require(qdim.nonEmpty, "adcTopKBatchRouted: empty query frame")
     require(qdim(0).getInt(0) == mG * subLen,
       s"query dim ${qdim(0).getInt(0)} does not match codebook geometry " +
         s"m=$mG × subLen=$subLen")
