@@ -43,32 +43,43 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     n_pass = n_fail = 0
+    per_query = {}
     for name in sorted(oracle):
         res_dir = Path(out_dir, name)
         if not res_dir.exists():
             print(f"FAIL {name}: no engine output")
+            per_query[name] = "fail:no_output"
             n_fail += 1
             continue
-        got_rel = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
-        got_cols = [d[0] for d in got_rel.description]
-        got = got_rel.fetchall()
-        exp_rel = con.execute(oracle[name])
-        exp_cols = [d[0] for d in exp_rel.description]
-        exp = exp_rel.fetchall()
+        try:
+            got_rel = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+            got_cols = [d[0] for d in got_rel.description]
+            got = got_rel.fetchall()
+            exp_rel = con.execute(oracle[name])
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:  # noqa: BLE001 — record, keep checking the rest
+            print(f"FAIL {name}: oracle error: {e}")
+            per_query[name] = "fail:oracle_error"
+            n_fail += 1
+            continue
         # sort columns by name (driver contract)
         gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            per_query[name] = "fail:columns"
             n_fail += 1
             continue
         g = canon([[r[i] for i in gi] for r in got])
         e = canon([[r[i] for i in ei] for r in exp])
         if g == e:
             print(f"PASS {name} ({len(g)} rows)")
+            per_query[name] = "pass"
             n_pass += 1
         else:
             n_fail += 1
+            per_query[name] = "fail:rows"
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
             diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
             for a, b in diff:
@@ -101,6 +112,22 @@ def main():
             Path("semioracle.txt").write_text(f"{semi_line} (exit 0)\n")
         except OSError as e:
             print(f"could not write semioracle.txt: {e}")
+        # committed per-round oracle artifact (r18 verdict ask #6: the
+        # driver's CORRECTNESS_r18.json arrived empty and the repo had
+        # no backstop of its own). Gated on the same full-run proof as
+        # semioracle.txt: a subset Verify dump crashes the tamper
+        # harness, so a subset run can never clobber the committed
+        # full-battery record.
+        try:
+            Path("oracle_check.json").write_text(json.dumps(
+                {"n_pass": n_pass, "n_fail": n_fail,
+                 "n_queries": n_pass + n_fail,
+                 "fail": sorted(k for k, v in per_query.items()
+                                if v != "pass"),
+                 "queries": per_query},
+                indent=0, sort_keys=True) + "\n")
+        except OSError as e:
+            print(f"could not write oracle_check.json: {e}")
     else:
         print("semioracle FAILED -- leaving committed semioracle.txt untouched")
     sys.exit(1 if n_fail or semi.returncode else 0)
