@@ -2148,7 +2148,23 @@ object Similarity {
     require(qdim == dim,
       s"query dim $qdim does not match corpus dim $dim")
     val subLen = dim / m
-    // ---- offline index build ----
+    val (cents, books, codes) = residualIndexFrames(emb, nCents, m,
+      nCodes, rounds, idCol, vecCol, quantScale, dim)
+    val qq = queries.select(col(queryIdCol).as("__qid"),
+      quantArr(col(queryVecCol), quantScale).as("__qqv"))
+    val qres = residualProbe(qq, cents, nProbe)
+    residualRankTail(codes, books, qres, k, subLen, idCol, queryIdCol)
+  }
+
+  /** Offline build of the residual index, shared by the inline tier
+    * ([[ivfAdcTopKBatchResidual]]) and the stored one
+    * ([[saveResidualIndex]]): integer centroids (__cent, __cqv),
+    * Lloyd residual books (__ss, __code, __cv), cell-stamped codes
+    * (__id, __cell, __ss, __code). */
+  private def residualIndexFrames(emb: DataFrame, nCents: Int, m: Int,
+      nCodes: Int, rounds: Int, idCol: String, vecCol: String,
+      quantScale: Double, dim: Int): (DataFrame, DataFrame, DataFrame) = {
+    val subLen = dim / m
     val q = emb.select(col(idCol).as("__id"),
       quantArr(col(vecCol), quantScale).as("__qv"))
     val cents = seededRank(q, "__id", nCents, "__cent")
@@ -2163,9 +2179,15 @@ object Similarity {
       intSubSlices(resid.select(col("__id"), col("__cell"),
         col("__rv").as("__qv")), m, subLen),
       books, Seq("__id", "__cell"))
-    // ---- online query tier ----
-    val qq = queries.select(col(queryIdCol).as("__qid"),
-      quantArr(col(queryVecCol), quantScale).as("__qqv"))
+    (cents, books, codes)
+  }
+
+  /** Online routing for the residual tier: each query's nProbe
+    * nearest cells and its PER-CELL residual q − c (the Jégou line
+    * raw-vector coding lacks — the LUT downstream is keyed
+    * (query, cell, s, code)). Returns (__qid, __cell, __qr). */
+  private def residualProbe(qq: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
     val qprobe = qq.crossJoin(broadcast(cents))
       .groupBy("__qid")
       .agg(first(col("__qqv")).as("__qqv"),
@@ -2173,12 +2195,17 @@ object Similarity {
           nProbe, largest = false).as("__pr"))
       .select(col("__qid"), col("__qqv"),
         explode(transform(col("__pr"), e => e("id"))).as("__cell"))
-    // the Jégou line raw-vector coding lacks: the query's residual is
-    // PER PROBED CELL, so the LUT is keyed (query, cell, s, code)
-    val qres = qprobe.join(broadcast(cents),
-        qprobe("__cell") === cents("__cent"))
+    qprobe.join(broadcast(cents), qprobe("__cell") === cents("__cent"))
       .select(col("__qid"), col("__cell"),
         zip_with(col("__qqv"), col("__cqv"), (a, b) => a - b).as("__qr"))
+  }
+
+  /** The residual tier's serve tail: per-(query, cell) LUTs from the
+    * residual books, the cell-keyed fan-out join, map-side-combined
+    * per-(query, id) sums, bounded heaps. */
+  private def residualRankTail(codes: DataFrame, books: DataFrame,
+      qres: DataFrame, k: Int, subLen: Int, idCol: String,
+      queryIdCol: String): DataFrame = {
     val lut = qres.crossJoin(books)
       .select(col("__qid"), col("__cell"), col("__ss"), col("__code"),
         intSqDist(slice(col("__qr"), col("__ss").cast("int") * subLen + 1,
@@ -2196,6 +2223,79 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"),
         col("e.id").as(idCol), col("e.ord").cast(LongType).as("adc_d2"))
       .orderBy(queryIdCol, "rank")
+  }
+
+  /** Freeze the WHOLE residual index — the [[saveIvf]]/[[savePq]]
+    * stance applied to the production tier: `dir/cents` (cell,
+    * centroid — nCents integer rows), `dir/books` (the Lloyd residual
+    * codebook, [[savePq]]'s schema), and `dir/codes` PARTITIONED BY
+    * cell, one directory per inverted list. The layout IS the scale
+    * story (q97's): [[serveResidualIndex]] collects the batch's
+    * probed cells (≤ |queries|·nProbe values, bounded by contract)
+    * and reads the code store through a STATIC `cell IN (…)`
+    * partition filter — a 4-probe batch against a 1000-cell stored
+    * corpus reads the probed directories, never the corpus
+    * (plan-asserted in the spec). Production fits once per re-train
+    * window and serves from the frozen frames; a refit would silently
+    * re-key every stored code. */
+  def saveResidualIndex(emb: DataFrame, dir: String, nCents: Int = 16,
+      m: Int = 8, nCodes: Int = 16, rounds: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      quantScale: Double = 1e4): Unit = {
+    require(nCents >= 1 && m >= 1 && nCodes >= 1 && rounds >= 0)
+    val dim = probeDim(emb, idCol, vecCol)
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m")
+    val (cents, books, codes) = residualIndexFrames(emb, nCents, m,
+      nCodes, rounds, idCol, vecCol, quantScale, dim)
+    cents.select(col("__cent").as("cell"), col("__cqv").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cents")
+    books.select(col("__ss").as("subspace"), col("__code").as("code"),
+        col("__cv").as("codeword"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    codes.select(col("__id").as(idCol), col("__ss").as("subspace"),
+        col("__code").as("code"), col("__cell").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Serve a probe batch from a STORED residual index
+    * ([[saveResidualIndex]]) — the online tier production actually
+    * runs: load the two tiny frames (cents, books), route the batch,
+    * COLLECT the probed cell ids (bounded: ≤ min(|queries|·nProbe,
+    * nCents) longs — the q135 bounded-collect idiom), and read the
+    * partitioned code store through a static `cell IN (…)` filter so
+    * the scan is bounded by the cells probed, not corpus size. The
+    * ranking is the exact [[ivfAdcTopKBatchResidual]] tail — the
+    * storage hop must be semantically invisible (spec + q225's
+    * shared oracle pin it).
+    *
+    * Returns (queryIdCol, rank, idCol, adc_d2) ordered by
+    * (queryIdCol, rank). */
+  def serveResidualIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+      idCol: String = "vec_id", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1 && nProbe >= 1)
+    val books = spark.read.parquet(s"$dir/books")
+    val (m, subLen) = pqGeometry(books)
+    val qdim = probeDim(queries, queryIdCol, queryVecCol)
+    require(qdim == m * subLen,
+      s"query dim $qdim does not match stored index geometry " +
+        s"m=$m × subLen=$subLen")
+    val cents = spark.read.parquet(s"$dir/cents")
+      .select(col("cell").as("__cent"), col("centroid").as("__cqv"))
+    val b = books.select(col("subspace").as("__ss"),
+      col("code").as("__code"), col("codeword").as("__cv"))
+    val qq = queries.select(col(queryIdCol).as("__qid"),
+      quantArr(col(queryVecCol), quantScale).as("__qqv"))
+    val qres = residualProbe(qq, cents, nProbe).localCheckpoint(true)
+    val probedCells = qres.select(col("__cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col(idCol).as("__id"), col("cell").as("__cell"),
+        col("subspace").as("__ss"), col("code").as("__code"))
+    residualRankTail(codes, b, qres, k, subLen, idCol, queryIdCol)
   }
 
   /** COMPOSED recall audit for [[ivfAdcTopKBatchResidual]] — the

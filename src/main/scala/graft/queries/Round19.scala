@@ -66,9 +66,13 @@ object Round19 {
       nCents = 16, nProbe = 4, m = 8, nCodes = 16, rounds = 1)
   }
 
-  private val q220Sql =
-    s"""WITH
-       |$routePrefixCtes,
+  /** The residual production tier replayed through its per-(query,
+    * probe-cell) ADC sums `radc(qid, vec_id, adc_d2)` — shared by the
+    * recall audit (q220) and the two retrieval-row queries
+    * (q224 inline, q225 stored: the storage hop must be invisible, so
+    * they answer to the SAME replay). */
+  private def residualTierCtes: String =
+    s"""$routePrefixCtes,
        |resid AS (
        |  SELECT a.vec_id, c.cent_id AS cell,
        |    list_transform(range(len(a.qv)), i ->
@@ -122,7 +126,11 @@ object Round19 {
        |  JOIN rlut l ON l.qid = cq.qid AND l.cell = cl.cent_id
        |    AND l.s = a.s AND l.code = a.code
        |  GROUP BY cq.qid, a.vec_id
-       |),
+       |)""".stripMargin
+
+  private val q220Sql =
+    s"""WITH
+       |$residualTierCtes,
        |apxr AS (
        |  SELECT qid, vec_id, ar FROM (
        |    SELECT qid, vec_id,
@@ -353,9 +361,66 @@ object Round19 {
        |  FROM cp) WHERE rank <= 5
        |ORDER BY vec_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+  /** Residual production-tier RETRIEVAL rows ([[graft.ops.Similarity
+    * .ivfAdcTopKBatchResidual]]): q220 hash-checks the tier's RECALL
+    * aggregate; this holds the raw serving output — every
+    * (query_id, rank, vec_id, adc_d2) row — to a full hash oracle,
+    * so a distance-sum drift that happened to preserve rank order
+    * (which the recall algebra cannot see) still fails. Same replay
+    * as q220 up through the per-(query, cell) ADC sums; the tail is
+    * the partitioned top-10. */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Similarity.ivfAdcTopKBatchResidual(emb, probes, k = 10,
+      nCents = 16, nProbe = 4, m = 8, nCodes = 16, rounds = 1)
+  }
+
+  private def residualRowsSelect: String =
+    s"""SELECT query_id, rank, vec_id, adc_d2 FROM (
+       |  SELECT qid AS query_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_d2, vec_id) AS BIGINT) AS rank,
+       |    vec_id, adc_d2
+       |  FROM radc) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val q224Sql =
+    s"""WITH
+       |$residualTierCtes
+       |$residualRowsSelect""".stripMargin
+
+  // ---------------------------------------------------------------- q225
+  /** STORED residual index, served ([[graft.ops.Similarity
+    * .saveResidualIndex]] → [[graft.ops.Similarity
+    * .serveResidualIndex]]): the whole production index frozen once —
+    * integer centroids, the Lloyd residual codebook, codes
+    * PARTITIONED BY CELL — then the batch served from the frozen
+    * frames, with the probed cells collected (bounded) and pushed
+    * into the code read as a STATIC partition filter: a 4-probe batch
+    * against a 1000-cell stored corpus reads the probed directories,
+    * never the corpus (the q97 layout story for the residual tier).
+    * Identical SQL to q224 — the storage hop must be semantically
+    * invisible, and the shared oracle is what proves it. */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idxDir = Round11.freshScratchDirShared("graft_q225_residx")
+    Similarity.saveResidualIndex(emb, idxDir, nCents = 16, m = 8,
+      nCodes = 16, rounds = 1)
+    Similarity.serveResidualIndex(s, idxDir, probes, k = 10, nProbe = 4)
+  }
+
+  private val q225Sql = q224Sql
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q220_residual_lloyd_recall", q220, Some(q220Sql)),
     QueryDef("q221_tokenizer_vocab_frontier", q221, Some(q221Sql)),
     QueryDef("q222_stored_lloyd_encode", q222, Some(q222Sql)),
-    QueryDef("q223_salted_negatives", q223, Some(q223Sql)))
+    QueryDef("q223_salted_negatives", q223, Some(q223Sql)),
+    QueryDef("q224_residual_lloyd_batch", q224, Some(q224Sql)),
+    QueryDef("q225_stored_residual_serve", q225, Some(q225Sql)))
 }

@@ -106,6 +106,44 @@ class Round19OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("geometry"))
   }
 
+  // ------------------------ q225 stored residual index
+  test("saveResidualIndex/serveResidualIndex: storage hop invisible, probed cells prune partitions") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(67)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 11 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_residx").toString
+    Similarity.saveResidualIndex(emb, dir, nCents = 8, m = 2,
+      nCodes = 4, rounds = 1)
+    val served = Similarity.serveResidualIndex(spark, dir, probes,
+      k = 5, nProbe = 2)
+    val inline = Similarity.ivfAdcTopKBatchResidual(emb, probes, k = 5,
+      nCents = 8, nProbe = 2, m = 2, nCodes = 4, rounds = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(served.as[(Long, Long, Long, Long)].collect().toSeq === inline,
+      "the storage hop must be semantically invisible")
+    // the probed-cell filter must reach the code scan as a PARTITION
+    // filter on the cell directories — serving a 2-probe batch from a
+    // stored 1000-cell corpus must read the probed directories, not
+    // the corpus
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      plan.replaceAll("#\\d+", "").contains("cell IN"),
+      s"probed cells did not become a partition filter:\n$plan")
+    // geometry desync refused from the STORED frame's own geometry
+    val wide = (0L until 20L).map(i =>
+      (i, Array.fill(12)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.serveResidualIndex(spark, dir,
+        wide.select($"vec_id".as("query_id"), $"embedding"), k = 5,
+        nProbe = 2)
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
   // ------------------------ q223 salted ANN candidate join
   test("ivfHardNegatives: salted join is result-identical to the unsalted join") {
     import graft.ops.Similarity
