@@ -144,6 +144,28 @@ class Round19OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("geometry"))
   }
 
+  // ------------------------ q221 tokenizer vocab frontier
+  test("bpeStats: per-doc piece counts are monotonically non-increasing in the merge count") {
+    // each merge round only ever merges adjacent symbols — no round
+    // can split — so the q221 frontier's BPE fertility axis is
+    // non-increasing on ANY corpus, not just the measured one
+    val docs = Seq(
+      (0L, "aa ab aa ba", "en"),
+      (1L, "abab baba aa", "en"),
+      (2L, "b a ab abab", "de")).toDF("doc_id", "text", "lang")
+    val byK = Seq(0, 2, 4).map { k =>
+      k -> graft.text.Bpe.bpeStats(docs, k = k)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+    }
+    byK.sliding(2).foreach { case Seq((k1, a), (k2, b)) =>
+      a.keys.foreach { d =>
+        assert(b(d) <= a(d),
+          s"doc $d: pieces grew ${a(d)} -> ${b(d)} from k=$k1 to k=$k2")
+      }
+    }
+  }
+
   // ------------------------ q223 salted ANN candidate join
   test("ivfHardNegatives: salted join is result-identical to the unsalted join") {
     import graft.ops.Similarity
