@@ -2257,6 +2257,44 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
+  /** APPEND a batch to a stored residual index WITHOUT refitting —
+    * the maintenance operation that completes the residual tier's
+    * q194/q112 stance: the increment is coarse-assigned against the
+    * FROZEN centroid frame, its residuals are encoded against the
+    * FROZEN Lloyd codebook, and the new codes append into the
+    * existing cell partitions (existing directories' files are never
+    * rewritten — parquet append). Re-fitting would silently re-key
+    * every stored code's meaning (an ADC scan would mix codes from
+    * two codebooks into one integer sum) AND move every residual's
+    * origin; frozen frames trade assignment optimality for zero
+    * refit, the standard IVF maintenance contract. Batch-split
+    * invariance is the spec's pin: appending an increment in one
+    * batch or two produces the same served rankings. */
+  def appendResidualIndex(spark: org.apache.spark.sql.SparkSession,
+      increment: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", quantScale: Double = 1e4): Unit = {
+    val books = spark.read.parquet(s"$dir/books")
+    val (m, subLen) = pqGeometry(books)
+    val dim = probeDim(increment, idCol, vecCol)
+    require(dim == m * subLen,
+      s"increment dim $dim does not match stored index geometry " +
+        s"m=$m × subLen=$subLen")
+    val cents = spark.read.parquet(s"$dir/cents")
+      .select(col("cell").as("__cent"), col("centroid").as("__cqv"))
+    val b = books.select(col("subspace").as("__ss"),
+      col("code").as("__code"), col("codeword").as("__cv"))
+    val q = increment.select(col(idCol).as("__id"),
+      quantArr(col(vecCol), quantScale).as("__qv"))
+    val resid = residualAssign(q, cents)
+    argminCode(
+      intSubSlices(resid.select(col("__id"), col("__cell"),
+        col("__rv").as("__qv")), m, subLen),
+      b, Seq("__id", "__cell"))
+      .select(col("__id").as(idCol), col("__ss").as("subspace"),
+        col("__code").as("code"), col("__cell").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   /** Serve a probe batch from a STORED residual index
     * ([[saveResidualIndex]]) — the online tier production actually
     * runs: load the two tiny frames (cents, books), route the batch,

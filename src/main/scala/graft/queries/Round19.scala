@@ -20,8 +20,11 @@ object Round19 {
 
   /** Quantized corpus + seeded coarse centroids + per-vector cell
     * ranks — the q209 routing prefix, restated here so round-19
-    * queries do not reach into Round18's private blocks. */
-  private def routePrefixCtes: String =
+    * queries do not reach into Round18's private blocks. `fit`
+    * renders the FIT-population predicate for a qualified vec_id
+    * column: the inline tiers fit on everything; q226 fits on the
+    * base corpus only (the increment arrives against frozen frames). */
+  private def routePrefixCtes(fit: String => String): String =
     s"""q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
@@ -33,6 +36,7 @@ object Round19 {
        |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
        |      AS cent_id
        |  FROM q
+       |  WHERE ${fit("vec_id")}
        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
        |  LIMIT 16
        |),
@@ -68,11 +72,16 @@ object Round19 {
 
   /** The residual production tier replayed through its per-(query,
     * probe-cell) ADC sums `radc(qid, vec_id, adc_d2)` — shared by the
-    * recall audit (q220) and the two retrieval-row queries
-    * (q224 inline, q225 stored: the storage hop must be invisible, so
-    * they answer to the SAME replay). */
-  private def residualTierCtes: String =
-    s"""$routePrefixCtes,
+    * recall audit (q220), the two retrieval-row queries (q224 inline,
+    * q225 stored: the storage hop must be invisible, so they answer
+    * to the SAME replay), and — with the fit population restricted to
+    * the base corpus — the append-maintenance query q226. `sub` is
+    * the FIT population's residual slices (what the Lloyd round and
+    * the seeded inits see); `asub` is EVERY vector's (what gets
+    * encoded and served). */
+  private def residualTierCtes(
+      fit: String => String = _ => "TRUE"): String =
+    s"""${routePrefixCtes(fit)},
        |resid AS (
        |  SELECT a.vec_id, c.cent_id AS cell,
        |    list_transform(range(len(a.qv)), i ->
@@ -81,12 +90,16 @@ object Round19 {
        |  JOIN cent ct ON ct.cent_id = c.cent_id
        |),
        |sub AS (
+       |  SELECT r.vec_id, ss.s, ${slice8("r.rv")} AS sv FROM resid r, ss
+       |  WHERE ${fit("r.vec_id")}),
+       |asub AS (
        |  SELECT r.vec_id, ss.s, ${slice8("r.rv")} AS sv FROM resid r, ss),
        |rmed AS (
        |  SELECT rv, ROW_NUMBER() OVER (ORDER BY
        |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
        |    AS code
        |  FROM resid
+       |  WHERE ${fit("vec_id")}
        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
        |  LIMIT 16
        |),
@@ -95,10 +108,10 @@ object Round19 {
        |${Round18.lloydRoundCtes("rr", 1, "rb0")},
        |renc AS (
        |  SELECT vec_id, s, code FROM (
-       |    SELECT sub.vec_id, sub.s, b.code,
-       |      ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-       |        ORDER BY ${Round16.d2Sql("sub.sv", "b.cv")}, b.code) AS rk
-       |    FROM sub JOIN rrb1 b ON b.s = sub.s) WHERE rk = 1
+       |    SELECT asub.vec_id, asub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY asub.vec_id, asub.s
+       |        ORDER BY ${Round16.d2Sql("asub.sv", "b.cv")}, b.code) AS rk
+       |    FROM asub JOIN rrb1 b ON b.s = asub.s) WHERE rk = 1
        |),
        |probes AS (SELECT vec_id AS qid, qv AS pqv FROM q WHERE vec_id % 50 = 0),
        |qpc AS (SELECT vid AS qid, cent_id FROM rk_ad
@@ -130,7 +143,7 @@ object Round19 {
 
   private val q220Sql =
     s"""WITH
-       |$residualTierCtes,
+       |${residualTierCtes()},
        |apxr AS (
        |  SELECT qid, vec_id, ar FROM (
        |    SELECT qid, vec_id,
@@ -389,7 +402,7 @@ object Round19 {
 
   private val q224Sql =
     s"""WITH
-       |$residualTierCtes
+       |${residualTierCtes()}
        |$residualRowsSelect""".stripMargin
 
   // ---------------------------------------------------------------- q225
@@ -416,11 +429,45 @@ object Round19 {
 
   private val q225Sql = q224Sql
 
+  // ---------------------------------------------------------------- q226
+  /** Residual-index APPEND without refit ([[graft.ops.Similarity
+    * .appendResidualIndex]]): the maintenance operation completing
+    * the residual tier's q194/q112 stance — the index is fit and
+    * frozen on the BASE corpus (vec_id % 5 ≠ 0), the increment
+    * (vec_id % 5 = 0) is coarse-assigned against the frozen centroids
+    * and encoded against the frozen Lloyd books, its codes append
+    * into the existing cell partitions, and the batch is served from
+    * the updated store. Every probe id is itself an increment vector
+    * (multiples of 50 are multiples of 5), so the queries arrived
+    * AFTER the fit — the daily-increment shape. The oracle replays
+    * the tier with the FIT population restricted to base while
+    * assignment, encode and serving cover everything — a refit
+    * sneaking into the append path would re-key codes and
+    * hash-mismatch. */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val inc = emb.filter(col("vec_id") % 5 === 0)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idxDir = Round11.freshScratchDirShared("graft_q226_residx")
+    Similarity.saveResidualIndex(base, idxDir, nCents = 16, m = 8,
+      nCodes = 16, rounds = 1)
+    Similarity.appendResidualIndex(s, inc, idxDir)
+    Similarity.serveResidualIndex(s, idxDir, probes, k = 10, nProbe = 4)
+  }
+
+  private val q226Sql =
+    s"""WITH
+       |${residualTierCtes(c => s"$c % 5 <> 0")}
+       |$residualRowsSelect""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q220_residual_lloyd_recall", q220, Some(q220Sql)),
     QueryDef("q221_tokenizer_vocab_frontier", q221, Some(q221Sql)),
     QueryDef("q222_stored_lloyd_encode", q222, Some(q222Sql)),
     QueryDef("q223_salted_negatives", q223, Some(q223Sql)),
     QueryDef("q224_residual_lloyd_batch", q224, Some(q224Sql)),
-    QueryDef("q225_stored_residual_serve", q225, Some(q225Sql)))
+    QueryDef("q225_stored_residual_serve", q225, Some(q225Sql)),
+    QueryDef("q226_residual_index_append", q226, Some(q226Sql)))
 }

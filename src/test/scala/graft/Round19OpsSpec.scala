@@ -144,6 +144,46 @@ class Round19OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("geometry"))
   }
 
+  // ------------------------ q226 residual-index append
+  test("appendResidualIndex: batch-split invariant and geometry-guarded") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(71)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val inc = emb.filter($"vec_id" % 4 === 0)
+    val probes = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def build(split: Boolean): Seq[(Long, Long, Long, Long)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_residx_app").toString
+      Similarity.saveResidualIndex(base, dir, nCents = 4, m = 2,
+        nCodes = 4, rounds = 1)
+      if (split) {
+        // daily increments vs one weekly batch: same index either way
+        Similarity.appendResidualIndex(spark, inc.filter($"vec_id" < 20),
+          dir)
+        Similarity.appendResidualIndex(spark,
+          inc.filter($"vec_id" >= 20), dir)
+      } else Similarity.appendResidualIndex(spark, inc, dir)
+      Similarity.serveResidualIndex(spark, dir, probes, k = 5,
+        nProbe = 2).as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(build(split = false) === build(split = true))
+    // an increment whose dim disagrees with the frozen geometry is
+    // refused before any write
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_residx_app2").toString
+    Similarity.saveResidualIndex(base, dir2, nCents = 4, m = 2,
+      nCodes = 4, rounds = 1)
+    val wide = (100L until 104L).map(i =>
+      (i, Array.fill(12)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendResidualIndex(spark, wide, dir2)
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
   // ------------------------ q221 tokenizer vocab frontier
   test("bpeStats: per-doc piece counts are monotonically non-increasing in the merge count") {
     // each merge round only ever merges adjacent symbols — no round
