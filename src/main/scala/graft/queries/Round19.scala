@@ -80,7 +80,7 @@ object Round19 {
     * the seeded inits see); `asub` is EVERY vector's (what gets
     * encoded and served). */
   private def residualTierCtes(
-      fit: String => String = _ => "TRUE"): String =
+      fit: String => String = _ => "TRUE", nProbe: Int = 4): String =
     s"""${routePrefixCtes(fit)},
        |resid AS (
        |  SELECT a.vec_id, c.cent_id AS cell,
@@ -115,7 +115,7 @@ object Round19 {
        |),
        |probes AS (SELECT vec_id AS qid, qv AS pqv FROM q WHERE vec_id % 50 = 0),
        |qpc AS (SELECT vid AS qid, cent_id FROM rk_ad
-       |        WHERE vid % 50 = 0 AND rk <= 4),
+       |        WHERE vid % 50 = 0 AND rk <= $nProbe),
        |candq AS (
        |  SELECT qp.qid, cl.vid FROM qpc qp
        |  JOIN cells cl ON cl.cent_id = qp.cent_id),
@@ -462,6 +462,75 @@ object Round19 {
        |${residualTierCtes(c => s"$c % 5 <> 0")}
        |$residualRowsSelect""".stripMargin
 
+  // ---------------------------------------------------------------- q227
+  /** nProbe → recall FRONTIER for the RESIDUAL production tier: q213
+    * drew the operating curve for the raw+medoid composition; the
+    * tier a deployment now runs (q220's residual+Lloyd) needs ITS OWN
+    * curve — per (nprobe, query, k) recall over nProbe ∈
+    * {1, 2, 4, 8, 16} at fixed geometry, the dial read against
+    * q215's measured n·nProbe/nCents scan cost. The oracle uses the
+    * q213 soundness argument one level up: a candidate's residual ADC
+    * distance depends only on (query, candidate's OWN cell), never on
+    * the probe set, so the shared replay computes every (query,
+    * candidate) sum ONCE at nProbe = nCents and re-restricts the
+    * ranking per nProbe; the (probe × nprobe × k) grid is filled on
+    * both sides. */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    Seq(1, 2, 4, 8, 16).map { np =>
+      Similarity.ivfAdcResidualLloydRecall(emb, probes,
+          ks = Seq(1, 5, 10), nCents = 16, nProbe = np, m = 8,
+          nCodes = 16, rounds = 1)
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionAll _)
+      .select("nprobe", "query_id", "k", "n_overlap", "recall_ppm")
+      .orderBy("nprobe", "query_id", "k")
+  }
+
+  private val q227Sql =
+    s"""WITH
+       |${residualTierCtes(nProbe = 16)},
+       |nps AS (SELECT CAST(u.np AS BIGINT) AS np
+       |        FROM UNNEST([1, 2, 4, 8, 16]) AS u(np)),
+       |pcq AS (SELECT vid AS qid, cent_id, rk FROM rk_ad
+       |        WHERE vid % 50 = 0),
+       |candn AS (
+       |  SELECT n.np, p.qid, c.vid FROM nps n
+       |  JOIN pcq p ON p.rk <= n.np
+       |  JOIN cells c ON c.cent_id = p.cent_id
+       |),
+       |apxr AS (
+       |  SELECT np, qid, vec_id, ar FROM (
+       |    SELECT cn.np, cn.qid, a.vec_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY cn.np, cn.qid
+       |        ORDER BY a.adc_d2, a.vec_id) AS BIGINT) AS ar
+       |    FROM radc a JOIN candn cn
+       |      ON cn.qid = a.qid AND cn.vid = a.vec_id) WHERE ar <= 10
+       |),
+       |exr AS (
+       |  SELECT p.qid, a.vec_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.qid
+       |      ORDER BY ${Round16.d2Sql("a.qv", "p.pqv")}, a.vec_id) AS BIGINT)
+       |      AS er
+       |  FROM q a CROSS JOIN probes p
+       |),
+       |ks AS (SELECT CAST(u.k AS BIGINT) AS k FROM UNNEST([1, 5, 10]) AS u(k)),
+       |hit AS (
+       |  SELECT x.np, x.qid, k.k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM exr e JOIN apxr x ON e.qid = x.qid AND e.vec_id = x.vec_id
+       |  CROSS JOIN ks k
+       |  WHERE e.er <= k.k AND x.ar <= k.k
+       |  GROUP BY x.np, x.qid, k.k
+       |)
+       |SELECT n.np AS nprobe, p.qid AS query_id, k.k AS k,
+       |  CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       |  CAST(COALESCE(h.c, 0) * 1000000 // k.k AS BIGINT) AS recall_ppm
+       |FROM probes p CROSS JOIN nps n CROSS JOIN ks k
+       |LEFT JOIN hit h ON h.np = n.np AND h.qid = p.qid AND h.k = k.k
+       |ORDER BY nprobe, query_id, k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q220_residual_lloyd_recall", q220, Some(q220Sql)),
     QueryDef("q221_tokenizer_vocab_frontier", q221, Some(q221Sql)),
@@ -469,5 +538,6 @@ object Round19 {
     QueryDef("q223_salted_negatives", q223, Some(q223Sql)),
     QueryDef("q224_residual_lloyd_batch", q224, Some(q224Sql)),
     QueryDef("q225_stored_residual_serve", q225, Some(q225Sql)),
-    QueryDef("q226_residual_index_append", q226, Some(q226Sql)))
+    QueryDef("q226_residual_index_append", q226, Some(q226Sql)),
+    QueryDef("q227_residual_nprobe_frontier", q227, Some(q227Sql)))
 }
