@@ -1839,7 +1839,9 @@ object Similarity {
   private def probeDim(emb: DataFrame, idCol: String,
       vecCol: String): Int = {
     val r = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
-    require(r.nonEmpty, "empty embedding frame")
+    require(r.nonEmpty,
+      s"empty frame — no $vecCol row to read the dimension from " +
+        "(a serving batch whose probe extraction matched nothing?)")
     r(0).getInt(0)
   }
 
@@ -2334,6 +2336,103 @@ object Similarity {
       .select(col(idCol).as("__id"), col("cell").as("__cell"),
         col("subspace").as("__ss"), col("code").as("__code"))
     residualRankTail(codes, b, qres, k, subLen, idCol, queryIdCol)
+  }
+
+  /** [[ivfAdcResidualLloydRecall]] swept over nProbe values with ONE
+    * offline build, ONE encode and ONE exact ranking — the
+    * engine-side twin of the q227 oracle's shared replay: a
+    * candidate's residual ADC distance depends only on (query, its
+    * OWN cell), never on the probe set, so the per-(query, candidate)
+    * sums are computed once over ALL cells and the ranking is
+    * re-restricted per nProbe by each cell's routing rank (running
+    * the single-point audit per nProbe re-fits the identical
+    * nProbe-independent index |nProbes| times — measured 12.8 s as
+    * five separate builds in the round-19 battery). Audit-scale by
+    * contract: the all-cells LUT is |queries|·nCents·m·nCodes rows
+    * and the per-np ranking window runs over |queries|·n·|nProbes|
+    * candidate rows — this is the OFFLINE tuner read, not the query
+    * path.
+    *
+    * Returns (nprobe, queryIdCol, k, n_overlap, recall_ppm) ordered
+    * by (nprobe, queryIdCol, k), with the full grid filled. */
+  def ivfAdcResidualLloydRecallSweep(emb: DataFrame, queries: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10), nCents: Int = 16,
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8, 16), m: Int = 8,
+      nCodes: Int = 16, rounds: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    require(nProbes.nonEmpty &&
+      nProbes.forall(np => np >= 1 && np <= nCents))
+    val spark = emb.sparkSession
+    val maxK = ks.max
+    val dim = probeDim(emb, idCol, vecCol)
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m")
+    require(probeDim(queries, queryIdCol, queryVecCol) == dim,
+      s"query dim does not match corpus dim $dim")
+    val subLen = dim / m
+    val (cents, books, codes) = residualIndexFrames(emb, nCents, m,
+      nCodes, rounds, idCol, vecCol, quantScale, dim)
+    val qq = queries.select(col(queryIdCol).as("__qid"),
+      quantArr(col(queryVecCol), quantScale).as("__qqv"))
+    // every (query, cell): residual + the cell's ROUTING RANK (the
+    // per-np restriction key; ties by ascending cell — TopKAgg's rule)
+    val c2 = cents.select(col("__cent").as("__cell"), col("__cqv"))
+    val qrank = qq.crossJoin(broadcast(c2))
+      .select(col("__qid"), col("__cell"),
+        zip_with(col("__qqv"), col("__cqv"), (a, b) => a - b).as("__qr"),
+        intSqDist(col("__qqv"), col("__cqv")).as("__d"))
+      .withColumn("__crk", row_number().over(
+        Window.partitionBy("__qid").orderBy(col("__d"), col("__cell")))
+        .cast(LongType))
+      .drop("__d")
+    val lut = qrank.crossJoin(books)
+      .select(col("__qid"), col("__cell"), col("__ss"), col("__code"),
+        intSqDist(slice(col("__qr"), col("__ss").cast("int") * subLen + 1,
+          lit(subLen)), col("__cv")).as("__qd2"))
+    val sums = codes
+      .join(broadcast(qrank.select(col("__qid"), col("__cell"))),
+        Seq("__cell"))
+      .join(broadcast(lut), Seq("__qid", "__cell", "__ss", "__code"))
+      .groupBy("__qid", "__id", "__cell")
+      .agg(sum(col("__qd2")).as("__adc"))
+    val npDf = spark.range(0, nProbes.length).select(
+      element_at(typedLit(nProbes.map(_.toLong)), col("id").cast("int") + 1)
+        .as("nprobe"))
+    val approx = sums
+      .join(broadcast(qrank.select(col("__qid"), col("__cell"),
+        col("__crk"))), Seq("__qid", "__cell"))
+      .crossJoin(broadcast(npDf))
+      .filter(col("__crk") <= col("nprobe"))
+      .withColumn("__ar", row_number().over(
+        Window.partitionBy("nprobe", "__qid")
+          .orderBy(col("__adc"), col("__id"))).cast(LongType))
+      .filter(col("__ar") <= maxK)
+      .select(col("nprobe"), col("__qid"), col("__id"), col("__ar"))
+    val q = emb.select(col(idCol).as("__id"),
+      quantArr(col(vecCol), quantScale).as("__qv"))
+    val exact = q.crossJoin(broadcast(qq))
+      .groupBy("__qid")
+      .agg(TopKAgg.topK(intSqDist(col("__qv"), col("__qqv")), col("__id"),
+        maxK, largest = false).as("tk"))
+      .select(col("__qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__qid"), (col("pos") + 1).cast(LongType).as("__er"),
+        col("e.id").as("__id"))
+    val ksDf = spark.range(0, ks.length).select(
+      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
+        .as("k"))
+    val hits = exact.join(approx, Seq("__qid", "__id"))
+      .crossJoin(broadcast(ksDf))
+      .filter(col("__er") <= col("k") && col("__ar") <= col("k"))
+      .groupBy("nprobe", "__qid", "k").agg(count(lit(1)).as("__c"))
+    qq.select(col("__qid")).crossJoin(broadcast(npDf))
+      .crossJoin(broadcast(ksDf))
+      .join(hits, Seq("nprobe", "__qid", "k"), "left")
+      .select(col("nprobe"), col("__qid").as(queryIdCol), col("k"),
+        coalesce(col("__c"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy("nprobe", queryIdCol, "k")
   }
 
   /** COMPOSED recall audit for [[ivfAdcTopKBatchResidual]] — the

@@ -63,22 +63,17 @@ object Round16 {
       .orderBy("k")
   }
 
-  private val q182Sql =
-    s"""WITH q AS (
+  /** The IVF hard-negative miner's replay — quantized labeled corpus,
+    * seeded centroids, assignment, probes, cross-label candidate
+    * distances `cp(qid, cand, d2)` — shared by the q182 recall audit
+    * and the q223 SALTED miner (the salted plan changes packing, not
+    * answers, so it answers to the SAME replay; a copy here is the
+    * drift mode the seededRank refactor exists to prevent). */
+  private[queries] val ivfMinerCtes: String =
+    s"""q AS (
        |  SELECT vec_id, label, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
        |  FROM embeddings
-       |),
-       |exp_ AS (
-       |  SELECT a.vec_id AS qid, b.vec_id AS cand,
-       |    ${d2Sql("a.qv", "b.qv")} AS d2
-       |  FROM q a JOIN q b ON a.label <> b.label
-       |),
-       |ex AS (
-       |  SELECT qid, cand, rk FROM (
-       |    SELECT qid, cand,
-       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cand) AS rk
-       |    FROM exp_) WHERE rk <= 5
        |),
        |cent AS (
        |  SELECT qv AS cqv,
@@ -106,6 +101,21 @@ object Round16 {
        |    ${d2Sql("p.qv", "a.qv")} AS d2
        |  FROM pr p JOIN asg a
        |    ON p.cent_id = a.cent_id AND p.label <> a.label
+       |)""".stripMargin
+
+  private val q182Sql =
+    s"""WITH
+       |$ivfMinerCtes,
+       |exp_ AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cand,
+       |    ${d2Sql("a.qv", "b.qv")} AS d2
+       |  FROM q a JOIN q b ON a.label <> b.label
+       |),
+       |ex AS (
+       |  SELECT qid, cand, rk FROM (
+       |    SELECT qid, cand,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cand) AS rk
+       |    FROM exp_) WHERE rk <= 5
        |),
        |ap AS (
        |  SELECT qid, cand, rk FROM (
@@ -314,14 +324,16 @@ object Round16 {
        |       FROM q a, qq),
        |j AS (SELECT er.erk, ar.ark FROM er JOIN ar USING (vec_id)
        |      WHERE er.erk <= 10 AND ar.ark <= 10),
-       |ks AS (SELECT unnest([1, 5, 10]) AS k)
-       |SELECT CAST(k AS BIGINT) AS k,
-       |  CAST(SUM(CASE WHEN erk <= k AND ark <= k THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_overlap,
-       |  CAST(CAST(SUM(CASE WHEN erk <= k AND ark <= k THEN 1 ELSE 0 END)
-       |      AS HUGEINT) * 1000000 // k AS BIGINT) AS recall_ppm
-       |FROM ks, j
-       |GROUP BY k
+       |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+       |hit AS (
+       |  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ks, j WHERE j.erk <= ks.k AND j.ark <= ks.k
+       |  GROUP BY ks.k)
+       |SELECT ks.k AS k,
+       |  CAST(COALESCE(h.c, 0) AS BIGINT) AS n_overlap,
+       |  CAST(CAST(COALESCE(h.c, 0) AS HUGEINT) * 1000000 // ks.k
+       |    AS BIGINT) AS recall_ppm
+       |FROM ks LEFT JOIN hit h ON h.k = ks.k
        |ORDER BY k""".stripMargin
   }
 

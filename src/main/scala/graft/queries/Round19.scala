@@ -200,10 +200,17 @@ object Round19 {
           col("lang"), col("n_words"), col("n_pieces"),
           expr("(CAST(n_pieces AS decimal(38,0)) * 1000000) div n_words")
             .as("fertility_ppm"))
+    // ONE fit at the sweep's largest merge count: BPE training is
+    // prefix-stable, so each smaller tokenizer is a prefix truncation
+    // of the 32-merge list — the engine-side twin of the oracle's
+    // single chain read at its prefixes (32 training rounds instead
+    // of 4+8+16+32 = 60)
+    val bpe32 = graft.text.Bpe.fit(docs, k = 32)
     Seq(4, 8, 16, 32).map { n =>
       rollup(graft.text.Subword.subwordStats(docs, vocabN = n),
           "wordpiece", n)
-        .unionAll(rollup(graft.text.Bpe.bpeStats(docs, k = n), "bpe", n))
+        .unionAll(rollup(graft.text.Bpe.bpeStatsWith(docs,
+          new graft.text.Bpe.BpeMerges(bpe32.merges.take(n))), "bpe", n))
         .unionAll(rollup(
           graft.text.UnigramLm.unigramStats(docs, vocabN = n),
           "unigram", n))
@@ -338,34 +345,8 @@ object Round19 {
       nCents = 16, nProbe = 4, numSalts = 8)
 
   private val q223Sql =
-    s"""WITH q AS (
-       |  SELECT vec_id, label, list_transform(embedding,
-       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
-       |  FROM embeddings
-       |),
-       |cent AS (
-       |  SELECT qv AS cqv,
-       |    ROW_NUMBER() OVER (ORDER BY
-       |      ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id)
-       |      AS cent_id
-       |  FROM q
-       |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
-       |  LIMIT 16
-       |),
-       |rk_ad AS (
-       |  SELECT a.vec_id AS vid, a.label, a.qv, c.cent_id,
-       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
-       |      ORDER BY ${Round16.d2Sql("a.qv", "c.cqv")}, c.cent_id) AS rk
-       |  FROM q a CROSS JOIN cent c
-       |),
-       |asg AS (SELECT vid, label, qv, cent_id FROM rk_ad WHERE rk = 1),
-       |pr  AS (SELECT vid, label, qv, cent_id FROM rk_ad WHERE rk <= 4),
-       |cp AS (
-       |  SELECT p.vid AS qid, a.vid AS cand,
-       |    ${Round16.d2Sql("p.qv", "a.qv")} AS d2
-       |  FROM pr p JOIN asg a
-       |    ON p.cent_id = a.cent_id AND p.label <> a.label
-       |)
+    s"""WITH
+       |${Round16.ivfMinerCtes}
        |SELECT vec_id, rank, neg_id, dist2 FROM (
        |  SELECT qid AS vec_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -479,14 +460,9 @@ object Round19 {
     val emb = Tables.embeddings(s, dir)
     val probes = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
-    Seq(1, 2, 4, 8, 16).map { np =>
-      Similarity.ivfAdcResidualLloydRecall(emb, probes,
-          ks = Seq(1, 5, 10), nCents = 16, nProbe = np, m = 8,
-          nCodes = 16, rounds = 1)
-        .withColumn("nprobe", lit(np.toLong))
-    }.reduce(_ unionAll _)
-      .select("nprobe", "query_id", "k", "n_overlap", "recall_ppm")
-      .orderBy("nprobe", "query_id", "k")
+    Similarity.ivfAdcResidualLloydRecallSweep(emb, probes,
+      ks = Seq(1, 5, 10), nCents = 16, nProbes = Seq(1, 2, 4, 8, 16),
+      m = 8, nCodes = 16, rounds = 1)
   }
 
   private val q227Sql =

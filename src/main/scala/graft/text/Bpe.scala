@@ -101,6 +101,20 @@ object Bpe {
     * (bounded: one row per round), merge applied as a codegen'd
     * `aggregate` fold on the symbol column. Stops early if the corpus
     * runs out of adjacent pairs (every word fully merged). */
+  /** Release a superseded localCheckpoint's blocks: a checkpointed
+    * Dataset's plan is a LogicalRDD over the persisted RDD, and
+    * Dataset.unpersist only clears cacheManager entries — the
+    * RDD-level persist needs the RDD handle. Without this, every
+    * merge round pins a word/sym frame at MEMORY_AND_DISK until
+    * driver GC (q221 runs four fits — ~60 rounds — per battery pass).
+    * No-op on any other plan shape. */
+  private def dropLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def fit(docs: DataFrame, k: Int, textCol: String = "text"): BpeMerges = {
     require(k >= 0 && k <= 64, "bounded-round trainer: 0 <= k <= 64")
     // localCheckpoint (eager), NOT cache: each round stacks a fold
@@ -149,10 +163,13 @@ object Bpe {
               .when(element_at(acc, size(acc)) === lit(p) && x === lit(q),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(p + q))))
               .otherwise(concat(acc, array(x))))
-        words = words.withColumn("sym", merged).localCheckpoint(true)
+        val next = words.withColumn("sym", merged).localCheckpoint(true)
+        dropLocalCheckpoint(words) // next is eagerly materialized
+        words = next
       }
       round += 1
     }
+    dropLocalCheckpoint(words) // only `learned` leaves this method
     new BpeMerges(learned.toIndexedSeq)
   }
 
@@ -188,6 +205,20 @@ object Bpe {
 
   /** Per-document BPE stats after training `k` merges on the same
     * corpus: (id, n_words, n_pieces). */
+  /** [[bpeStats]] against a PRE-TRAINED (or prefix-truncated) merge
+    * list — the q117 stored-tokenizer path's scoring half, and what
+    * makes the q221 vocab sweep a SINGLE fit: greedy BPE training is
+    * prefix-stable (round r depends only on rounds < r), so
+    * `new BpeMerges(m.merges.take(k))` IS the k-merge tokenizer —
+    * the engine-side twin of the oracle's one-chain-read-at-its-
+    * prefixes replay (spec-pinned equal to a fresh fit(k)). */
+  def bpeStatsWith(docs: DataFrame, m: BpeMerges,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), statsCol(col(textCol), m).as("__s"))
+      .select(col(idCol),
+        element_at(col("__s"), 1).as("n_words"),
+        element_at(col("__s"), 2).as("n_pieces"))
+
   def bpeStats(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val m = fit(docs, k, textCol)

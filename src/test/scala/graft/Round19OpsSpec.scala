@@ -144,6 +144,46 @@ class Round19OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("geometry"))
   }
 
+  // ------------------------ q227 residual-tier nProbe sweep
+  test("ivfAdcResidualLloydRecallSweep equals the per-nProbe single-point audits") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(73)
+    val emb = (0L until 36L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 9 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val nps = Seq(1, 2, 4)
+    val swept = Similarity.ivfAdcResidualLloydRecallSweep(emb, probes,
+      ks = Seq(1, 5), nCents = 4, nProbes = nps, m = 2, nCodes = 4,
+      rounds = 1).as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val single = nps.flatMap { np =>
+      Similarity.ivfAdcResidualLloydRecall(emb, probes, ks = Seq(1, 5),
+          nCents = 4, nProbe = np, m = 2, nCodes = 4, rounds = 1)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+        .map(r => (np.toLong, r._1, r._2, r._3, r._4))
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(swept === single)
+  }
+
+  test("bpeStatsWith on a prefix-truncated merge list equals a fresh fit at that k") {
+    // greedy BPE training is prefix-stable: round r depends only on
+    // rounds < r, so take(k) of a longer fit IS the k-merge tokenizer
+    // — what lets q221 serve four sizes from one fit
+    val docs = Seq(
+      (0L, "aa ab aa ba", "en"),
+      (1L, "abab baba aa", "en"),
+      (2L, "b a ab abab", "de")).toDF("doc_id", "text", "lang")
+    val m8 = graft.text.Bpe.fit(docs, k = 8)
+    Seq(2, 4, 8).foreach { k =>
+      val trunc = graft.text.Bpe.bpeStatsWith(docs,
+        new graft.text.Bpe.BpeMerges(m8.merges.take(k)))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val fresh = graft.text.Bpe.bpeStats(docs, k = k)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(trunc === fresh, s"k=$k")
+    }
+  }
+
   // ------------------------ q226 residual-index append
   test("appendResidualIndex: batch-split invariant and geometry-guarded") {
     import graft.ops.Similarity
