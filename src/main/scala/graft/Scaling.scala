@@ -452,19 +452,29 @@ object Scaling {
             val (rows, t) = timed(graft.ops.Similarity.ivfHardNegatives(df,
               k = 5, nCents = nCents, nProbe = 4).count())
             sweep(spark)
-            // x30 only: the salted spelling of the SAME mining run
-            // (numSalts = 8, result-identical) — r18 isolated the x30
-            // variance to this join's contention-sensitive spill, and
-            // this cell pair measures whether the engine's own skew
-            // lever (q81 salting) tames it (verdict ask #4; either
-            // answer is an answer)
+            // x30 only: the GLOBAL-salted and SELECTIVE-salted
+            // spellings of the SAME mining run (numSalts = 8,
+            // result-identical) beside the unsalted wall. r18
+            // isolated the x30 variance to this join's
+            // contention-sensitive spill; r19 measured global salting
+            // winning under contention (205.5 → 40.4 s) but LOSING
+            // 3.4× in the quietest window (42.8 → 143.8 s: the
+            // unconditional 8× probe fan-out is pure cost when no
+            // cell spills) — so r20 adds the production spelling,
+            // audit-driven selective salting (hot cells only), and
+            // the committed verdict reads all three walls per window
+            // (multi-window data in ANN_WINDOWS.json).
             val saltedField =
               if (x == 30) {
                 val (_, tS) = timed(graft.ops.Similarity.ivfHardNegatives(
                   df, k = 5, nCents = nCents, nProbe = 4,
                   numSalts = 8).count())
                 sweep(spark)
-                f""","salts":8,"salted_sec":$tS%.2f"""
+                val (_, tSel) = timed(graft.ops.Similarity.ivfHardNegatives(
+                  df, k = 5, nCents = nCents, nProbe = 4,
+                  numSalts = 8, selectiveSalting = true).count())
+                sweep(spark)
+                f""","salts":8,"salted_sec":$tS%.2f,"selective_sec":$tSel%.2f"""
               } else ""
             val sp = stealPct(s0, (System.nanoTime() - pt0) / 1e9)
             val perM = if (candPairs > 0) t / (candPairs / 1e6) else 0.0

@@ -35,6 +35,7 @@ object SelfChecks {
       "q54_corpus_sketch" -> guard(corpusSketchVsExact(spark, sfDir, outDir)),
       "q84_incremental_neardup" -> guard(bandBucketsUnderCap(spark, sfDir)),
       "stream_arrival_end_state" -> guard(streamEqualsChainedBatch(spark, sfDir, outDir)),
+      "residual_stream_end_state" -> guard(residualStreamEqualsAppend(spark, sfDir, outDir)),
       "als_planted_blocks" -> guard(alsPlantedBlocks(spark)))
   }
 
@@ -357,5 +358,65 @@ object SelfChecks {
       if (ok) s"stream admitted ${streamed.length} ids == q112 oracle-checked dump (growIndex, 2 micro-batches)"
       else s"stream admitted ${streamed.length} ids vs q112 dump ${expected.length}: " +
         s"missing=${expected.diff(streamed).take(5).mkString(",")} extra=${streamed.diff(expected).take(5).mkString(",")}")
+  }
+
+  /** Residual-index streaming ARRIVAL recorded in the round artifact
+    * (round-19 verdict ask #7, the [[streamEqualsChainedBatch]] stance
+    * for the retrieval tier): freeze the q226 base index, drop the
+    * increment as two parquet files into a landing zone (arrival order
+    * pinned via mtimes), grow the index through
+    * [[graft.streaming.EmbStream.appendResidualStream]] (one file per
+    * micro-batch — appendResidualIndex invoked verbatim under
+    * foreachBatch with exactly-once checkpointing), then serve the
+    * q226 probe batch from the stream-grown store and compare against
+    * the q226 verify dump — which the driver independently hash-checks
+    * against the full DuckDB residual-tier replay. Equality chains:
+    * stream-grown serve ≡ engine batch append ≡ SQL oracle. */
+  private def residualStreamEqualsAppend(spark: SparkSession, sfDir: String,
+      outDir: String): (Boolean, String) = {
+    val dump = java.nio.file.Paths.get(outDir, "q226_residual_index_append")
+    if (!java.nio.file.Files.exists(dump))
+      return (false, "q226 dump missing from verify outDir")
+    def rows(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.select("query_id", "rank", "vec_id", "adc_d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val expected = rows(spark.read.parquet(dump.toString))
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val inc = emb.filter(col("vec_id") % 5 === 0)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-sc-residx")
+    graft.ops.Similarity.saveResidualIndex(base, idxDir.toString,
+      nCents = 16, m = 8, nCodes = 16, rounds = 1)
+    // increment ids are ≡ 0 (mod 5), so (mod 10) splits them {0, 5}
+    // into two disjoint landing files — two micro-batches
+    val landing = java.nio.file.Files.createTempDirectory("graft-sc-vland")
+    inc.filter(col("vec_id") % 10 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/inc1")
+    inc.filter(col("vec_id") % 10 === 5)
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/inc2")
+    import scala.jdk.CollectionConverters._
+    val now = System.currentTimeMillis()
+    java.nio.file.Files.walk(java.nio.file.Paths.get(landing.toString))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).foreach { p =>
+        val t = if (p.toString.contains("inc1")) now - 120000 else now
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t))
+      }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sc-vckpt")
+    val q = graft.streaming.EmbStream.appendResidualStream(
+      graft.streaming.EmbStream.readVecs(spark, landing.toString, emb,
+        maxFilesPerTrigger = Some(1)),
+      idxDir.toString, ckpt.toString)
+    try q.awaitTermination(240000) finally q.stop()
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = rows(graft.ops.Similarity.serveResidualIndex(spark,
+      idxDir.toString, probes, k = 10, nProbe = 4))
+    val ok = served.nonEmpty && served == expected
+    (ok,
+      if (ok) s"stream-grown residual index serves ${served.length} rows == q226 oracle-checked dump (2 micro-batches, frozen centroids/books)"
+      else s"stream-grown serve ${served.length} rows vs q226 dump ${expected.length}: " +
+        s"first diff=${served.zip(expected).find(p => p._1 != p._2).map(_.toString).getOrElse("row-count mismatch")}")
   }
 }

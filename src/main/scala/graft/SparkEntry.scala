@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Documents, Pipelines, QueryDef, Relational, Relational2, Relational3, Round4, Round8, Round10, Round11, Round12, Round13, Round14, Round14b, Round14c, Round15, Round16, Round17, Round18, Round19}
+import graft.queries.{Documents, Pipelines, QueryDef, Relational, Relational2, Relational3, Round4, Round8, Round10, Round11, Round12, Round13, Round14, Round14b, Round14c, Round15, Round16, Round17, Round18, Round19, Round20}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
       Documents.defs ++ Pipelines.defs ++ Round4.defs ++ Round8.defs ++
       Round10.defs ++ Round11.defs ++ Round12.defs ++ Round13.defs ++
       Round14b.defs ++ Round14c.defs ++ Round15.defs ++ Round16.defs ++ Round17.defs ++
-      Round18.defs ++ Round19.defs ++ Round14.defs
+      Round18.defs ++ Round19.defs ++ Round20.defs ++ Round14.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's signature capability: TF-IDF + seeded LSH

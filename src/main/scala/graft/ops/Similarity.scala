@@ -996,7 +996,7 @@ object Similarity {
       nCents: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label", quantScale: Double = 1e4,
-      numSalts: Int = 1): DataFrame = {
+      numSalts: Int = 1, selectiveSalting: Boolean = false): DataFrame = {
     require(k >= 1 && nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
     require(numSalts >= 1)
     def qdist(a: Column, b: Column): Column =
@@ -1006,9 +1006,17 @@ object Similarity {
     val q = emb.select(col(idCol).as("__id"), col(labelCol).as("__lab"),
       col(vecCol).as("__v"))
     // Storage contract: routed backs two consumers of the result plan
-    // and stays persisted until Bench's post-query sweep / session
-    // teardown (the containmentPairs contract).
-    val routed = ivfRouted(q, nCents, nProbe, quantScale).cache()
+    // (three when the skew audit runs) and stays persisted until
+    // Bench's post-query sweep / session teardown (the
+    // containmentPairs contract). Eager localCheckpoint, NOT cache:
+    // the frame is a corpus-sized assignment pass feeding multiple
+    // consumers, so an evicted cache entry would re-run the n·nCents
+    // routing cross product once PER consumer under memory pressure —
+    // the q119 deduplicateKeepBest failure shape (19.1 s outlier from
+    // exactly this re-run). MEMORY_AND_DISK spills instead of
+    // vanishing and pins the lineage to one evaluation.
+    val routed = ivfRouted(q, nCents, nProbe, quantScale)
+      .localCheckpoint(true)
     val queries = routed.select(col("__id").as("__qid"),
       col("__lab").as("__qlab"), col("__v").as("__qv"),
       explode(col("__probes")).as("__pcell"))
@@ -1018,20 +1026,54 @@ object Similarity {
     // numSalts > 1 points the engine's own skew lever (SkewJoin, q81)
     // at this join: the r18 ann curve isolated the x30 mining
     // variance to THIS cell-keyed join's contention-sensitive spill —
-    // salting shards each cell's candidates numSalts ways (hash of
+    // salting shards a cell's candidates numSalts ways (hash of
     // the candidate id) and replicates the probe rows across shards,
     // so a hot cell's pair stream splits into numSalts smaller tasks
     // instead of one spilling one. Result-identical by construction
     // (every (probe, cand) pair meets in exactly one shard — the
     // spec pins it); the pair VOLUME is unchanged, only its packing.
+    //
+    // selectiveSalting applies the lever where it pays and ONLY
+    // there: round 19 measured the GLOBAL spelling (every cell's
+    // probe rows replicated 8×) winning 2.4–5.1× under contention
+    // but LOSING 3.4× in the round's quietest window (unsalted
+    // 42.8 s vs salted 143.8 s) — an unconditional numSalts× probe
+    // fan-out is a self-inflicted shuffle multiplier when no cell is
+    // hot, exactly the case SkewJoin's own scaladoc warns about.
+    // The selective spelling runs the q136 [[SkewJoin.skewKeyAudit]]
+    // over the candidate cells first (one map-side-combined count to
+    // ≤ nCents rows — a bounded collect by contract), routes the
+    // HOT cells (> 1.2× the mean cell population) through the salted
+    // join and the cold cells through the plain join, and unions the
+    // two pair streams: each (probe, cand) pair still meets exactly
+    // once, on whichever side its candidate's cell landed.
+    def pairCols(df: DataFrame): DataFrame =
+      df.filter(col("__qlab") =!= col("__clab"))
+        .select(col("__qid"), col("__qv"), col("__cand"), col("__cv2"))
     val joined =
       if (numSalts <= 1)
-        queries.join(cands, col("__pcell") === col("__ccell") &&
-          col("__qlab") =!= col("__clab"))
-      else
-        SkewJoin.saltedInnerJoin(cands, queries, "__ccell", "__pcell",
-            numSalts, Seq("__cand"))
-          .filter(col("__qlab") =!= col("__clab"))
+        pairCols(queries.join(cands, col("__pcell") === col("__ccell")))
+      else if (!selectiveSalting)
+        pairCols(SkewJoin.saltedInnerJoin(cands, queries, "__ccell",
+          "__pcell", numSalts, Seq("__cand")))
+      else {
+        val hot = SkewJoin.skewKeyAudit(cands.select(col("__ccell")),
+          "__ccell").select(col("__ccell"))
+          .collect().map(_.getLong(0)).toSeq
+        if (hot.isEmpty)
+          pairCols(queries.join(cands, col("__pcell") === col("__ccell")))
+        else {
+          val hotJoin = pairCols(SkewJoin.saltedInnerJoin(
+            cands.filter(col("__ccell").isin(hot: _*)),
+            queries.filter(col("__pcell").isin(hot: _*)),
+            "__ccell", "__pcell", numSalts, Seq("__cand")))
+          val coldJoin = pairCols(
+            queries.filter(!col("__pcell").isin(hot: _*))
+              .join(cands.filter(!col("__ccell").isin(hot: _*)),
+                col("__pcell") === col("__ccell")))
+          hotJoin.unionByName(coldJoin)
+        }
+      }
     joined
       .select(col("__qid"), col("__cand"),
         qdist(col("__qv"), col("__cv2")).as("__d2"))
@@ -1724,8 +1766,22 @@ object Similarity {
     * fit runs over quantized vectors: same seeded init rule, same
     * floor-mean/tie/carry arithmetic, one code path to audit. */
   private def fitPqBooksLloydInt(q: DataFrame, m: Int, nCodes: Int,
-      rounds: Int, dim: Int): DataFrame = {
-    require(m >= 1 && nCodes >= 1 && rounds >= 0)
+      rounds: Int, dim: Int): DataFrame =
+    fitPqBooksLloydIntSnapshots(q, m, nCodes, Seq(rounds), dim)(rounds)
+
+  /** [[fitPqBooksLloydInt]] with INTERMEDIATE snapshots: one Lloyd
+    * run to max(rounds), the codebook captured at every requested
+    * round count. Lloyd refinement is prefix-stable (round r+1 is a
+    * pure function of round r's book), so the r-round book read from
+    * a longer run IS the r-round fit — the engine-side twin of the
+    * q229 oracle's single chained round spine read at its prefixes
+    * (the q221 BPE-prefix argument applied to k-means), and what lets
+    * the rounds→recall frontier pay ONE fit instead of Σ rounds. */
+  private def fitPqBooksLloydIntSnapshots(q: DataFrame, m: Int,
+      nCodes: Int, snapRounds: Seq[Int], dim: Int): Map[Int, DataFrame] = {
+    require(m >= 1 && nCodes >= 1)
+    require(snapRounds.nonEmpty && snapRounds.forall(_ >= 0))
+    val rounds = snapRounds.max
     val spark = q.sparkSession
     import spark.implicits._
     require(dim % m == 0, s"dim $dim is not divisible by m=$m")
@@ -1747,6 +1803,8 @@ object Similarity {
           (0 until m).map(s => (s.toLong, code,
             qv.slice(s * subLen, (s + 1) * subLen)))
         }.toSeq
+    val snaps = scala.collection.mutable.Map.empty[Int, Seq[(Long, Long, Seq[Long])]]
+    if (snapRounds.contains(0)) snaps(0) = book
     var round = 0
     while (round < rounds) {
       val bdf = book.toDF("__ss", "__code", "__cv")
@@ -1776,9 +1834,12 @@ object Similarity {
         (s, c, upd.getOrElse((s, c), prev))
       }
       round += 1
+      if (snapRounds.contains(round)) snaps(round) = book
     }
-    book.toDF("subspace", "code", "codeword")
-      .orderBy("subspace", "code")
+    snaps.map { case (r, b) =>
+      r -> b.toDF("subspace", "code", "codeword")
+        .orderBy("subspace", "code")
+    }.toMap
   }
 
   /** Recall@k of ADC ranking under a Lloyd-refined integer codebook
@@ -2167,11 +2228,8 @@ object Similarity {
       nCodes: Int, rounds: Int, idCol: String, vecCol: String,
       quantScale: Double, dim: Int): (DataFrame, DataFrame, DataFrame) = {
     val subLen = dim / m
-    val q = emb.select(col(idCol).as("__id"),
-      quantArr(col(vecCol), quantScale).as("__qv"))
-    val cents = seededRank(q, "__id", nCents, "__cent")
-      .select(col("__cent"), col("__qv").as("__cqv"))
-    val resid = residualAssign(q, cents)
+    val (_, cents, resid) = residualFrames(emb, nCents, idCol, vecCol,
+      quantScale)
     val books = fitPqBooksLloydInt(
       resid.select(col("__id"), col("__rv").as("__qv")),
       m, nCodes, rounds, dim)
@@ -2182,6 +2240,20 @@ object Similarity {
         col("__rv").as("__qv")), m, subLen),
       books, Seq("__id", "__cell"))
     (cents, books, codes)
+  }
+
+  /** The residual tier's corpus-side prefix, shared by every residual
+    * consumer: the quantized frame (__id, __qv), the seeded integer
+    * centroid frame (__cent, __cqv), and the residual assignment
+    * (__id, __cell, __rv). */
+  private def residualFrames(emb: DataFrame, nCents: Int, idCol: String,
+      vecCol: String, quantScale: Double): (DataFrame, DataFrame, DataFrame) = {
+    val q = emb.select(col(idCol).as("__id"),
+      quantArr(col(vecCol), quantScale).as("__qv"))
+    val cents = seededRank(q, "__id", nCents, "__cent")
+      .select(col("__cent"), col("__qv").as("__cqv"))
+    val resid = residualAssign(q, cents)
+    (q, cents, resid)
   }
 
   /** Online routing for the residual tier: each query's nProbe
@@ -2202,12 +2274,14 @@ object Similarity {
         zip_with(col("__qqv"), col("__cqv"), (a, b) => a - b).as("__qr"))
   }
 
-  /** The residual tier's serve tail: per-(query, cell) LUTs from the
-    * residual books, the cell-keyed fan-out join, map-side-combined
-    * per-(query, id) sums, bounded heaps. */
-  private def residualRankTail(codes: DataFrame, books: DataFrame,
-      qres: DataFrame, k: Int, subLen: Int, idCol: String,
-      queryIdCol: String): DataFrame = {
+  /** The residual tier's per-(query, id) ADC sums — per-(query, cell)
+    * LUTs from the residual books, the cell-keyed fan-out join,
+    * map-side-combined sums. Factored out of [[residualRankTail]] so
+    * the exact-re-rank rung ([[ivfAdcResidualRerankRecall]]) reads the
+    * SAME sums the serving heap ranks — one ADC program, two tails.
+    * Returns (__qid, __id, __adc). */
+  private def residualAdcSums(codes: DataFrame, books: DataFrame,
+      qres: DataFrame, subLen: Int): DataFrame = {
     val lut = qres.crossJoin(books)
       .select(col("__qid"), col("__cell"), col("__ss"), col("__code"),
         intSqDist(slice(col("__qr"), col("__ss").cast("int") * subLen + 1,
@@ -2217,6 +2291,14 @@ object Similarity {
       .join(broadcast(lut), Seq("__qid", "__cell", "__ss", "__code"))
       .groupBy("__qid", "__id")
       .agg(sum(col("__qd2")).as("__adc"))
+  }
+
+  /** The residual tier's serve tail: [[residualAdcSums]] then bounded
+    * per-query heaps. */
+  private def residualRankTail(codes: DataFrame, books: DataFrame,
+      qres: DataFrame, k: Int, subLen: Int, idCol: String,
+      queryIdCol: String): DataFrame = {
+    residualAdcSums(codes, books, qres, subLen)
       .groupBy("__qid")
       .agg(TopKAgg.topK(col("__adc"), col("__id"), k, largest = false)
         .as("tk"))
@@ -2271,7 +2353,19 @@ object Similarity {
     * origin; frozen frames trade assignment optimality for zero
     * refit, the standard IVF maintenance contract. Batch-split
     * invariance is the spec's pin: appending an increment in one
-    * batch or two produces the same served rankings. */
+    * batch or two produces the same served rankings.
+    *
+    * UNIQUE-ID CONTRACT: the increment's ids must not already exist
+    * in the stored codes — parquet append cannot deduplicate, and a
+    * replayed append would store a vector's m code rows twice, so the
+    * serving sum for that (query, id) group would silently double
+    * (wrong distance, corrupted ranking). Idempotence is the
+    * ARRIVAL path's job: the streaming twin
+    * ([[graft.streaming.EmbStream.appendResidualStream]]) gets
+    * exactly-once per file from its Structured Streaming checkpoint,
+    * and a batch caller retrying a failed append must re-derive the
+    * not-yet-stored id range first (an anti-join against
+    * `dir/codes`). */
   def appendResidualIndex(spark: org.apache.spark.sql.SparkSession,
       increment: DataFrame, dir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", quantScale: Double = 1e4): Unit = {
@@ -2328,7 +2422,16 @@ object Similarity {
       col("code").as("__code"), col("codeword").as("__cv"))
     val qq = queries.select(col(queryIdCol).as("__qid"),
       quantArr(col(queryVecCol), quantScale).as("__qqv"))
-    val qres = residualProbe(qq, cents, nProbe).localCheckpoint(true)
+    // qres feeds two consumers (the probed-cell collect below and the
+    // lazy rank tail) but is deliberately NOT checkpointed: it is a
+    // bounded frame (|queries|·nProbe rows routed through one
+    // broadcast cross product over the nCents-row centroid frame), so
+    // recomputing it when the tail is consumed costs one trivial
+    // broadcast pass — where a localCheckpoint here pinned
+    // MEMORY_AND_DISK blocks until driver GC on EVERY serve call,
+    // accumulating across a production per-batch serving loop (the
+    // round-19 ADVICE leak).
+    val qres = residualProbe(qq, cents, nProbe)
     val probedCells = qres.select(col("__cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = spark.read.parquet(s"$dir/codes")
@@ -2485,5 +2588,190 @@ object Similarity {
         coalesce(col("__c"), lit(0L)).as("n_overlap"))
       .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
       .orderBy(queryIdCol, "k")
+  }
+
+  /** Exact integer top-maxK of a query batch against the corpus — the
+    * shared ground-truth side of the residual-tier audits: one
+    * corpus × batch broadcast scan with per-query bounded heaps (an
+    * offline audit cost, never a query-path one). `q` is (__id, __qv),
+    * `qq` is (__qid, __qqv). Returns (__qid, __er, __id). */
+  private def exactBatchRanks(q: DataFrame, qq: DataFrame,
+      maxK: Int): DataFrame =
+    q.crossJoin(broadcast(qq))
+      .groupBy("__qid")
+      .agg(TopKAgg.topK(intSqDist(col("__qv"), col("__qqv")), col("__id"),
+        maxK, largest = false).as("tk"))
+      .select(col("__qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__qid"), (col("pos") + 1).cast(LongType).as("__er"),
+        col("e.id").as("__id"))
+
+  /** EXACT RE-RANK rung on the residual production tier (IVFADC+R,
+    * Jégou '11 §V): q227 measured the tier QUANTIZATION-bound —
+    * recall flat in nProbe, k=1 recall dipping as probes grow because
+    * ADC interlopers outrank true neighbors the codes cannot
+    * distinguish. The standard production fix is a re-rank window:
+    * retrieve the top-C candidates by ADC, fetch THOSE C raw vectors
+    * from the id-keyed vector store (a bounded |queries|·C point
+    * fetch — the only stage that touches raw vectors online), re-rank
+    * them by exact integer distance, serve the exact top-k. This op
+    * measures what each re-rank width buys: recall@k per (C, query,
+    * k) over C ∈ `cs`, with ONE index build, ONE ADC pass at maxC and
+    * ONE exact ranking shared across the sweep (a top-C candidate
+    * list is the top-C' prefix's superset for C' < C, so each width
+    * is a re-restriction, never a re-retrieval).
+    *
+    * Set-algebra contract (the spec's pins): because the re-rank is
+    * EXACT over the retrieved set S(C), a true neighbor is recovered
+    * iff retrieved — n_overlap(C, k) = |exact-top-k ∩ S(C)| — so
+    * recall is monotone non-decreasing in C at every k, and with
+    * every cell probed and C ≥ n it reads 10⁶ ppm exactly.
+    *
+    * Returns (rerank_c, queryIdCol, k, n_overlap, recall_ppm) ordered
+    * by (rerank_c, queryIdCol, k), the full grid filled. */
+  def ivfAdcResidualRerankRecall(emb: DataFrame, queries: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10), cs: Seq[Int] = Seq(10, 20, 40),
+      nCents: Int = 16, nProbe: Int = 4, m: Int = 8, nCodes: Int = 16,
+      rounds: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    require(cs.nonEmpty && cs.forall(_ >= 1))
+    require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
+    val spark = emb.sparkSession
+    val maxK = ks.max
+    val maxC = cs.max
+    val dim = probeDim(emb, idCol, vecCol)
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m")
+    require(probeDim(queries, queryIdCol, queryVecCol) == dim,
+      s"query dim does not match corpus dim $dim")
+    val subLen = dim / m
+    val (cents, books, codes) = residualIndexFrames(emb, nCents, m,
+      nCodes, rounds, idCol, vecCol, quantScale, dim)
+    val qq = queries.select(col(queryIdCol).as("__qid"),
+      quantArr(col(queryVecCol), quantScale).as("__qqv"))
+    val qres = residualProbe(qq, cents, nProbe)
+    // ONE ADC retrieval at the widest window; every narrower C is its
+    // rank-prefix (the q227 re-restriction argument, applied to the
+    // candidate dial instead of the probe dial)
+    val adcTop = residualAdcSums(codes, books, qres, subLen)
+      .withColumn("__ar", row_number().over(
+        Window.partitionBy("__qid").orderBy(col("__adc"), col("__id")))
+        .cast(LongType))
+      .filter(col("__ar") <= maxC)
+      .select(col("__qid"), col("__id"), col("__ar"))
+    // the bounded raw-vector point fetch + exact integer re-rank
+    val q = emb.select(col(idCol).as("__id"),
+      quantArr(col(vecCol), quantScale).as("__qv"))
+    val csDf = spark.range(0, cs.length).select(
+      element_at(typedLit(cs.map(_.toLong)), col("id").cast("int") + 1)
+        .as("rerank_c"))
+    val rr = adcTop.join(q, Seq("__id"))
+      .join(broadcast(qq), Seq("__qid"))
+      .select(col("__qid"), col("__id"), col("__ar"),
+        intSqDist(col("__qv"), col("__qqv")).as("__dx"))
+      .crossJoin(broadcast(csDf))
+      .filter(col("__ar") <= col("rerank_c"))
+      .withColumn("__rr", row_number().over(
+        Window.partitionBy("rerank_c", "__qid")
+          .orderBy(col("__dx"), col("__id"))).cast(LongType))
+      .filter(col("__rr") <= maxK)
+      .select(col("rerank_c"), col("__qid"), col("__id"), col("__rr"))
+    val exact = exactBatchRanks(q, qq, maxK)
+    val ksDf = spark.range(0, ks.length).select(
+      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
+        .as("k"))
+    val hits = exact.join(rr, Seq("__qid", "__id"))
+      .crossJoin(broadcast(ksDf))
+      .filter(col("__er") <= col("k") && col("__rr") <= col("k"))
+      .groupBy("rerank_c", "__qid", "k").agg(count(lit(1)).as("__c"))
+    qq.select(col("__qid")).crossJoin(broadcast(csDf))
+      .crossJoin(broadcast(ksDf))
+      .join(hits, Seq("rerank_c", "__qid", "k"), "left")
+      .select(col("rerank_c"), col("__qid").as(queryIdCol), col("k"),
+        coalesce(col("__c"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy("rerank_c", queryIdCol, "k")
+  }
+
+  /** LLOYD ROUNDS → recall frontier for the residual production tier:
+    * q218 measured rounds 0→1 worth +200 000 ppm recall@10 on the raw
+    * tier; q227 measured the residual tier quantization-bound — so
+    * the binding dial is codebook REFINEMENT, and nobody had measured
+    * where it saturates. Sweeps rounds ∈ `roundsList` at fixed
+    * geometry with ONE Lloyd run captured at its prefixes
+    * ([[fitPqBooksLloydIntSnapshots]] — round r+1 is a pure function
+    * of round r's book, so the r-round book read from a longer run IS
+    * the r-round fit), ONE shared routing/residual pass, and ONE
+    * exact ranking; only the encode + LUT + ADC tail runs per round
+    * count (it must — the codes themselves change with the book).
+    *
+    * The corpus residual frame backs 1 + 2·|roundsList| consumers
+    * (the Lloyd fit plus an encode and a Lloyd-round replay per
+    * snapshot), so it is pinned with an eager localCheckpoint — the
+    * q119 criterion — released by the harness sweep.
+    *
+    * Returns (lloyd_rounds, queryIdCol, k, n_overlap, recall_ppm)
+    * ordered by (lloyd_rounds, queryIdCol, k), full grid filled. */
+  def ivfAdcResidualLloydRoundsSweep(emb: DataFrame, queries: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10), nCents: Int = 16, nProbe: Int = 4,
+      m: Int = 8, nCodes: Int = 16, roundsList: Seq[Int] = Seq(0, 1, 2, 4),
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    require(roundsList.nonEmpty && roundsList.forall(_ >= 0) &&
+      roundsList.distinct.length == roundsList.length)
+    require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
+    val spark = emb.sparkSession
+    val maxK = ks.max
+    val dim = probeDim(emb, idCol, vecCol)
+    require(dim % m == 0, s"dim $dim is not divisible by m=$m")
+    require(probeDim(queries, queryIdCol, queryVecCol) == dim,
+      s"query dim does not match corpus dim $dim")
+    val subLen = dim / m
+    val (q, cents, resid0) = residualFrames(emb, nCents, idCol, vecCol,
+      quantScale)
+    val resid = resid0.localCheckpoint(true)
+    val bookMap = fitPqBooksLloydIntSnapshots(
+      resid.select(col("__id"), col("__rv").as("__qv")),
+      m, nCodes, roundsList, dim)
+    val qq = queries.select(col(queryIdCol).as("__qid"),
+      quantArr(col(queryVecCol), quantScale).as("__qqv"))
+    val qres = residualProbe(qq, cents, nProbe)
+    val approx = roundsList.map { r =>
+      val books = bookMap(r)
+        .select(col("subspace").as("__ss"), col("code").as("__code"),
+          col("codeword").as("__cv"))
+      val codes = argminCode(
+        intSubSlices(resid.select(col("__id"), col("__cell"),
+          col("__rv").as("__qv")), m, subLen),
+        books, Seq("__id", "__cell"))
+      residualAdcSums(codes, books, qres, subLen)
+        .withColumn("__ar", row_number().over(
+          Window.partitionBy("__qid").orderBy(col("__adc"), col("__id")))
+          .cast(LongType))
+        .filter(col("__ar") <= maxK)
+        .select(lit(r.toLong).as("lloyd_rounds"), col("__qid"),
+          col("__id"), col("__ar"))
+    }.reduce(_ unionByName _)
+    val exact = exactBatchRanks(q, qq, maxK)
+    val ksDf = spark.range(0, ks.length).select(
+      element_at(typedLit(ks.map(_.toLong)), col("id").cast("int") + 1)
+        .as("k"))
+    val rdsDf = spark.range(0, roundsList.length).select(
+      element_at(typedLit(roundsList.map(_.toLong)),
+        col("id").cast("int") + 1).as("lloyd_rounds"))
+    val hits = exact.join(approx, Seq("__qid", "__id"))
+      .crossJoin(broadcast(ksDf))
+      .filter(col("__er") <= col("k") && col("__ar") <= col("k"))
+      .groupBy("lloyd_rounds", "__qid", "k").agg(count(lit(1)).as("__c"))
+    qq.select(col("__qid")).crossJoin(broadcast(rdsDf))
+      .crossJoin(broadcast(ksDf))
+      .join(hits, Seq("lloyd_rounds", "__qid", "k"), "left")
+      .select(col("lloyd_rounds"), col("__qid").as(queryIdCol), col("k"),
+        coalesce(col("__c"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr("(n_overlap * 1000000) div k"))
+      .orderBy("lloyd_rounds", queryIdCol, "k")
   }
 }

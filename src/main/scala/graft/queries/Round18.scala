@@ -738,7 +738,7 @@ object Round18 {
        |      GROUP BY a.s, a.code, r.pos))
        |  GROUP BY s, code
        |),
-       |${p}b$i AS (
+       |${p}b$i AS MATERIALIZED (
        |  SELECT p0.s, p0.code, COALESCE(u.cv, p0.cv) AS cv
        |  FROM $prev p0 LEFT JOIN ${p}u$i u
        |    ON u.s = p0.s AND u.code = p0.code

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -79,20 +79,33 @@ object Round19 {
     * the FIT population's residual slices (what the Lloyd round and
     * the seeded inits see); `asub` is EVERY vector's (what gets
     * encoded and served). */
-  private def residualTierCtes(
+  private[queries] def residualTierCtes(
       fit: String => String = _ => "TRUE", nProbe: Int = 4): String =
+    s"""${residualFitPrefixCtes(fit)},
+       |${Round18.lloydRoundCtes("rr", 1, "rb0")},
+       |${residualQueryCtes(nProbe)},
+       |${residualAdcCtes("", "rrb1")}""".stripMargin
+
+  /** The residual tier's corpus-side prefix: routing, residuals,
+    * residual slices (fit population `sub`, full population `asub`),
+    * the seeded residual medoid init `rb0`. The corpus-sized frames
+    * are pinned AS MATERIALIZED — q229 references them from four
+    * round blocks, and DuckDB 1.0 inlines CTEs per reference site
+    * (the q221 exponential-re-evaluation trap). */
+  private[queries] def residualFitPrefixCtes(
+      fit: String => String = _ => "TRUE"): String =
     s"""${routePrefixCtes(fit)},
-       |resid AS (
+       |resid AS MATERIALIZED (
        |  SELECT a.vec_id, c.cent_id AS cell,
        |    list_transform(range(len(a.qv)), i ->
        |      a.qv[CAST(i + 1 AS INT)] - ct.cqv[CAST(i + 1 AS INT)]) AS rv
        |  FROM q a JOIN cells c ON c.vid = a.vec_id
        |  JOIN cent ct ON ct.cent_id = c.cent_id
        |),
-       |sub AS (
+       |sub AS MATERIALIZED (
        |  SELECT r.vec_id, ss.s, ${slice8("r.rv")} AS sv FROM resid r, ss
        |  WHERE ${fit("r.vec_id")}),
-       |asub AS (
+       |asub AS MATERIALIZED (
        |  SELECT r.vec_id, ss.s, ${slice8("r.rv")} AS sv FROM resid r, ss),
        |rmed AS (
        |  SELECT rv, ROW_NUMBER() OVER (ORDER BY
@@ -103,17 +116,14 @@ object Round19 {
        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
        |  LIMIT 16
        |),
-       |rb0 AS (
-       |  SELECT ss.s, m.code, ${slice8("m.rv")} AS cv FROM rmed m, ss),
-       |${Round18.lloydRoundCtes("rr", 1, "rb0")},
-       |renc AS (
-       |  SELECT vec_id, s, code FROM (
-       |    SELECT asub.vec_id, asub.s, b.code,
-       |      ROW_NUMBER() OVER (PARTITION BY asub.vec_id, asub.s
-       |        ORDER BY ${Round16.d2Sql("asub.sv", "b.cv")}, b.code) AS rk
-       |    FROM asub JOIN rrb1 b ON b.s = asub.s) WHERE rk = 1
-       |),
-       |probes AS (SELECT vec_id AS qid, qv AS pqv FROM q WHERE vec_id % 50 = 0),
+       |rb0 AS MATERIALIZED (
+       |  SELECT ss.s, m.code, ${slice8("m.rv")} AS cv FROM rmed m, ss)""".stripMargin
+
+  /** The residual tier's round-independent query-side frames: the
+    * probe batch, its probed cells, the candidate lists, and the
+    * per-(query, cell) residuals. */
+  private[queries] def residualQueryCtes(nProbe: Int = 4): String =
+    s"""probes AS (SELECT vec_id AS qid, qv AS pqv FROM q WHERE vec_id % 50 = 0),
        |qpc AS (SELECT vid AS qid, cent_id FROM rk_ad
        |        WHERE vid % 50 = 0 AND rk <= $nProbe),
        |candq AS (
@@ -125,18 +135,31 @@ object Round19 {
        |      p.pqv[CAST(i + 1 AS INT)] - ct.cqv[CAST(i + 1 AS INT)]) AS qr
        |  FROM qpc qp JOIN cent ct ON ct.cent_id = qp.cent_id
        |  JOIN probes p ON p.qid = qp.qid
+       |)""".stripMargin
+
+  /** Encode + per-(query, cell) LUT + per-(query, candidate) ADC sums
+    * under the codebook CTE `$book`, all names prefixed `$p` — the
+    * per-round block q229 stamps out once per Lloyd round count
+    * (p = "" reproduces the round-19 `renc`/`rlut`/`radc` names). */
+  private[queries] def residualAdcCtes(p: String, book: String): String =
+    s"""${p}renc AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT asub.vec_id, asub.s, b.code,
+       |      ROW_NUMBER() OVER (PARTITION BY asub.vec_id, asub.s
+       |        ORDER BY ${Round16.d2Sql("asub.sv", "b.cv")}, b.code) AS rk
+       |    FROM asub JOIN $book b ON b.s = asub.s) WHERE rk = 1
        |),
-       |rlut AS (
+       |${p}rlut AS (
        |  SELECT qres.qid, qres.cell, b.s AS s, b.code,
        |    ${Round16.d2Sql("qres.qr[CAST(b.s * 8 + 1 AS INT):CAST(b.s * 8 + 8 AS INT)]", "b.cv")} AS qd2
-       |  FROM rrb1 b, qres
+       |  FROM $book b, qres
        |),
-       |radc AS (
+       |${p}radc AS (
        |  SELECT cq.qid, a.vec_id, CAST(SUM(l.qd2) AS BIGINT) AS adc_d2
-       |  FROM renc a
+       |  FROM ${p}renc a
        |  JOIN cells cl ON cl.vid = a.vec_id
        |  JOIN candq cq ON cq.vid = a.vec_id
-       |  JOIN rlut l ON l.qid = cq.qid AND l.cell = cl.cent_id
+       |  JOIN ${p}rlut l ON l.qid = cq.qid AND l.cell = cl.cent_id
        |    AND l.s = a.s AND l.code = a.code
        |  GROUP BY cq.qid, a.vec_id
        |)""".stripMargin
@@ -191,13 +214,23 @@ object Round19 {
   private def q221(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val langs = docs.select("doc_id", "lang")
-    def rollup(stats: DataFrame, family: String, size: Int): DataFrame =
-      stats.select(col("doc_id"), col("n_words"), col("n_pieces"))
+    // n_unk beside the fertility axis (round-19 verdict ask #6): at
+    // small vocabularies an un-segmentable word counts ONE piece, so
+    // fertility alone UNDERSTATES small-vocab cost and saturates at
+    // 1.0 once the word pool is covered — the UNK count is what
+    // discriminates the families at both ends. WordPiece and unigram
+    // already compute it per doc; BPE structurally never UNKs (char
+    // fallback: every word splits to characters under zero merges).
+    def rollup(stats: DataFrame, family: String, size: Int,
+        unkCol: Column): DataFrame =
+      stats.select(col("doc_id"), col("n_words"), col("n_pieces"),
+          unkCol.cast("long").as("__unk"))
         .join(langs, "doc_id")
         .groupBy("lang")
-        .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"))
+        .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"),
+          sum("__unk").as("n_unk"))
         .select(lit(family).as("family"), lit(size.toLong).as("vocab_size"),
-          col("lang"), col("n_words"), col("n_pieces"),
+          col("lang"), col("n_words"), col("n_pieces"), col("n_unk"),
           expr("(CAST(n_pieces AS decimal(38,0)) * 1000000) div n_words")
             .as("fertility_ppm"))
     // ONE fit at the sweep's largest merge count: BPE training is
@@ -208,12 +241,13 @@ object Round19 {
     val bpe32 = graft.text.Bpe.fit(docs, k = 32)
     Seq(4, 8, 16, 32).map { n =>
       rollup(graft.text.Subword.subwordStats(docs, vocabN = n),
-          "wordpiece", n)
+          "wordpiece", n, col("n_unk_words"))
         .unionAll(rollup(graft.text.Bpe.bpeStatsWith(docs,
-          new graft.text.Bpe.BpeMerges(bpe32.merges.take(n))), "bpe", n))
+          new graft.text.Bpe.BpeMerges(bpe32.merges.take(n))), "bpe", n,
+          lit(0L)))
         .unionAll(rollup(
           graft.text.UnigramLm.unigramStats(docs, vocabN = n),
-          "unigram", n))
+          "unigram", n, col("n_unk_words")))
     }.reduce(_ unionAll _)
       .orderBy("family", "vocab_size", "lang")
   }
@@ -225,6 +259,7 @@ object Round19 {
        |  d.lang,
        |  CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(p.np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(p.unk) AS BIGINT) AS n_unk,
        |  CAST(CAST(SUM(p.np) AS HUGEINT) * 1000000
        |       // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS fertility_ppm
        |FROM words w JOIN perwordwp$n p USING (tok)
@@ -236,6 +271,7 @@ object Round19 {
        |  CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(CASE WHEN length(w.tok) = 0 THEN 0 ELSE f.np END)
        |    AS BIGINT) AS n_pieces,
+       |  CAST(0 AS BIGINT) AS n_unk,
        |  CAST(CAST(SUM(CASE WHEN length(w.tok) = 0 THEN 0 ELSE f.np END)
        |       AS HUGEINT) * 1000000
        |       // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS fertility_ppm
@@ -249,6 +285,8 @@ object Round19 {
        |  CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(CASE WHEN u.packed IS NULL THEN 1
        |                ELSE u.packed % 1048576 END) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(CASE WHEN u.packed IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_unk,
        |  CAST(CAST(SUM(CASE WHEN u.packed IS NULL THEN 1
        |                     ELSE u.packed % 1048576 END) AS HUGEINT)
        |       * 1000000
@@ -264,7 +302,8 @@ object Round19 {
        |${Round13.bpeChainCtes(32, sizes.map(n => (s"finb$n", n)))},
        |${Round17.unigramSharedCtes},
        |${sizes.map(n => Round17.unigramVocabCtes(s"un$n", n)).mkString(",\n")}
-       |SELECT family, vocab_size, lang, n_words, n_pieces, fertility_ppm
+       |SELECT family, vocab_size, lang, n_words, n_pieces, n_unk,
+       |  fertility_ppm
        |FROM (
        |${(sizes.map(wpSelect) ++ sizes.map(bpeSelect) ++
            sizes.map(uniSelect)).mkString("\nUNION ALL\n")})
@@ -328,21 +367,27 @@ object Round19 {
        |ORDER BY vec_id, subspace""".stripMargin
 
   // ---------------------------------------------------------------- q223
-  /** SALTED ANN candidate join ([[graft.ops.Similarity
-    * .ivfHardNegatives]] at numSalts = 8): the r18 ann curve isolated
-    * the x30 mining variance to the cell-keyed candidate join's
-    * contention-sensitive spill; numSalts points the engine's own
-    * skew lever (q81's [[graft.ops.SkewJoin]]) at it — each cell's
-    * candidates shard by candidate-id hash, probe rows replicate
-    * across shards, every (probe, candidate) pair meets in exactly
-    * one shard. Result-identical BY CONSTRUCTION, and this query
-    * holds the salted plan to the SAME oracle the unsalted miner
+  /** SELECTIVELY SALTED ANN candidate join ([[graft.ops.Similarity
+    * .ivfHardNegatives]] at numSalts = 8, selectiveSalting = true):
+    * the r18 ann curve isolated the x30 mining variance to the
+    * cell-keyed candidate join's contention-sensitive spill; numSalts
+    * points the engine's own skew lever (q81's
+    * [[graft.ops.SkewJoin]]) at it — a hot cell's candidates shard by
+    * candidate-id hash, its probe rows replicate across shards, every
+    * (probe, candidate) pair meets in exactly one shard. Round 19
+    * measured the GLOBAL spelling winning under contention but losing
+    * 3.4× in the quietest window (the unconditional 8× probe fan-out
+    * is pure overhead when no cell is hot), so the battery now runs
+    * the production spelling: the q136 skew audit first, salting ONLY
+    * the cells it flags, plain join for the rest, union. Every
+    * spelling is result-identical BY CONSTRUCTION, and this query
+    * holds the selective plan to the SAME oracle the unsalted miner
     * answers to (the q182 replay: seeded centroids, integer
     * assignment, probes, cross-label distances, per-query top-k) —
     * the packing changed, the answer must not. */
   private def q223(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfHardNegatives(Tables.embeddings(s, dir), k = 5,
-      nCents = 16, nProbe = 4, numSalts = 8)
+      nCents = 16, nProbe = 4, numSalts = 8, selectiveSalting = true)
 
   private val q223Sql =
     s"""WITH
