@@ -1180,9 +1180,17 @@ object Similarity {
     require(nCents >= 1 && nProbe >= 1 && nProbe <= nCents)
     val q = emb.select(col(idCol).as("__id"), col(labelCol).as("__lab"),
       col(vecCol).as("__v"))
+    // q119 criterion: routed is a corpus-sized frame whose recompute
+    // is the n·nCents routing cross product, and it feeds THREE
+    // consumers — eager localCheckpoint, not cache, so memory
+    // pressure spills it instead of re-running the routing once per
+    // consumer. The 1-row result is checkpointed on its own blocks
+    // (no lineage back to routed), so routed's blocks can be released
+    // before returning — this instrument runs once per scaling POINT,
+    // and pinning a corpus-sized frame per point would accumulate.
     val routed = ivfRouted(q, nCents, nProbe, quantScale)
       .select(col("__id"), col("__cell"), col("__probes"))
-      .cache()
+      .localCheckpoint(true)
     val members = routed.groupBy("__cell").agg(count(lit(1)).as("__m"))
     val probes = routed.select(explode(col("__probes")).as("__cell"))
       .groupBy("__cell").agg(count(lit(1)).as("__p"))
@@ -1191,11 +1199,22 @@ object Similarity {
         sum(col("__m") * col("__p")).as("cand_pairs"))
       .crossJoin(broadcast(routed.agg(count(lit(1)).as("n_vecs"))))
       .select(col("n_vecs"), col("n_cells_used"), col("cand_pairs"))
-    val materialized = out.cache()
-    materialized.count()
-    routed.unpersist(blocking = false)
+    val materialized = out.localCheckpoint(true)
+    dropLocalCheckpoint(routed)
     materialized
   }
+
+  /** Release the RDD blocks behind an eager localCheckpoint once no
+    * live plan depends on them (the [[graft.text.Bpe]] helper's
+    * pattern) — safe ONLY when every dependent frame has been
+    * materialized onto its own storage, because a dropped checkpoint
+    * cannot recompute. No-op on any other plan shape. */
+  private def dropLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** PRODUCT-QUANTIZATION codes (Jégou et al. TPAMI'11): the vector
     * is split into `m` contiguous subspaces; each subvector is

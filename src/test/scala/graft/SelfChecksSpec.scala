@@ -16,7 +16,7 @@ class SelfChecksSpec extends AnyFunSuite {
     val out = java.nio.file.Files.createTempDirectory("graft-selfcheck").toString
     Seq("q30_doc_recommend", "q67_recommend_hashed", "q33_ann_lsh",
       "q43_lsh_neardup", "q35_sketches", "q54_corpus_sketch",
-      "q112_append_index_dedup").foreach { name =>
+      "q112_append_index_dedup", "q226_residual_index_append").foreach { name =>
       SparkEntry.queries(name)(spark, dir)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
     }
@@ -24,7 +24,7 @@ class SelfChecksSpec extends AnyFunSuite {
     assert(results.map(_._1) === Seq("q30_doc_recommend", "q67_recommend_hashed",
       "q33_ann_lsh", "q43_lsh_neardup", "q35_sketches", "q54_corpus_sketch",
       "q84_incremental_neardup", "stream_arrival_end_state",
-      "als_planted_blocks"))
+      "residual_stream_end_state", "als_planted_blocks"))
     results.foreach { case (name, (pass, detail)) =>
       assert(pass, s"$name self-check failed: $detail")
     }
@@ -34,7 +34,7 @@ class SelfChecksSpec extends AnyFunSuite {
     import spark.implicits._
     val parsed = spark.read.json(Seq(json).toDS()).collect()
     assert(parsed.length === 1)
-    assert(parsed.head.schema.fieldNames.length === 9)
+    assert(parsed.head.schema.fieldNames.length === 10)
   }
 
   test("a violated invariant turns into pass=false, not an exception") {
