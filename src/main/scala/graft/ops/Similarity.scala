@@ -2429,6 +2429,20 @@ object Similarity {
       queryVecCol: String = "embedding",
       quantScale: Double = 1e4): DataFrame = {
     require(k >= 1 && nProbe >= 1)
+    val (b, _, qres, codes, subLen) = servePrunedFrames(spark, dir,
+      queries, nProbe, idCol, queryIdCol, queryVecCol, quantScale)
+    residualRankTail(codes, b, qres, k, subLen, idCol, queryIdCol)
+  }
+
+  /** The stored tier's shared serve prefix: load the two tiny frames,
+    * route the batch, collect the probed cells (bounded:
+    * ≤ min(|queries|·nProbe, nCents) longs — the q135 bounded-collect
+    * idiom) and push them into the code read as a static partition
+    * filter. Returns (books, qq, qres, pruned codes, subLen). */
+  private def servePrunedFrames(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, nProbe: Int, idCol: String,
+      queryIdCol: String, queryVecCol: String, quantScale: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
     val books = spark.read.parquet(s"$dir/books")
     val (m, subLen) = pqGeometry(books)
     val qdim = probeDim(queries, queryIdCol, queryVecCol)
@@ -2457,7 +2471,64 @@ object Similarity {
       .filter(col("cell").isin(probedCells: _*))
       .select(col(idCol).as("__id"), col("cell").as("__cell"),
         col("subspace").as("__ss"), col("code").as("__code"))
-    residualRankTail(codes, b, qres, k, subLen, idCol, queryIdCol)
+    (b, qq, qres, codes, subLen)
+  }
+
+  /** The COMPLETE production read path, end to end: serve a probe
+    * batch from the STORED residual index ([[serveResidualIndex]]'s
+    * partition-pruned scan) and RE-RANK the top-`rerankC` ADC
+    * candidates by exact integer distance against the raw vector
+    * store (IVFADC+R over the frozen index — [[
+    * ivfAdcResidualRerankRecall]] measured what the window buys;
+    * this is the operator a deployment actually calls). `vectors` is
+    * the id-keyed raw store (at 100 TB a point-lookup table; here the
+    * embeddings frame): only the batch's |queries|·rerankC candidate
+    * ids are fetched from it — the ids are collected BOUNDED and
+    * pushed into the vector read as an IN filter, so the raw store is
+    * probed, never scanned, and everything else online touches only
+    * the two tiny frames plus the probed cell directories.
+    *
+    * Exactness contract (the spec's pin): the emitted `exact_d2` IS
+    * the full-precision integer distance, so with every cell probed
+    * and rerankC ≥ n the output equals the exact top-k over the
+    * corpus — the stored index degrades gracefully into brute force.
+    *
+    * Returns (queryIdCol, rank, idCol, exact_d2) ordered by
+    * (queryIdCol, rank). */
+  def serveResidualIndexRerank(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, vectors: DataFrame, k: Int = 10,
+      rerankC: Int = 40, nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id",
+      queryVecCol: String = "embedding",
+      quantScale: Double = 1e4): DataFrame = {
+    require(k >= 1 && rerankC >= k && nProbe >= 1)
+    val (b, qq, qres, codes, subLen) = servePrunedFrames(spark, dir,
+      queries, nProbe, idCol, queryIdCol, queryVecCol, quantScale)
+    val adcTop = residualAdcSums(codes, b, qres, subLen)
+      .groupBy("__qid")
+      .agg(TopKAgg.topK(col("__adc"), col("__id"), rerankC,
+        largest = false).as("tk"))
+      .select(col("__qid"), explode(transform(col("tk"), e => e("id")))
+        .as("__id"))
+    // bounded point fetch from the raw store: |queries|·rerankC ids
+    val candIds = adcTop.select(col("__id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val fetched = vectors
+      .filter(col(idCol).isin(candIds: _*))
+      .select(col(idCol).as("__id"),
+        quantArr(col(vecCol), quantScale).as("__qv"))
+    adcTop.join(fetched, Seq("__id"))
+      .join(broadcast(qq), Seq("__qid"))
+      .select(col("__qid"), col("__id"),
+        intSqDist(col("__qv"), col("__qqv")).as("__dx"))
+      .groupBy("__qid")
+      .agg(TopKAgg.topK(col("__dx"), col("__id"), k, largest = false)
+        .as("tk"))
+      .select(col("__qid"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__qid").as(queryIdCol),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as(idCol), col("e.ord").cast(LongType).as("exact_d2"))
+      .orderBy(queryIdCol, "rank")
   }
 
   /** [[ivfAdcResidualLloydRecall]] swept over nProbe values with ONE

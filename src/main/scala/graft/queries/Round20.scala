@@ -149,7 +149,53 @@ object Round20 {
        |  AND h.qid = p.qid AND h.k = k.k
        |ORDER BY r.lloyd_rounds, query_id, k""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+  /** The COMPLETE production read path, stored end to end
+    * ([[graft.ops.Similarity.serveResidualIndexRerank]]): freeze the
+    * whole residual index (q225's layout), serve the batch through
+    * the static partition filter, re-rank the top-C ADC candidates by
+    * exact integer distance against the raw vector store (a bounded
+    * |queries|·C point fetch — q228 measured what the window buys;
+    * this query pins the OPERATOR a deployment calls). Full hash
+    * oracle on the served rows: the shared residual-tier replay
+    * through the radc sums, the ADC top-C window, and the exact
+    * re-rank — a drift in routing, storage, pruning, ADC arithmetic,
+    * the re-rank window, OR the raw-store fetch all change rows. */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idxDir = Round11.freshScratchDirShared("graft_q230_residx")
+    Similarity.saveResidualIndex(emb, idxDir, nCents = 16, m = 8,
+      nCodes = 16, rounds = 1)
+    Similarity.serveResidualIndexRerank(s, idxDir, probes, emb, k = 10,
+      rerankC = 40, nProbe = 4)
+  }
+
+  private val q230Sql =
+    s"""WITH
+       |${Round19.residualTierCtes()},
+       |adcr AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY adc_d2, vec_id) AS BIGINT) AS ar
+       |    FROM radc) WHERE ar <= 40
+       |)
+       |SELECT query_id, rank, vec_id, exact_d2 FROM (
+       |  SELECT a.qid AS query_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.qid
+       |      ORDER BY ${Round16.d2Sql("x.qv", "p.pqv")}, a.vec_id)
+       |      AS BIGINT) AS rank,
+       |    a.vec_id,
+       |    CAST(${Round16.d2Sql("x.qv", "p.pqv")} AS BIGINT) AS exact_d2
+       |  FROM adcr a
+       |  JOIN q x ON x.vec_id = a.vec_id
+       |  JOIN probes p ON p.qid = a.qid) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q228_residual_rerank_frontier", q228, Some(q228Sql)),
-    QueryDef("q229_lloyd_rounds_frontier", q229, Some(q229Sql)))
+    QueryDef("q229_lloyd_rounds_frontier", q229, Some(q229Sql)),
+    QueryDef("q230_stored_serve_rerank", q230, Some(q230Sql)))
 }

@@ -178,6 +178,46 @@ class Round20OpsSpec extends AnyFunSuite {
       s"expected ${incCount * 2} code rows for the increment, got $codeRows")
   }
 
+  // ------------------------ q230 stored serve + exact re-rank
+  test("serveResidualIndexRerank: every cell probed and C >= n serves the exact corpus top-k") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(109)
+    val emb = (0L until 24L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 6 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_residx_rr").toString
+    Similarity.saveResidualIndex(emb, dir, nCents = 4, m = 2,
+      nCodes = 4, rounds = 1)
+    val served = Similarity.serveResidualIndexRerank(spark, dir, probes,
+      emb, k = 3, rerankC = 24, nProbe = 4)
+    val got = served.as[(Long, Long, Long, Long)].collect().toSeq
+    // ground truth straight from the data: ⌊x·1e4⌋ quantization, exact
+    // integer distance, (dist, id) total order — computed on the
+    // driver, no engine code shared
+    val vecs = emb.as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1e4).toLong)
+      }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = vecs.keys.toSeq.filter(_ % 6 == 0).sorted.flatMap { q =>
+      vecs.toSeq.map { case (id, v) => (d2(vecs(q).toSeq, v.toSeq), id) }
+        .sorted.take(3).zipWithIndex
+        .map { case ((d, id), i) => (q, (i + 1).toLong, id, d) }
+    }
+    assert(got === expected,
+      "with every cell probed and C >= n, the stored tier must degrade " +
+        "gracefully into exact brute force")
+    // the probed-cell filter must still reach the code scan as a
+    // partition filter through the re-rank spelling
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") &&
+      plan.replaceAll("#\\d+", "").contains("cell IN"),
+      s"probed cells did not become a partition filter:\n$plan")
+  }
+
   // ------------------------ serve-path storage hygiene (r19 ADVICE)
   test("serveResidualIndex pins no RDD blocks after the serve is consumed") {
     import graft.ops.Similarity
