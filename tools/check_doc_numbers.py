@@ -17,8 +17,10 @@ The doc number matches if rounding the artifact value to the doc
 number's printed precision reproduces it exactly (docs quote rounded
 values; artifacts hold full precision).
 
-Usage: python3 tools/check_doc_numbers.py   (from the repo root)
+Usage: python3 tools/check_doc_numbers.py [--fix]   (from the repo root)
 Exit 0 = every anchored number matches; 1 = drift (each named).
+--fix rewrites each drifted doc number in place to the artifact value
+rounded at the doc's printed precision (then re-run to confirm 0 drift).
 """
 import json
 import re
@@ -50,42 +52,58 @@ def resolve(obj, path):
 
 
 def main():
+    fix = "--fix" in sys.argv[1:]
     root = Path(__file__).resolve().parent.parent
     loaded = {}
     failures = []
+    fixed = 0
     checked = 0
     for doc in DOCS:
         text = (root / doc).read_text()
-        for m in ANCHOR.finditer(text):
+
+        def repl(m):
+            nonlocal checked, fixed
             quoted, art, path = m.group(1), m.group(2), m.group(3)
             checked += 1
             where = f"{doc}: {quoted} <!--#{art}:{path}-->"
             if art not in ARTIFACTS:
                 failures.append(f"{where}: unknown artifact '{art}'")
-                continue
+                return m.group(0)
             if art not in loaded:
                 p = root / ARTIFACTS[art]
-                if not p.exists():
-                    failures.append(f"{where}: {ARTIFACTS[art]} missing")
-                    loaded[art] = None
-                    continue
-                loaded[art] = json.loads(p.read_text())
+                loaded[art] = json.loads(p.read_text()) if p.exists() else None
             if loaded[art] is None:
                 failures.append(f"{where}: {ARTIFACTS[art]} missing")
-                continue
+                return m.group(0)
             try:
                 actual = float(resolve(loaded[art], path.strip()))
             except (KeyError, IndexError, TypeError, ValueError) as e:
                 failures.append(f"{where}: path failed to resolve ({e})")
-                continue
+                return m.group(0)
             decimals = len(quoted.split(".")[1]) if "." in quoted else 0
-            if abs(round(actual, decimals) - float(quoted)) > 1e-9:
-                failures.append(
-                    f"{where}: doc says {quoted}, artifact holds {actual}")
+            if abs(round(actual, decimals) - float(quoted)) <= 1e-9:
+                return m.group(0)
+            if fix:
+                new = (f"{round(actual, decimals):.{decimals}f}" if decimals
+                       else str(int(round(actual))))
+                fixed += 1
+                print(f"FIXED {where} -> {new}")
+                return m.group(0).replace(quoted, new, 1)
+            failures.append(
+                f"{where}: doc says {quoted}, artifact holds {actual}")
+            return m.group(0)
+
+        new_text = ANCHOR.sub(repl, text)
+        if fix and new_text != text:
+            (root / doc).write_text(new_text)
     for f in failures:
         print(f"DRIFT {f}")
-    print(f"== {checked - len(failures)}/{checked} anchored doc numbers "
-          f"match the committed artifacts")
+    if fix:
+        print(f"== rewrote {fixed} drifted numbers; "
+              f"{checked - len(failures) - fixed}/{checked} already matched")
+    else:
+        print(f"== {checked - len(failures)}/{checked} anchored doc numbers "
+              f"match the committed artifacts")
     sys.exit(1 if failures else 0)
 
 
