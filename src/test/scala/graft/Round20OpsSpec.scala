@@ -98,6 +98,31 @@ class Round20OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAdcResidualRerankRecall dominates the ADC-only ranking at every (query, k) once C >= k") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(113)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    // set algebra: rerank hits(C,k) = |exact-top-k ∩ S(C)| and the
+    // ADC-only top-k ⊆ S(C) whenever C ≥ k, so exact re-ranking can
+    // never LOSE a true neighbor ADC-only ranking had — the window is
+    // a pure upgrade at equal retrieval cost
+    val adcOnly = Similarity.ivfAdcResidualLloydRecall(emb, probes,
+      ks = Seq(1, 5, 10), nCents = 4, nProbe = 2, m = 2, nCodes = 4,
+      rounds = 1).as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    val reranked = Similarity.ivfAdcResidualRerankRecall(emb, probes,
+      ks = Seq(1, 5, 10), cs = Seq(10), nCents = 4, nProbe = 2, m = 2,
+      nCodes = 4, rounds = 1)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    reranked.foreach { case (_, qid, k, _, ppm) =>
+      assert(ppm >= adcOnly((qid, k)),
+        s"query $qid k=$k: re-rank $ppm ppm < ADC-only ${adcOnly((qid, k))} ppm")
+    }
+  }
+
   // ------------------------ q229 Lloyd rounds frontier
   test("ivfAdcResidualLloydRoundsSweep equals the per-rounds single-point audits") {
     import graft.ops.Similarity
